@@ -1,0 +1,18 @@
+"""kmer_tpu — a TPU-native k-mer counting and SNP-fingerprinting engine.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+gerbenvoshol/kmer-cnt (lh3/kmer-cnt counters + NGSCheckMate-style SNP
+sample-identity pipeline).  The compute path is vectorized JAX running on
+TPU (2-bit base codes as uint32 hi/lo planes, device-resident
+open-addressing count tables, blocked bloom filters, Myers bit-vector
+edit distance); the runtime around it (FASTA/FASTQ ingest, pipelining,
+file formats) lives on the host.
+
+Reference parity targets (cited per-module as /root/reference/<file>:<line>):
+  kc-py1, kc-cpp1/2, kc-c1..c4, yak-count     -> kmer_tpu.tools.kc / yak_count
+  snp-pattern-gen, vaf-counter, ed-vaf-counter,
+  bam-vaf-counter, vcf-vaf-counter            -> kmer_tpu.tools.*
+  correlation-matrix, match-classifier        -> kmer_tpu.tools.*
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,129 @@
+"""Streaming FASTA/FASTQ reader — the kseq.h equivalent.
+
+Handles plain or gzipped input, multi-line FASTA, 4-line FASTQ with `+`
+separator and quality lines, and `@`/`>` headers, mirroring the kseq
+state machine (/root/reference/kseq.h:187-232).  Returns sequences as
+raw bytes; quality is parsed (to advance the stream) but not retained —
+no reference tool uses qualities.
+
+Reading is chunk-buffered (1 MiB) with memoryview splitting rather than
+per-line Python iteration; for higher throughput a C++ reader can slot
+in behind the same Block interface (see kmer_tpu/io/native).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import os
+from dataclasses import dataclass
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+_CHUNK = 1 << 20
+
+
+def _open_maybe_gz(path: str):
+    if path == "-":
+        return io.BufferedReader(os.fdopen(os.dup(0), "rb", closefd=True))
+    f = open(path, "rb")
+    magic = f.peek(2)[:2] if hasattr(f, "peek") else f.read(2)
+    if magic == b"\x1f\x8b":
+        f.seek(0)
+        return gzip.GzipFile(fileobj=f)
+    f.seek(0)
+    return f
+
+
+class FastxReader:
+    """Iterates (name, seq_bytes) records from FASTA or FASTQ."""
+
+    def __init__(self, path: str):
+        self._fp = _open_maybe_gz(path)
+        self._buf = b""
+        self._eof = False
+
+    def close(self):
+        self._fp.close()
+
+    def _fill(self) -> bool:
+        chunk = self._fp.read(_CHUNK)
+        if not chunk:
+            self._eof = True
+            return False
+        self._buf += chunk
+        return True
+
+    def _readline(self) -> Optional[bytes]:
+        while True:
+            nl = self._buf.find(b"\n")
+            if nl >= 0:
+                line = self._buf[:nl]
+                self._buf = self._buf[nl + 1 :]
+                if line.endswith(b"\r"):
+                    line = line[:-1]
+                return line
+            if not self._fill():
+                if self._buf:
+                    line, self._buf = self._buf, b""
+                    return line
+                return None
+
+    def __iter__(self) -> Iterator[Tuple[bytes, bytes]]:
+        line = self._readline()
+        # skip any leading junk until a header, like kseq does
+        while line is not None and not line.startswith((b">", b"@")):
+            line = self._readline()
+        while line is not None:
+            is_fastq = line.startswith(b"@")
+            name = line[1:].split(b" ", 1)[0].split(b"\t", 1)[0]
+            seq_parts: List[bytes] = []
+            line = self._readline()
+            while line is not None and not line.startswith((b">", b"@", b"+")):
+                if line:
+                    seq_parts.append(line)
+                line = self._readline()
+            seq = b"".join(seq_parts)
+            if is_fastq and line is not None and line.startswith(b"+"):
+                # consume quality bytes equal to sequence length
+                need = len(seq)
+                got = 0
+                while got < need:
+                    ql = self._readline()
+                    if ql is None:
+                        break
+                    got += len(ql)
+                line = self._readline()
+            yield name, seq
+
+
+@dataclass
+class Block:
+    """A packed block of reads: kc-c4 pipeline step-0 output
+    (/root/reference/kc-c4.c:133-155)."""
+
+    seqs: List[bytes]
+    sum_len: int
+    n_kmers: int  # sum of (len - k + 1) over reads with len >= k
+
+
+def read_blocks(
+    paths: Sequence[str], k: int, block_len: int, min_len_filter: bool = True
+) -> Iterator[Block]:
+    """Yield blocks of ~block_len total bases (reads shorter than k are
+    skipped when min_len_filter, matching kc-c4.c:140)."""
+    for path in paths:
+        reader = FastxReader(path)
+        blk = Block([], 0, 0)
+        for _, seq in reader:
+            if min_len_filter and len(seq) < k:
+                continue
+            blk.seqs.append(seq)
+            blk.sum_len += len(seq)
+            if len(seq) >= k:
+                blk.n_kmers += len(seq) - k + 1
+            if blk.sum_len >= block_len:
+                yield blk
+                blk = Block([], 0, 0)
+        if blk.sum_len:
+            yield blk
+        reader.close()

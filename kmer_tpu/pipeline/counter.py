@@ -1,0 +1,160 @@
+"""The end-to-end k-mer counting engine.
+
+Replaces the reference's kt_pipeline 3-step flow (read block -> extract
+k-mers -> insert; /root/reference/kc-c4.c:130-179) with:
+
+  host thread:  read + pack blocks into fixed-shape uint8 buffers
+                (overlaps device compute, the P1 pipeline analog)
+  device step:  one fused jit program: encode -> canonical k-mer
+                extraction -> hash64 -> batched table insert
+
+The count table lives in HBM and is donated through the jit step, so
+XLA updates it in place.  Growth (khashl's incremental rehash,
+khashl.h:152-195) becomes an occasional 2x rebuild when load > 0.65.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from functools import partial
+from typing import Iterator, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..io import fastx, packing
+from ..kernels import u64 as u
+from ..kernels.encode import encode_bases
+from ..kernels.kmer import extract_canonical
+from ..table import count_table as ct
+
+GROW_LOAD = 0.65
+
+
+def _iter_packed(
+    paths: Sequence[str], k: int, block_bases: int, capacity: int
+) -> Iterator[Tuple[np.ndarray, int, int]]:
+    """Yield (ascii_u8[capacity], n_bases, n_seqs) packed buffers."""
+    max_len = capacity - 1
+    step = max_len - (k - 1)
+    for blk in fastx.read_blocks(paths, k, block_bases):
+        # split over-long sequences (chromosomes) into (k-1)-overlap chunks;
+        # consecutive chunks tile the window sequence exactly once.
+        seqs = []
+        for s in blk.seqs:
+            if len(s) + 1 > capacity:
+                for off in range(0, len(s) - (k - 1), step):
+                    seqs.append(s[off : off + max_len])
+            else:
+                seqs.append(s)
+        blk = fastx.Block(seqs, blk.sum_len, blk.n_kmers)
+        n_seqs = len(seqs)
+        for buf, n in packing.pack_block(blk, capacity):
+            yield buf, n, n_seqs
+            n_seqs = 0
+
+
+def _prefetch(it, depth=2):
+    """Run an iterator in a background thread (kt_pipeline step-0 analog)."""
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+
+    def work():
+        try:
+            for item in it:
+                q.put(item)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=work, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            return
+        yield item
+
+
+@partial(jax.jit, static_argnames=("k", "max_count", "apply_hash64", "create_new"),
+         donate_argnums=(0,))
+def _count_step(
+    table: ct.CountTable,
+    ascii_u8: jnp.ndarray,
+    k: int,
+    max_count: Optional[int],
+    apply_hash64: bool = True,
+    create_new: bool = True,
+):
+    codes = encode_bases(ascii_u8)
+    out = extract_canonical(codes, k, apply_hash64=apply_hash64)
+    if create_new:
+        table, n_new = ct.insert(table, out.kmer, out.valid, max_count)
+    else:
+        table = ct.add_existing(table, out.kmer, out.valid, max_count)
+        n_new = jnp.zeros((), jnp.int32)
+    n_kmers = jnp.sum(out.valid.astype(jnp.int32))
+    return table, n_new, n_kmers
+
+
+class CountEngine:
+    """Streaming canonical k-mer counter (kc-c1..c4 / yak pass engine)."""
+
+    def __init__(
+        self,
+        k: int,
+        max_count: Optional[int] = None,
+        init_capacity: int = 1 << 20,
+        block_bases: int = 10_000_000,
+        apply_hash64: bool = True,
+        prefetch: bool = True,
+    ):
+        self.k = k
+        self.max_count = max_count
+        self.block_bases = block_bases
+        # device buffer is a little larger than the host block target so a
+        # block rarely splits; +4096 slack for the last read's spillover.
+        self.capacity = int(block_bases) + 4096
+        self.apply_hash64 = apply_hash64
+        self.prefetch = prefetch
+        self.table = ct.make(init_capacity)
+        self.total_bases = 0
+        self.total_seqs = 0
+        self.total_kmers = 0
+
+    def _maybe_grow(self):
+        n_full = int(self.table.n_full)
+        cap = self.table.capacity
+        while n_full > GROW_LOAD * cap:
+            cap *= 2
+        if cap != self.table.capacity:
+            self.table = ct.rebuild(self.table, cap)
+
+    def count_paths(self, paths: Sequence[str], create_new: bool = True,
+                    progress=None) -> None:
+        it = _iter_packed(paths, self.k, self.block_bases, self.capacity)
+        if self.prefetch:
+            it = _prefetch(it)
+        for buf, n_bases, n_seqs in it:
+            self.table, n_new, n_kmers = _count_step(
+                self.table,
+                jnp.asarray(buf),
+                self.k,
+                self.max_count,
+                self.apply_hash64,
+                create_new,
+            )
+            self.total_bases += int(n_bases) - int(n_seqs)  # separators
+            self.total_seqs += n_seqs
+            self.total_kmers += int(n_kmers)
+            if create_new:
+                self._maybe_grow()
+            if progress is not None:
+                progress(self)
+
+    def hist(self, n_bins: int) -> np.ndarray:
+        return np.asarray(ct.hist(self.table, n_bins))
+
+    def n_distinct(self) -> int:
+        return int(self.table.n_full)
