@@ -16,3 +16,21 @@ Reference parity targets (cited per-module as /root/reference/<file>:<line>):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+import jax as _jax
+
+# Persistent compilation cache: the CLI tools are separate processes and
+# the count/bloom kernels take tens of seconds to compile; caching makes
+# every invocation after the first start instantly (host analog of the
+# reference's ahead-of-time compiled binaries).
+_cache_dir = _os.environ.get(
+    "KMER_TPU_JAX_CACHE", _os.path.expanduser("~/.cache/kmer_tpu_jax")
+)
+try:
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+except Exception:  # older jax without these flags
+    pass

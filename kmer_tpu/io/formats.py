@@ -1,0 +1,158 @@
+"""Text file formats of the SNP pipeline: BED, pattern, VAF, correlation.
+
+Byte-stable with the reference writers:
+  pattern row  — snp-pattern-gen.c:351-353
+  VAF file     — vaf-counter.c:668-677 (`# Average depth: %.2f` header,
+                 9-column rows with %.4f VAF)
+  correlation  — correlation-matrix.c:364-377 (header + %.6f matrix)
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import List, Optional, TextIO, Tuple
+
+
+@dataclass
+class Snp:
+    chr: str
+    start: int
+    end: int
+    rsid: str
+    ref: str
+    alt: str
+
+
+@dataclass
+class Pattern(Snp):
+    ref_kmer: str = ""
+    alt_kmer: str = ""
+    ref_count: int = 0
+    alt_count: int = 0
+
+
+def read_bed_snps(path: str) -> List[Snp]:
+    """6-column whitespace-separated SNP BED
+    (fscanf loop, snp-pattern-gen.c:271)."""
+    out = []
+    with open(path) as f:
+        for line in f:
+            t = line.split()
+            if len(t) < 6:
+                continue
+            out.append(Snp(t[0], int(t[1]), int(t[2]), t[3], t[4][0], t[5][0]))
+    return out
+
+
+def read_patterns(path: str) -> List[Pattern]:
+    """8-column pattern file (load_patterns, vaf-counter.c:149-184)."""
+    out = []
+    with open(path) as f:
+        for line in f:
+            t = line.split()
+            if len(t) < 8:
+                continue
+            out.append(
+                Pattern(t[0], int(t[1]), int(t[2]), t[3], t[4][0], t[5][0], t[6], t[7])
+            )
+    return out
+
+
+def write_pattern_row(fp: TextIO, s: Snp, ref_kmer: str, alt_kmer: str) -> None:
+    fp.write(
+        f"{s.chr}\t{s.start}\t{s.end}\t{s.rsid}\t{s.ref}\t{s.alt}\t{ref_kmer}\t{alt_kmer}\n"
+    )
+
+
+def write_vaf_file(path: str, patterns: List[Pattern]) -> float:
+    """Returns the average depth written in the header."""
+    total = sum(p.ref_count + p.alt_count for p in patterns)
+    avg_depth = total / (len(patterns) if patterns else 1)
+    with open(path, "w") as fp:
+        fp.write(f"# Average depth: {avg_depth:.2f}\n")
+        fp.write("CHR\tPOS\tRSID\tREF\tALT\tREF_COUNT\tALT_COUNT\tTOTAL_COUNT\tVAF\n")
+        for p in patterns:
+            tot = p.ref_count + p.alt_count
+            vaf = p.alt_count / tot if tot > 0 else 0.0
+            fp.write(
+                f"{p.chr}\t{p.start}\t{p.rsid}\t{p.ref}\t{p.alt}\t"
+                f"{p.ref_count}\t{p.alt_count}\t{tot}\t{vaf:.4f}\n"
+            )
+    return avg_depth
+
+
+@dataclass
+class VafSample:
+    name: str
+    vaf: List[float] = field(default_factory=list)
+    depth: List[int] = field(default_factory=list)
+    snps: List[Tuple[str, int, str]] = field(default_factory=list)
+
+
+def read_vaf_file(path: str, max_snps: int = 100000) -> VafSample:
+    """Parse a VAF file (load_vaf_file, correlation-matrix.c:25-90):
+    sample name = basename minus .vaf; rows capped at max_snps."""
+    base = os.path.basename(path)
+    if ".vaf" in base:
+        base = base[: base.index(".vaf")]
+    s = VafSample(base)
+    with open(path) as f:
+        for line in f:
+            if line.startswith("#") or line.startswith("CHR"):
+                continue
+            t = line.split("\t")
+            if len(t) != 9:
+                continue
+            if len(s.vaf) >= max_snps:
+                break
+            s.snps.append((t[0], int(t[1]), t[2]))
+            s.vaf.append(float(t[8]))
+            s.depth.append(int(t[7]))
+    return s
+
+
+def read_vaf_avg_depth(path: str) -> Optional[float]:
+    """First-line `# Average depth:` header (match-classifier.c:142-149)."""
+    with open(path) as f:
+        line = f.readline()
+        if line.startswith("#"):
+            try:
+                return float(line.split("Average depth:")[1])
+            except (IndexError, ValueError):
+                return None
+    return None
+
+
+def write_corr_matrix(path: str, names: List[str], matrix) -> None:
+    with open(path, "w") as fp:
+        fp.write("Sample")
+        for n in names:
+            fp.write(f"\t{n}")
+        fp.write("\n")
+        for i, n in enumerate(names):
+            fp.write(n)
+            for j in range(len(names)):
+                fp.write(f"\t{matrix[i][j]:.6f}")
+            fp.write("\n")
+
+
+def read_corr_matrix(path: str):
+    """Returns (names, matrix) — load_correlation_matrix
+    (match-classifier.c:26-108)."""
+    with open(path) as f:
+        header = f.readline().split("\t")
+        if not header or header[0].strip() != "Sample":
+            raise ValueError("not a correlation matrix file")
+        names = [h.strip() for h in header[1:] if h.strip()]
+        n = len(names)
+        matrix = [[0.0] * n for _ in range(n)]
+        for i in range(n):
+            line = f.readline()
+            if not line:
+                break
+            t = line.rstrip("\n").split("\t")
+            for j in range(n):
+                if j + 1 < len(t):
+                    matrix[i][j] = float(t[j + 1])
+    return names, matrix

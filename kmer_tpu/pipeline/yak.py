@@ -1,0 +1,158 @@
+"""yak-count engine: bloom-prefiltered two-pass counting.
+
+Mirrors yak_count / yak_count_file (/root/reference/yak-count.c:433-464):
+
+  pass 1 (create_new=1): count with an optional blocked bloom filter in
+    front of the table — a k-mer only enters the table once the bloom
+    has seen it (so most singletons never allocate a slot).
+  if bf_shift > 0: drop the bloom, zero the counts, re-count the second
+    file (or the same file) incrementing only existing keys, then shrink
+    keeping counts in [2, 1023].
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..io import fastx, packing
+from ..kernels import bloom
+from ..kernels.encode import encode_bases
+from ..kernels.kmer import extract_canonical
+from ..table import count_table as ct
+from .counter import GROW_LOAD, _iter_packed, _prefetch
+
+YAK_COUNTER_BITS = 10  # yak-count.c:9
+YAK_N_COUNTS = 1 << YAK_COUNTER_BITS
+YAK_MAX_COUNT = YAK_N_COUNTS - 1
+BLK_SHIFT = bloom.BLK_SHIFT
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "spec", "create_new", "use_bloom"),
+    donate_argnums=(0, 1),
+)
+def _yak_step(
+    table: ct.CountTable,
+    bits: jnp.ndarray,
+    ascii_u8: jnp.ndarray,
+    k: int,
+    spec: Optional[bloom.BloomSpec],
+    create_new: bool,
+    use_bloom: bool,
+):
+    codes = encode_bases(ascii_u8)
+    out = extract_canonical(codes, k, apply_hash64=True)
+    if create_new:
+        if use_bloom:
+            bits, preset = bloom.insert(bits, out.kmer, out.valid, spec)
+            table, n_new = ct.insert_gated(
+                table, out.kmer, out.valid, preset, YAK_MAX_COUNT
+            )
+        else:
+            table, n_new = ct.insert(table, out.kmer, out.valid, YAK_MAX_COUNT)
+    else:
+        table = ct.add_existing(table, out.kmer, out.valid, YAK_MAX_COUNT)
+        n_new = jnp.zeros((), jnp.int32)
+    return table, bits, n_new
+
+
+class YakEngine:
+    def __init__(
+        self,
+        k: int = 31,
+        pre: int = 10,
+        bf_shift: int = 0,
+        bf_n_hash: int = 4,
+        chunk_size: int = 10_000_000,
+        init_capacity: int = 1 << 20,
+        prefetch: bool = True,
+        log=None,
+    ):
+        self.k = k
+        self.pre = pre
+        self.bf_shift = bf_shift
+        self.bf_n_hash = bf_n_hash
+        self.chunk_size = chunk_size
+        self.capacity_block = int(chunk_size) + 4096
+        self.prefetch = prefetch
+        self.log = log
+        self.table = ct.make(init_capacity)
+        # bloom exists only when enabled AND geometrically valid
+        # (yak_ch_init gate n_shift > pre, yak-count.c:122; yak_bf_init
+        # gate BLK_SHIFT <= n_shift-pre <= 64-BLK_SHIFT, yak-count.c:75)
+        self.use_bloom = (
+            bf_n_hash > 0
+            and bf_shift > pre
+            and (bf_shift - pre) >= BLK_SHIFT
+        )
+        if self.use_bloom:
+            self.spec = bloom.BloomSpec(pre, bf_shift, bf_n_hash)
+            self.bits = bloom.make_bits(self.spec)
+        else:
+            self.spec = None
+            self.bits = jnp.zeros((8,), jnp.uint8)  # dummy carry
+        self.tot = 0  # cumulative distinct insertions (yak's h->tot)
+
+    def _maybe_grow(self):
+        n_full = int(self.table.n_full)
+        cap = self.table.capacity
+        while n_full > GROW_LOAD * cap:
+            cap *= 2
+        if cap != self.table.capacity:
+            self.table = ct.rebuild(self.table, cap)
+
+    def count(self, paths: Sequence[str], create_new: bool) -> None:
+        it = _iter_packed(paths, self.k, self.chunk_size, self.capacity_block)
+        if self.prefetch:
+            it = _prefetch(it)
+        for buf, _n_bases, n_seqs in it:
+            self.table, self.bits, n_new = _yak_step(
+                self.table,
+                self.bits,
+                jnp.asarray(buf),
+                self.k,
+                self.spec,
+                create_new,
+                self.use_bloom,
+            )
+            if create_new:
+                self.tot += int(n_new)
+                self._maybe_grow()
+            if self.log is not None:
+                self.log(n_seqs, self.tot)
+
+    def destroy_bloom(self):
+        self.use_bloom = False
+        self.spec = None
+        self.bits = jnp.zeros((8,), jnp.uint8)
+
+    def clear(self):
+        self.table = ct.clear_counts(self.table)
+
+    def shrink(self, min_count: int, max_count: int):
+        self.table = ct.rebuild(
+            self.table, self.table.capacity, min_count, max_count
+        )
+        self.tot = int(self.table.n_full)
+
+    def hist(self) -> np.ndarray:
+        return np.asarray(ct.hist(self.table, YAK_N_COUNTS))
+
+
+def yak_count_file(
+    fn1: str, fn2: Optional[str], opt: "YakEngine"
+) -> "YakEngine":
+    """The yak_count_file flow (yak-count.c:453-464)."""
+    opt.count([fn1], create_new=True)
+    if opt.bf_shift > 0:
+        opt.destroy_bloom()
+        opt.clear()
+        opt.count([fn2 if fn2 else fn1], create_new=False)
+        opt.shrink(2, YAK_MAX_COUNT)
+    return opt

@@ -190,6 +190,44 @@ def insert(
     return t, n_new
 
 
+def insert_gated(
+    table: CountTable,
+    keys: u.U64,
+    valid: jnp.ndarray,
+    preset: jnp.ndarray,
+    max_count: Optional[int],
+) -> Tuple[CountTable, jnp.ndarray]:
+    """Bloom-gated insert reproducing yak_ch_insert_list with a bloom
+    (/root/reference/yak-count.c:156-169): per distinct key with c
+    occurrences in the batch, the first occurrence only *sets* bloom
+    bits (unless all were already set — `preset`), so the key receives
+    c-1+preset increments; keys receiving zero increments are not
+    created at all.
+
+    `preset` is bloom.insert's all-bits-were-set flag per lane.
+    Slots claimed for keys that end up with zero increments are rolled
+    back to DELETED (probe chains through them stay valid).
+    """
+    res = resolve_slots(table, keys, valid, create_new=True)
+    cap = table.capacity
+    m = keys.lo.shape[0]
+    lane = jnp.arange(m, dtype=jnp.int32)
+    first_lane = jnp.full((cap + 1,), m, jnp.int32).at[res.slot].min(lane)
+    is_first = first_lane[jnp.minimum(res.slot, cap)] == lane
+    contrib = valid & (preset | ~is_first)
+    delta = _slot_delta(cap, res.slot, contrib.astype(U32))
+    cnt = res.table.cnt + delta
+    if max_count is not None:
+        cnt = jnp.minimum(cnt, U32(max_count))
+    dead = res.created & (delta == 0)
+    state = jnp.where(dead, jnp.uint8(DELETED), res.table.state)
+    n_new = (jnp.sum(res.created) - jnp.sum(dead)).astype(jnp.int32)
+    t = res.table._replace(
+        state=state, cnt=cnt, n_full=res.table.n_full + n_new
+    )
+    return t, n_new
+
+
 def add_existing(
     table: CountTable,
     keys: u.U64,

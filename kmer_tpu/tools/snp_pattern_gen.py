@@ -1,0 +1,172 @@
+"""snp-pattern-gen — extract unique SNP k-mer patterns from a genome.
+
+Reference parity with /root/reference/snp-pattern-gen.c:219-367:
+3-pass design — (1) BED -> candidate ref/alt canonical k-mers seeded at
+count 0, (2) whole-genome scan counting only candidates, (3) emit SNPs
+whose ref k-mer occurs exactly once and alt k-mer never.
+
+TPU mapping: pass 2 is the counting engine in `add_existing` mode (only
+candidate keys get incremented — exactly the candidate-map filter of
+count_candidate_kmers, snp-pattern-gen.c:162-190); passes 1/3 are tiny
+host-side k-mer ops.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from ..io.fastx import FastxReader
+from ..io.formats import read_bed_snps, write_pattern_row
+from ..kernels import u64 as u
+from ..pipeline.counter import CountEngine
+from ..table import count_table as ct
+from ..utils.cli import ketopt
+from ..utils.log import minfo
+from ..utils.seq import canonical_kmer, encode_kmer, hash64_np
+
+
+def extract_snp_kmer(seq: bytes, pos: int, alt: str, k: int):
+    """snp-pattern-gen.c:193-217: k-mer centered on the SNP (flank=k/2),
+    alt base substituted at the center; None if out of range or has N."""
+    flank = k // 2
+    start = pos - flank
+    if start < 0 or start + k > len(seq):
+        return None
+    window = seq[start : start + k]
+    ref_enc = encode_kmer(window, k)
+    if ref_enc < 0:
+        return None
+    alt_bytes = window[:flank] + alt.encode() + window[flank + 1 :]
+    return window, alt_bytes
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    k = 21
+    bed_fn = fasta_fn = out_fn = None
+    opts, _pos = ketopt(argv, "k:b:f:o:")
+    for c, a in opts:
+        if c == "k":
+            k = int(a)
+        elif c == "b":
+            bed_fn = a
+        elif c == "f":
+            fasta_fn = a
+        elif c == "o":
+            out_fn = a
+    if k % 2 == 0:
+        sys.stderr.write("Error: k must be odd\n")
+        return 1
+    if not bed_fn or not fasta_fn or not out_fn:
+        e = sys.stderr
+        e.write(
+            f"Usage: snp-pattern-gen -k {k} -b <snps.bed> -f <ref.fa> -o <patterns.txt>\n"
+        )
+        e.write("Options:\n")
+        e.write(f"  -k INT    k-mer length (must be odd) [{k}]\n")
+        e.write("  -b FILE   input BED file with SNPs\n")
+        e.write("  -f FILE   input reference genome FASTA file\n")
+        e.write("  -o FILE   output pattern file\n")
+        return 1
+
+    minfo("main", "Loading reference genome...")
+    genome = {}
+    order = 0
+    for name, seq in FastxReader(fasta_fn):
+        genome[name.decode()] = seq
+        order += 1
+    minfo("main", f"Loaded {order} sequences")
+
+    # pass 1: candidate canonical k-mers from the BED
+    minfo("main", "Generating candidate k-mers from BED file...")
+    snps = read_bed_snps(bed_fn)
+    mask = (1 << (2 * k)) - 1
+    candidates = {}
+    per_snp = []  # (snp, ref_kmer_str, alt_kmer_str, ref_can, alt_can) or None
+    for s in snps:
+        seq = genome.get(s.chr)
+        if seq is None:
+            per_snp.append(None)
+            continue
+        got = extract_snp_kmer(seq, s.start, s.alt, k)
+        if got is None:
+            per_snp.append(("skip",))
+            continue
+        ref_b, alt_b = got
+        ref_enc = encode_kmer(ref_b, k)
+        alt_enc = encode_kmer(alt_b, k)
+        if ref_enc < 0 or alt_enc < 0:
+            per_snp.append(("skip",))
+            continue
+        ref_can = canonical_kmer(ref_enc, k)
+        alt_can = canonical_kmer(alt_enc, k)
+        candidates.setdefault(ref_can, 0)
+        candidates.setdefault(alt_can, 0)
+        per_snp.append((s, ref_b.decode(), alt_b.decode(), ref_can, alt_can))
+    minfo("main", f"Generated {len(candidates)} candidate k-mers")
+
+    # pass 2: genome scan counting only candidates (device)
+    minfo("main", "Counting candidate k-mers in genome...")
+    cand_keys = np.fromiter(candidates.keys(), np.uint64, len(candidates))
+    hashed = hash64_np(cand_keys, mask)
+    cap = 1 << max(12, int(np.ceil(np.log2(max(len(hashed), 1) * 2))))
+    table = ct.make(cap)
+    m = 1 << int(np.ceil(np.log2(max(len(hashed), 1)))) if len(hashed) else 1
+    pad = np.zeros(m, np.uint64)
+    pad[: len(hashed)] = hashed
+    valid = np.zeros(m, bool)
+    valid[: len(hashed)] = True
+    import jax.numpy as jnp
+
+    table, _ = ct.insert(
+        table,
+        u.from_np(pad),
+        jnp.asarray(valid),
+        max_count=None,
+        weights=jnp.zeros(m, jnp.uint32),
+    )
+    eng = CountEngine(k=k, max_count=None, init_capacity=cap)
+    eng.table = table
+    eng.count_paths([fasta_fn], create_new=False)
+    minfo("main", "Finished counting k-mers")
+
+    # pass 3: emit SNPs with ref count == 1 and alt count == 0
+    minfo("main", "Processing SNPs...")
+    # batch-query all per-SNP k-mers
+    query = []
+    for e in per_snp:
+        if e is not None and len(e) == 5:
+            query.extend([e[3], e[4]])
+    counts = {}
+    if query:
+        qk = np.asarray(query, np.uint64)
+        qh = hash64_np(qk, mask)
+        qm = 1 << int(np.ceil(np.log2(len(qh))))
+        qpad = np.zeros(qm, np.uint64)
+        qpad[: len(qh)] = qh
+        qvalid = np.zeros(qm, bool)
+        qvalid[: len(qh)] = True
+        got = np.asarray(ct.get(eng.table, u.from_np(qpad), jnp.asarray(qvalid)))
+        for key, cnt in zip(qk.tolist(), got[: len(qh)].tolist()):
+            counts[key] = cnt
+
+    n_total = n_unique = 0
+    with open(out_fn, "w") as out_fp:
+        for entry in per_snp:
+            n_total += 1
+            if entry is None:
+                # chromosome not found (warning, snp-pattern-gen.c:332)
+                sys.stderr.write(
+                    f"Warning: chromosome {snps[n_total - 1].chr} not found\n"
+                )
+                continue
+            if len(entry) == 1:
+                continue
+            s, ref_str, alt_str, ref_can, alt_can = entry
+            if counts.get(ref_can) == 1 and counts.get(alt_can) == 0:
+                write_pattern_row(out_fp, s, ref_str, alt_str)
+                n_unique += 1
+    minfo("main", f"Total SNPs: {n_total}, Unique k-mer pairs: {n_unique}")
+    return 0

@@ -1,0 +1,105 @@
+"""Golden parity for the full SNP-fingerprinting pipeline:
+snp-pattern-gen -> vaf-counter -> correlation-matrix -> match-classifier,
+every intermediate file diffed byte-for-byte against the C reference
+(EXAMPLE.md's 5-step walkthrough as an automated test)."""
+
+import os
+import subprocess
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFBIN = os.path.join(REPO, "tests", "refbin")
+FIXTURES = os.path.join(REPO, "tests", "fixtures")
+BED = os.path.join(FIXTURES, "snps_small.bed")
+GENOME = os.path.join(FIXTURES, "genome_small.fa.gz")
+SAMPLES = ["sampleA1", "sampleA2", "sampleB"]
+
+_REF_SOURCES = {
+    "snp-pattern-gen": (["snp-pattern-gen.c"], ["-lz"]),
+    "vaf-counter": (["vaf-counter.c", "kthread.c"], ["-lz", "-lpthread"]),
+    "correlation-matrix": (["correlation-matrix.c"], ["-lm"]),
+    "match-classifier": (["match-classifier.c"], ["-lm"]),
+}
+
+
+@pytest.fixture(scope="session")
+def refbin():
+    os.makedirs(REFBIN, exist_ok=True)
+    for name, (srcs, libs) in _REF_SOURCES.items():
+        out = os.path.join(REFBIN, name)
+        if os.path.exists(out):
+            continue
+        cmd = (
+            ["gcc", "-O2", "-o", out]
+            + [f"/root/reference/{s}" for s in srcs]
+            + ["-I/root/reference"]
+            + libs
+        )
+        r = subprocess.run(cmd, capture_output=True)
+        if r.returncode != 0:
+            pytest.skip(f"cannot build reference {name}: {r.stderr.decode()}")
+    return REFBIN
+
+
+def run_ref(refbin, tool, args):
+    subprocess.run([os.path.join(refbin, tool)] + args, capture_output=True, check=True)
+
+
+def run_ours(tool, args):
+    from kmer_tpu.tools import get_tool
+
+    assert not get_tool(tool)(args)
+
+
+def _read(path):
+    with open(path, "rb") as f:
+        return f.read()
+
+
+def test_full_pipeline_parity(refbin, tmp_path):
+    d = str(tmp_path)
+
+    # step 1: snp-pattern-gen
+    run_ref(refbin, "snp-pattern-gen", ["-k21", "-b", BED, "-f", GENOME, "-o", f"{d}/ref.pat"])
+    run_ours("snp-pattern-gen", ["-k21", "-b", BED, "-f", GENOME, "-o", f"{d}/tpu.pat"])
+    assert _read(f"{d}/tpu.pat") == _read(f"{d}/ref.pat")
+
+    # step 2: vaf-counter per sample
+    for s in SAMPLES:
+        fq = os.path.join(FIXTURES, f"{s}.fq.gz")
+        run_ref(refbin, "vaf-counter", ["-k21", "-p", f"{d}/ref.pat", "-o", f"{d}/ref_{s}.vaf", fq])
+        run_ours("vaf-counter", ["-k21", "-p", f"{d}/tpu.pat", "-o", f"{d}/tpu_{s}.vaf", fq])
+        assert _read(f"{d}/tpu_{s}.vaf") == _read(f"{d}/ref_{s}.vaf"), s
+
+    # step 3: correlation-matrix (+ tree)
+    ref_vafs = [f"{d}/ref_{s}.vaf" for s in SAMPLES]
+    tpu_vafs = [f"{d}/tpu_{s}.vaf" for s in SAMPLES]
+    run_ref(refbin, "correlation-matrix", ["-o", f"{d}/ref.corr", "-t"] + ref_vafs)
+    run_ours("correlation-matrix", ["-o", f"{d}/tpu.corr", "-t"] + tpu_vafs)
+    # sample names come from the VAF filenames; normalize the prefix
+    ref_corr = _read(f"{d}/ref.corr").replace(b"ref_", b"")
+    tpu_corr = _read(f"{d}/tpu.corr").replace(b"tpu_", b"")
+    assert tpu_corr == ref_corr
+    assert _read(f"{d}/tpu.tree").replace(b"tpu_", b"") == _read(
+        f"{d}/ref.tree"
+    ).replace(b"ref_", b"")
+
+    # step 4: match-classifier — fixed threshold and predefined model
+    run_ref(refbin, "match-classifier", ["-c", f"{d}/ref.corr", "-o", f"{d}/ref.m1", "-v"])
+    run_ours("match-classifier", ["-c", f"{d}/tpu.corr", "-o", f"{d}/tpu.m1", "-v"])
+    assert _read(f"{d}/tpu.m1").replace(b"tpu_", b"") == _read(f"{d}/ref.m1").replace(b"ref_", b"")
+
+    run_ref(
+        refbin,
+        "match-classifier",
+        ["-c", f"{d}/ref.corr", "-o", f"{d}/ref.m2", "-v", "-P"] + ref_vafs,
+    )
+    run_ours(
+        "match-classifier",
+        ["-c", f"{d}/tpu.corr", "-o", f"{d}/tpu.m2", "-v", "-P"] + tpu_vafs,
+    )
+    assert _read(f"{d}/tpu.m2").replace(b"tpu_", b"") == _read(f"{d}/ref.m2").replace(b"ref_", b"")
+
+    # sanity: the pipeline found the replicate pair
+    assert b"MATCHED" in _read(f"{d}/tpu.m2")
