@@ -1,16 +1,17 @@
-"""Test configuration: force CPU backend with 8 virtual devices.
+"""Test configuration: force a CPU backend with 8 virtual devices.
 
 Real-TPU execution is exercised by bench.py and __graft_entry__.py; unit
 and parity tests run on the CPU backend so they are hermetic and can
 exercise multi-device sharding on an 8-device virtual mesh (the standard
 JAX fake-backend trick, cf. SURVEY.md §4d).
+
+The container injects a TPU PJRT plugin via PYTHONPATH sitecustomize
+(/root/.axon_site) that overrides the JAX_PLATFORMS env var, so we set
+the config directly — backend init is lazy, so doing it here (before
+any test touches a device) wins over the plugin's env default.
 """
 
-import os
+import jax
 
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)

@@ -1,0 +1,52 @@
+"""Multi-device sharded counting on the 8-device virtual CPU mesh:
+the all_to_all-routed sharded table must produce the same histogram as
+the single-device engine."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from kmer_tpu.dist import sharded
+from kmer_tpu.kernels.encode import encode_bases
+from kmer_tpu.kernels.kmer import extract_canonical
+from kmer_tpu.table import count_table as ct
+from tests import ref_np
+
+RNG = np.random.default_rng(11)
+
+
+def _random_ascii(n):
+    b = RNG.choice(np.frombuffer(b"ACGTacgtN", np.uint8), size=n,
+                   p=[0.24, 0.24, 0.24, 0.24, 0.005, 0.005, 0.005, 0.005, 0.02])
+    return b
+
+
+@pytest.mark.parametrize("shape", [(2, 4), (1, 8), (4, 2)])
+def test_sharded_matches_single_device(shape):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = sharded.make_mesh(jax.devices()[:8], data=shape[0], shard=shape[1])
+    k, block, cap_local, lanes = 21, 4096, 8192, 2048
+    n_rows = shape[0] * shape[1]
+    ascii_rows = np.stack([_random_ascii(block) for _ in range(n_rows)])
+
+    step = sharded.sharded_count_step_fn(mesh, k, max_count=1023,
+                                         lanes_per_dest=lanes)
+    tables = sharded.make_sharded_tables(mesh, cap_local)
+    tables, n_new, n_drop = step(tables, jnp.asarray(ascii_rows))
+    assert int(n_drop) == 0
+    hist_fn = sharded.sharded_hist_fn(mesh, 256)
+    got = np.asarray(hist_fn(tables))
+
+    # oracle: single big table over the concatenated rows (rows are
+    # independent reads — separators at row boundaries via distinct calls)
+    t = ct.make(1 << 16)
+    for row in ascii_rows:
+        codes = encode_bases(jnp.asarray(row))
+        out = extract_canonical(codes, k, apply_hash64=True)
+        t, _ = ct.insert(t, out.kmer, out.valid, 1023)
+    want = np.asarray(ct.hist(t, 256))
+    assert np.array_equal(got, want)
+    assert int(n_new) == int(t.n_full)  # same distinct total
