@@ -1,0 +1,189 @@
+"""Minimal BAM reader + .bai index queries — the htslib surface used by
+bam-vaf-counter (/root/reference/bam-vaf-counter.c:24-25): header name->tid,
+sequential record reads, and indexed region iteration (sam_itr_queryi).
+
+Formats per the SAM/BAM spec (as implemented in htslib sam.c / index.c):
+BAM records over BGZF; .bai = 5-level binning index (bin sizes 16 kb ..
+512 Mb) + 16 kb linear index.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional, Tuple
+
+from .bgzf import BgzfReader
+
+SEQ_NT16_STR = "=ACMGRSVTWYHKDBN"
+
+# flags (sam.h)
+FUNMAP = 0x4
+FQCFAIL = 0x200
+FDUP = 0x400
+
+CIGAR_OPS = "MIDNSHP=X"
+
+
+@dataclass
+class BamRecord:
+    tid: int
+    pos: int
+    flag: int
+    cigar: List[Tuple[int, int]]  # (op, len); op indexes CIGAR_OPS
+    seq: str
+
+    def end_pos(self) -> int:
+        """bam_endpos: pos + reference-consumed length (M/D/N/=/X)."""
+        ref_len = 0
+        for op, ln in self.cigar:
+            if op in (0, 2, 3, 7, 8):
+                ref_len += ln
+        return self.pos + max(ref_len, 1)
+
+
+class BamReader:
+    def __init__(self, path: str):
+        self.path = path
+        self._bgzf = BgzfReader(path)
+        magic = self._bgzf.read(4)
+        if magic != b"BAM\x01":
+            raise ValueError(f"{path}: not a BAM file")
+        l_text = struct.unpack("<i", self._bgzf.read(4))[0]
+        self.header_text = self._bgzf.read(l_text).decode(errors="replace")
+        n_ref = struct.unpack("<i", self._bgzf.read(4))[0]
+        self.ref_names: List[str] = []
+        self.ref_lens: List[int] = []
+        for _ in range(n_ref):
+            l_name = struct.unpack("<i", self._bgzf.read(4))[0]
+            name = self._bgzf.read(l_name)[:-1].decode()
+            l_ref = struct.unpack("<i", self._bgzf.read(4))[0]
+            self.ref_names.append(name)
+            self.ref_lens.append(l_ref)
+        self.name2tid: Dict[str, int] = {n: i for i, n in enumerate(self.ref_names)}
+        self._body_voffset = self._bgzf.tell_voffset()
+
+    def close(self):
+        self._bgzf.close()
+
+    def _read_record(self) -> Optional[BamRecord]:
+        raw = self._bgzf.read(4)
+        if len(raw) < 4:
+            return None
+        block_size = struct.unpack("<i", raw)[0]
+        data = self._bgzf.read(block_size)
+        if len(data) < block_size:
+            return None
+        (
+            ref_id,
+            pos,
+            l_read_name,
+            _mapq,
+            _bin,
+            n_cigar,
+            flag,
+            l_seq,
+            _next_ref,
+            _next_pos,
+            _tlen,
+        ) = struct.unpack("<iiBBHHHiiii", data[:32])
+        off = 32 + l_read_name
+        cigar = []
+        for i in range(n_cigar):
+            v = struct.unpack("<I", data[off + 4 * i : off + 4 * i + 4])[0]
+            cigar.append((v & 0xF, v >> 4))
+        off += 4 * n_cigar
+        nybbles = data[off : off + (l_seq + 1) // 2]
+        seq_chars = []
+        for i in range(l_seq):
+            b = nybbles[i // 2]
+            code = (b >> 4) if i % 2 == 0 else (b & 0xF)
+            seq_chars.append(SEQ_NT16_STR[code])
+        return BamRecord(ref_id, pos, flag, cigar, "".join(seq_chars))
+
+    def records(self) -> Iterator[BamRecord]:
+        """Sequential scan of all records (sam_read1 fallback path)."""
+        self._bgzf.seek_voffset(self._body_voffset)
+        while True:
+            rec = self._read_record()
+            if rec is None:
+                return
+            yield rec
+
+    def query(self, index: "BaiIndex", tid: int, beg: int, end: int) -> Iterator[BamRecord]:
+        """Records overlapping [beg, end) on tid (sam_itr_queryi/next)."""
+        chunks = index.chunks_for(tid, beg, end)
+        for cbeg, cend in chunks:
+            self._bgzf.seek_voffset(cbeg)
+            while self._bgzf.tell_voffset() < cend:
+                rec = self._read_record()
+                if rec is None:
+                    return
+                if rec.tid != tid or rec.pos >= end:
+                    break
+                if rec.end_pos() > beg:
+                    yield rec
+
+
+def _reg2bins(beg: int, end: int) -> List[int]:
+    end -= 1
+    bins = [0]
+    for shift, offset in ((26, 1), (23, 9), (20, 73), (17, 585), (14, 4681)):
+        bins.extend(range(offset + (beg >> shift), offset + (end >> shift) + 1))
+    return bins
+
+
+class BaiIndex:
+    def __init__(self, path: str):
+        with open(path, "rb") as f:
+            data = f.read()
+        if data[:4] != b"BAI\x01":
+            raise ValueError(f"{path}: not a BAI index")
+        off = 4
+        (n_ref,) = struct.unpack_from("<i", data, off)
+        off += 4
+        self.bins: List[Dict[int, List[Tuple[int, int]]]] = []
+        self.intervals: List[List[int]] = []
+        for _ in range(n_ref):
+            (n_bin,) = struct.unpack_from("<i", data, off)
+            off += 4
+            bd: Dict[int, List[Tuple[int, int]]] = {}
+            for _ in range(n_bin):
+                bin_id, n_chunk = struct.unpack_from("<Ii", data, off)
+                off += 8
+                chunks = []
+                for _ in range(n_chunk):
+                    cb, ce = struct.unpack_from("<QQ", data, off)
+                    off += 16
+                    chunks.append((cb, ce))
+                bd[bin_id] = chunks
+            (n_intv,) = struct.unpack_from("<i", data, off)
+            off += 4
+            ioff = list(struct.unpack_from(f"<{n_intv}Q", data, off))
+            off += 8 * n_intv
+            self.bins.append(bd)
+            self.intervals.append(ioff)
+
+    def chunks_for(self, tid: int, beg: int, end: int) -> List[Tuple[int, int]]:
+        if tid < 0 or tid >= len(self.bins):
+            return []
+        bd = self.bins[tid]
+        ivs = self.intervals[tid]
+        min_off = 0
+        iv = beg >> 14
+        if iv < len(ivs):
+            min_off = ivs[iv]
+        chunks = []
+        for b in _reg2bins(beg, end):
+            for cb, ce in bd.get(b, []):
+                if ce > min_off:
+                    chunks.append((max(cb, min_off), ce))
+        chunks.sort()
+        merged: List[Tuple[int, int]] = []
+        for cb, ce in chunks:
+            if merged and cb <= merged[-1][1]:
+                if ce > merged[-1][1]:
+                    merged[-1] = (merged[-1][0], ce)
+            else:
+                merged.append((cb, ce))
+        return merged

@@ -1,0 +1,107 @@
+"""ctypes bindings for the native IO layer (built on demand with g++).
+
+Falls back cleanly when the toolchain is unavailable — callers check
+`available()` and use the pure-Python reader otherwise.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "fastx_reader.cpp")
+_SO = os.path.join(_HERE, "libkmerio.so")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    cmd = [
+        "g++",
+        "-O3",
+        "-march=native",
+        "-shared",
+        "-fPIC",
+        "-o",
+        _SO,
+        _SRC,
+        "-lz",
+    ]
+    try:
+        r = subprocess.run(cmd, capture_output=True, timeout=120)
+        return r.returncode == 0
+    except (OSError, subprocess.TimeoutExpired):
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        lib.ktp_open.restype = ctypes.c_void_p
+        lib.ktp_open.argtypes = [ctypes.c_char_p]
+        lib.ktp_close.argtypes = [ctypes.c_void_p]
+        lib.ktp_read_block.restype = ctypes.c_int64
+        lib.ktp_read_block.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def iter_packed_native(
+    paths, k: int, block_bases: int, capacity: int
+) -> Iterator[Tuple[np.ndarray, int, int]]:
+    """Native equivalent of pipeline.counter._iter_packed: yields
+    (ascii_u8[capacity], n_bases, n_seqs) packed buffers."""
+    lib = _load()
+    assert lib is not None
+    for path in paths:
+        h = lib.ktp_open(os.fsencode(path))
+        if not h:
+            raise OSError(f"cannot open {path}")
+        try:
+            while True:
+                buf = np.zeros(capacity, np.uint8)
+                n_seqs = ctypes.c_int64()
+                n_bases = ctypes.c_int64()
+                used = lib.ktp_read_block(
+                    h,
+                    buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                    capacity,
+                    k,
+                    block_bases,
+                    ctypes.byref(n_seqs),
+                    ctypes.byref(n_bases),
+                )
+                if used <= 0:
+                    break
+                yield buf, int(n_bases.value) + int(n_seqs.value), int(n_seqs.value)
+        finally:
+            lib.ktp_close(h)

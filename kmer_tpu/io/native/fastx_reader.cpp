@@ -1,0 +1,191 @@
+// Native FASTA/FASTQ block reader for kmer_tpu.
+//
+// Fills fixed-capacity byte buffers with NUL-separated read sequences,
+// ready for device upload — the host side of the counting pipeline
+// (the role kseq.h + the kt_pipeline read step play in the reference:
+// /root/reference/kc-c4.c:133-155).  Fresh implementation: a chunked
+// gzread scanner with a small record state machine; sequences shorter
+// than k are skipped, sequences longer than the buffer are split into
+// (k-1)-overlap chunks so no k-mer window is lost or duplicated.
+//
+// C ABI for ctypes.
+
+#include <zlib.h>
+
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+constexpr size_t kChunk = 1 << 20;
+
+struct Reader {
+  gzFile fp = nullptr;
+  std::string buf;        // unconsumed raw bytes
+  size_t pos = 0;         // cursor into buf
+  bool eof = false;
+
+  // carry-over sequence that did not fit the caller's buffer
+  std::string carry;
+  size_t carry_off = 0;
+
+  bool fill() {
+    if (eof) return false;
+    char tmp[kChunk];
+    int n = gzread(fp, tmp, kChunk);
+    if (n <= 0) {
+      eof = true;
+      return false;
+    }
+    if (pos > 0) {
+      buf.erase(0, pos);
+      pos = 0;
+    }
+    buf.append(tmp, n);
+    return true;
+  }
+
+  // next line (without newline); returns false at EOF with no data
+  bool getline(std::string* out) {
+    out->clear();
+    for (;;) {
+      size_t nl = buf.find('\n', pos);
+      if (nl != std::string::npos) {
+        size_t len = nl - pos;
+        if (len && buf[nl - 1] == '\r') --len;
+        out->assign(buf, pos, len);
+        pos = nl + 1;
+        return true;
+      }
+      if (!fill()) {
+        if (pos < buf.size()) {
+          out->assign(buf, pos, buf.size() - pos);
+          if (!out->empty() && out->back() == '\r') out->pop_back();
+          pos = buf.size();
+          return !out->empty();
+        }
+        return false;
+      }
+    }
+  }
+
+  bool peek_char(char* c) {
+    while (pos >= buf.size()) {
+      if (!fill()) return false;
+    }
+    *c = buf[pos];
+    return true;
+  }
+
+  // read the next record's sequence into *seq; false at EOF
+  bool next_seq(std::string* seq) {
+    std::string line;
+    char c;
+    // find header
+    for (;;) {
+      if (!peek_char(&c)) return false;
+      if (c == '>' || c == '@') break;
+      if (!getline(&line)) return false;  // skip junk line
+    }
+    bool fastq = (c == '@');
+    if (!getline(&line)) return false;  // header line
+    seq->clear();
+    for (;;) {
+      if (!peek_char(&c)) return true;  // EOF ends the record
+      if (c == '>' || c == '@' || c == '+') break;
+      if (!getline(&line)) return true;
+      seq->append(line);
+    }
+    if (fastq && peek_char(&c) && c == '+') {
+      getline(&line);  // '+' line
+      size_t need = seq->size(), got = 0;
+      while (got < need && getline(&line)) got += line.size();
+    }
+    return true;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* ktp_open(const char* path) {
+  gzFile fp = gzopen(path, "r");
+  if (!fp) return nullptr;
+  gzbuffer(fp, 1 << 20);
+  auto* r = new Reader();
+  r->fp = fp;
+  return r;
+}
+
+void ktp_close(void* h) {
+  auto* r = static_cast<Reader*>(h);
+  if (r) {
+    gzclose(r->fp);
+    delete r;
+  }
+}
+
+// Fill `out` (capacity bytes) with NUL-separated sequences.
+// Returns bytes used (sequences + separators), 0 at EOF.
+// n_seqs/n_bases report what was packed this call; sequences shorter
+// than k are skipped; sequences longer than capacity-1 are emitted in
+// (k-1)-overlap chunks (possibly across calls via the carry buffer).
+int64_t ktp_read_block(void* h, uint8_t* out, int64_t capacity, int32_t k,
+                       int64_t target_bases, int64_t* n_seqs,
+                       int64_t* n_bases) {
+  auto* r = static_cast<Reader*>(h);
+  int64_t used = 0;
+  *n_seqs = 0;
+  *n_bases = 0;
+  const int64_t max_piece = capacity - 1;
+  std::string seq;
+  for (;;) {
+    if (used >= target_bases) break;
+    const std::string* src;
+    size_t off;
+    if (!r->carry.empty()) {
+      src = &r->carry;
+      off = r->carry_off;
+    } else {
+      if (!r->next_seq(&seq)) break;
+      if ((int64_t)seq.size() < k) continue;
+      src = &seq;
+      off = 0;
+    }
+    int64_t remain = (int64_t)src->size() - (int64_t)off;
+    int64_t room = capacity - used - 1;  // leave room for separator
+    if (remain <= room) {
+      std::memcpy(out + used, src->data() + off, remain);
+      used += remain;
+      out[used++] = 0;
+      *n_bases += remain;
+      ++*n_seqs;
+      if (src == &r->carry) {
+        r->carry.clear();
+        r->carry_off = 0;
+      }
+    } else {
+      // split: emit a max_piece chunk (or what fits) with k-1 overlap
+      int64_t piece = room < k ? 0 : (room > max_piece ? max_piece : room);
+      if (piece >= k) {
+        std::memcpy(out + used, src->data() + off, piece);
+        used += piece;
+        out[used++] = 0;
+        *n_bases += piece;
+        ++*n_seqs;
+        off += piece - (k - 1);
+      }
+      if (src != &r->carry) {
+        r->carry.assign(*src);
+      }
+      r->carry_off = off;
+      break;  // buffer full
+    }
+  }
+  return used;
+}
+
+}  // extern "C"

@@ -1,0 +1,104 @@
+"""Myers bit-vector approximate matching — the edlib-equivalent kernel.
+
+Implements the Hyyrö/Myers bit-parallel edit-distance scan in HW
+(infix / semi-global) mode for patterns of length <= 31 (one uint32
+word per pattern), exactly the edlib configuration ed-vaf-counter uses
+(/root/reference/ed-vaf-counter.c:103: EDLIB_MODE_HW, EDLIB_TASK_LOC;
+edlib core recurrence /root/reference/edlib.cpp:412).
+
+TPU mapping: the per-text-position recurrence is a lax.scan; the
+(reads x patterns) plane is fully vectorized uint32 lanes — every read
+lane advances every pattern's automaton in parallel, replacing edlib's
+scalar word loop.  Per (read, pattern) we track the running best score
+and the number of end positions achieving it, which equals edlib's
+numLocations for optimal alignments (the reference's per-pair count,
+ed-vaf-counter.c:108-118).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+U32 = jnp.uint32
+I32 = jnp.int32
+
+
+def build_peq(patterns_codes, pat_len):
+    """Peq bitmasks: (P, 4) uint32; bit i set iff pattern[i] == base.
+
+    patterns_codes: (P, Lp) uint8 2-bit codes (>=4 never matches).
+    """
+    P, Lp = patterns_codes.shape
+    bit = (jnp.arange(Lp, dtype=U32))[None, :]
+    masks = []
+    for c in range(4):
+        is_c = (patterns_codes == c) & (
+            jnp.arange(Lp)[None, :] < pat_len[:, None]
+        )
+        masks.append(jnp.sum(jnp.where(is_c, U32(1) << bit, U32(0)), axis=1))
+    return jnp.stack(masks, axis=1)  # (P, 4)
+
+
+@partial(jax.jit, static_argnames=("max_e",))
+def myers_hw_counts(peq, pat_len, reads_codes, read_len, max_e: int):
+    """Counts of optimal end locations per (read, pattern).
+
+    peq: (P, 4) uint32, pat_len: (P,) int32
+    reads_codes: (R, L) uint8, read_len: (R,) int32
+    Returns (R, P) int32: numLocations if best distance <= max_e else 0.
+    """
+    P = peq.shape[0]
+    R, L = reads_codes.shape
+    m = pat_len.astype(U32)
+    hibit = U32(1) << (m - 1)  # (P,)
+    full = jnp.where(
+        m >= 32, U32(0xFFFFFFFF), (U32(1) << m) - 1
+    )
+
+    pv0 = jnp.broadcast_to(full, (R, P))
+    mv0 = jnp.zeros((R, P), U32)
+    score0 = jnp.broadcast_to(pat_len.astype(I32), (R, P))
+    best0 = jnp.full((R, P), 0x3FFFFFFF, I32)
+    cnt0 = jnp.zeros((R, P), I32)
+
+    peq_t = peq.T  # (4, P)
+
+    def step(carry, inputs):
+        pv, mv, score, best, cnt = carry
+        c, valid = inputs  # c: (R,) uint8; valid: (R,) bool
+        # Eq per (read, pattern): 4-way select, no gather
+        eq = jnp.zeros((R, P), U32)
+        for base in range(4):
+            eq = jnp.where((c == base)[:, None], peq_t[base][None, :], eq)
+        xv = eq | mv
+        xh = (((eq & pv) + pv) ^ pv) | eq
+        ph = mv | ~(xh | pv)
+        mh = pv & xh
+        inc = ((ph & hibit[None, :]) != 0).astype(I32)
+        dec = ((mh & hibit[None, :]) != 0).astype(I32)
+        new_score = score + inc - dec
+        ph2 = ph << 1
+        mh2 = mh << 1
+        new_pv = (mh2 | ~(xv | ph2)) & full[None, :]
+        new_mv = ph2 & xv
+        v = valid[:, None]
+        pv = jnp.where(v, new_pv, pv)
+        mv = jnp.where(v, new_mv, mv)
+        score = jnp.where(v, new_score, score)
+        better = v & (score < best)
+        same = v & (score == best)
+        cnt = jnp.where(better, 1, jnp.where(same, cnt + 1, cnt))
+        best = jnp.where(better, score, best)
+        return (pv, mv, score, best, cnt), None
+
+    cs = reads_codes.T  # (L, R)
+    valids = (
+        jnp.arange(L, dtype=I32)[:, None] < read_len[None, :]
+    )  # (L, R)
+    (pv, mv, score, best, cnt), _ = jax.lax.scan(
+        step, (pv0, mv0, score0, best0, cnt0), (cs, valids)
+    )
+    return jnp.where(best <= max_e, cnt, 0)

@@ -36,7 +36,17 @@ GROW_LOAD = 0.65
 def _iter_packed(
     paths: Sequence[str], k: int, block_bases: int, capacity: int
 ) -> Iterator[Tuple[np.ndarray, int, int]]:
-    """Yield (ascii_u8[capacity], n_bases, n_seqs) packed buffers."""
+    """Yield (ascii_u8[capacity], n_bytes_packed, n_seqs) buffers.
+
+    Uses the native C++ reader (kmer_tpu/io/native) when buildable —
+    the host runtime analog of the reference's kseq + kt_pipeline read
+    step — with a pure-Python fallback."""
+    if all(p != "-" for p in paths):
+        from ..io import native
+
+        if native.available():
+            yield from native.iter_packed_native(paths, k, block_bases, capacity)
+            return
     max_len = capacity - 1
     step = max_len - (k - 1)
     for blk in fastx.read_blocks(paths, k, block_bases):
@@ -75,6 +85,64 @@ def _prefetch(it, depth=2):
         if item is sentinel:
             return
         yield item
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _extract_step(ascii_u8: jnp.ndarray, k: int):
+    """Fused encode -> canonical extraction -> hash64 -> sentinelize.
+
+    Returns (hi, lo) uint32 planes where invalid lanes are the all-ones
+    sentinel, ready for the sort-based compactor."""
+    codes = encode_bases(ascii_u8)
+    out = extract_canonical(codes, k, apply_hash64=True)
+    hi = jnp.where(out.valid, out.kmer.hi, jnp.uint32(0xFFFFFFFF))
+    lo = jnp.where(out.valid, out.kmer.lo, jnp.uint32(0xFFFFFFFF))
+    n_kmers = jnp.sum(out.valid.astype(jnp.int32))
+    return hi, lo, n_kmers
+
+
+class SortCountEngine:
+    """Streaming counter on the sort-based compactor (the TPU-native
+    path; see kmer_tpu.table.compactor).  Histogram-equivalent to
+    CountEngine but with zero random access in the hot loop."""
+
+    def __init__(
+        self,
+        k: int,
+        block_bases: int = 10_000_000,
+        budget_bytes: int = 6 << 30,
+        prefetch: bool = True,
+    ):
+        from ..table.compactor import KmerCompactor
+
+        self.k = k
+        self.block_bases = block_bases
+        self.capacity = int(block_bases) + 4096
+        self.prefetch = prefetch
+        self.compactor = KmerCompactor(budget_bytes=budget_bytes)
+        self.total_bases = 0
+        self.total_seqs = 0
+        self.total_kmers = 0
+
+    def count_paths(self, paths: Sequence[str], progress=None) -> None:
+        it = _iter_packed(paths, self.k, self.block_bases, self.capacity)
+        if self.prefetch:
+            it = _prefetch(it)
+        for buf, n_bases, n_seqs in it:
+            hi, lo, n_kmers = _extract_step(jnp.asarray(buf), self.k)
+            self.compactor.add_raw(hi, lo)
+            self.total_bases += int(n_bases) - int(n_seqs)
+            self.total_seqs += n_seqs
+            self.total_kmers += int(n_kmers)
+            if progress is not None:
+                progress(self)
+
+    def hist(self, n_bins: int, max_count=None, min_keep: int = 1):
+        h, self._n_distinct = self.compactor.hist(n_bins, max_count, min_keep)
+        return h
+
+    def counts_for(self, query_hi, query_lo):
+        return self.compactor.counts_for(query_hi, query_lo)
 
 
 @partial(jax.jit, static_argnames=("k", "max_count", "apply_hash64", "create_new"),

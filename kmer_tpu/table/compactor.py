@@ -1,0 +1,285 @@
+"""Sort-based k-mer count engine ("compactor") — the TPU-native count table.
+
+Why not a hash table: measured on TPU v5e, XLA random access runs at
+~25ns/element while 2-key sort runs at ~4ns/element (see bench.py).
+The reference's khashl tables are a CPU-cache design; the TPU-native
+equivalent is sort + segment reduction, the same shift KMC made over
+jellyfish on CPUs (SURVEY.md §6 table).
+
+Operation:
+  add_batch    — append the batch's (hi, lo) key planes (invalid lanes
+                 pre-mapped to the all-ones sentinel) to an in-HBM run
+                 list.  O(1) work per batch beyond extraction.
+  compact      — fold all runs into one (keys, counts) compacted run
+                 (giant 2-key sort + segment sums + compaction *by
+                 sort*, no scatters).  Triggered on a memory budget or
+                 at finalization.
+  hist         — histogram of per-key total counts, restricted to
+                 counts in [min_keep, max], via one-hot MXU reduction.
+  counts_for   — counts of an explicit query key set (sort-join).
+
+All count semantics match sequential insertion: total multiplicity
+min(c, max_count) equals the reference's gated saturating increments
+(kc-c2.c:71, kc-c4.c:126).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..kernels import segops
+from ..kernels import u64 as u
+
+I32 = jnp.int32
+U32 = jnp.uint32
+SENT = jnp.uint32(0xFFFFFFFF)
+
+
+def _size_class(n: int, quantum: int = 1 << 20) -> int:
+    return max(quantum, ((n + quantum - 1) // quantum) * quantum)
+
+
+@partial(jax.jit, donate_argnums=())
+def _sentinelize(keys_hi, keys_lo, valid):
+    return (
+        jnp.where(valid, keys_hi, SENT),
+        jnp.where(valid, keys_lo, SENT),
+    )
+
+
+_PAD_QUANTUM = 1 << 23  # pad totals so jit shapes (and compiles) are reused
+
+
+def _concat_runs(runs: List[Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]]):
+    """Concatenate (hi, lo, counts) runs, padded with sentinel lanes to a
+    shape quantum; raw runs (counts=None) get implicit count 1."""
+    n = sum(r[0].size for r in runs)
+    pad = ((n + _PAD_QUANTUM - 1) // _PAD_QUANTUM) * _PAD_QUANTUM - n
+    pad_hi = jnp.full((pad,), SENT, U32)
+    his = jnp.concatenate([r[0] for r in runs] + [pad_hi])
+    los = jnp.concatenate([r[1] for r in runs] + [pad_hi])
+    any_counts = any(r[2] is not None for r in runs)
+    if any_counts:
+        cs = jnp.concatenate(
+            [
+                r[2] if r[2] is not None else jnp.ones_like(r[0], U32)
+                for r in runs
+            ]
+            + [jnp.zeros((pad,), U32)]
+        )
+    else:
+        cs = None
+    return his, los, cs
+
+
+@partial(jax.jit, static_argnames=("n_bins", "max_count", "min_keep", "has_counts"))
+def _hist_impl(hi, lo, counts, n_bins, max_count, min_keep, has_counts):
+    """Sort everything, reduce counts per key segment, histogram."""
+    if has_counts:
+        keys, (cnt,) = segops.sort_keys_with_payload(
+            u.U64(hi, lo), (counts,), jnp.ones_like(hi, jnp.bool_)
+        )
+        csum = jnp.cumsum(cnt.astype(jnp.uint32), dtype=jnp.uint32)
+    else:
+        keys = segops.sort_keys(u.U64(hi, lo), jnp.ones_like(hi, jnp.bool_))
+        csum = None
+    starts = segops.segment_starts(keys)
+    n = hi.shape[0]
+    pos = jnp.arange(n, dtype=I32)
+    start_pos = jax.lax.cummax(jnp.where(starts, pos, I32(0)))
+    is_end = jnp.concatenate([starts[1:], jnp.ones((1,), jnp.bool_)])
+    if has_counts:
+        # segment count = csum[end] - csum[start] + cnt[start]
+        start_csum = jax.lax.cummax(
+            jnp.where(starts, csum - cnt.astype(jnp.uint32), jnp.uint32(0))
+        )
+        seg_count = (csum - start_csum).astype(I32)
+    else:
+        seg_count = pos - start_pos + 1
+    # remove the sentinel tail: it is exactly the lanes whose key is
+    # all-ones *minus* any true all-ones keys, which callers guarantee
+    # cannot occur (hash64 output < 2^(2k) <= 2^62 for k <= 31; the
+    # k == 32 path subtracts n_invalid upstream).
+    is_sent = (keys.hi == SENT) & (keys.lo == SENT)
+    mask = is_end & ~is_sent & (seg_count >= min_keep)
+    if max_count is not None:
+        seg_count = jnp.minimum(seg_count, I32(max_count))
+    # chunked one-hot histogram (exact f32 sums need < 2^24 lanes/chunk);
+    # lax.map keeps the compiled program size independent of n
+    chunk = 1 << 23
+    padded = ((n + chunk - 1) // chunk) * chunk
+    b = jnp.where(mask, jnp.minimum(seg_count, n_bins - 1), 0)
+    b = jnp.concatenate([b, jnp.zeros((padded - n,), I32)]).reshape(-1, chunk)
+    ones = jnp.ones((chunk,), jnp.bool_)
+    partial_hists = jax.lax.map(
+        lambda row: segops.histogram_by_matmul(row, ones, n_bins), b
+    )
+    total = jnp.sum(partial_hists, axis=0)
+    # bin 0 collected masked lanes; it is never printed but zero it anyway
+    total = total.at[0].set(0)
+    n_distinct = jnp.sum(mask.astype(I32))
+    return total, n_distinct
+
+
+class KmerCompactor:
+    """Accumulate-and-sort count engine (see module docstring)."""
+
+    def __init__(self, budget_bytes: int = 6 << 30):
+        self.runs: List[Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]] = []
+        self.budget_bytes = budget_bytes
+        self._bytes = 0
+
+    def add_batch(self, keys: u.U64, valid: jnp.ndarray) -> None:
+        hi, lo = _sentinelize(keys.hi, keys.lo, valid)
+        self.add_raw(hi, lo)
+
+    def add_raw(self, hi: jnp.ndarray, lo: jnp.ndarray) -> None:
+        """Append pre-sentinelized key planes (invalid lanes already
+        mapped to all-ones)."""
+        self.runs.append((hi, lo, None))
+        self._bytes += hi.size * 8
+        if self._bytes > self.budget_bytes:
+            self.compact()
+
+    def add_counted(self, keys: u.U64, counts: jnp.ndarray) -> None:
+        self.runs.append((keys.hi, keys.lo, counts))
+        self._bytes += keys.hi.size * 12
+
+    def compact(self) -> None:
+        """Fold all runs into one (key, count) run via sort; compaction
+        (moving segment-end entries to the front) is itself done with a
+        sort rather than a scatter."""
+        if not self.runs:
+            return
+        hi, lo, cnt = _concat_runs(self.runs)
+        has_counts = cnt is not None
+        out = _compact_impl(hi, lo, cnt if has_counts else hi, has_counts)
+        chi, clo, ccnt, n_unique = out
+        nu = int(n_unique)
+        size = min(_size_class(nu), chi.shape[0])
+        self.runs = [
+            (
+                jax.lax.dynamic_slice(chi, (0,), (size,)),
+                jax.lax.dynamic_slice(clo, (0,), (size,)),
+                jax.lax.dynamic_slice(ccnt, (0,), (size,)),
+            )
+        ]
+        # slices beyond nu hold sentinel keys with count 0 -> harmless
+        self._bytes = size * 12
+
+    def hist(self, n_bins: int, max_count: Optional[int], min_keep: int = 1):
+        """(histogram, n_distinct) over all accumulated keys."""
+        if not self.runs:
+            return np.zeros(n_bins, np.int64), 0
+        hi, lo, cnt = _concat_runs(self.runs)
+        has_counts = cnt is not None
+        h, nd = _hist_impl(
+            hi,
+            lo,
+            cnt if has_counts else hi,
+            n_bins,
+            max_count,
+            min_keep,
+            has_counts,
+        )
+        return np.asarray(h).astype(np.int64), int(nd)
+
+    def counts_for(self, query_hi: np.ndarray, query_lo: np.ndarray) -> np.ndarray:
+        """Total multiplicity of each query key (0 if absent), in query
+        order.  Sort-join: queries are tagged to sort after data lanes
+        of the same key; counts return to query order via a second sort
+        on the query-index payload — no gathers or scatters."""
+        if not self.runs:
+            return np.zeros(len(query_hi), np.int64)
+        hi, lo, cnt = _concat_runs(self.runs)
+        has_counts = cnt is not None
+        q = len(query_hi)
+        qsize = _size_class(q, 1 << 12)
+        qhi = np.full(qsize, 0xFFFFFFFF, np.uint32)
+        qlo = np.full(qsize, 0xFFFFFFFF, np.uint32)
+        qhi[:q] = query_hi
+        qlo[:q] = query_lo
+        out = _counts_for_impl(
+            hi,
+            lo,
+            cnt if has_counts else hi,
+            jnp.asarray(qhi),
+            jnp.asarray(qlo),
+            has_counts,
+        )
+        return np.asarray(out)[:q].astype(np.int64)
+
+
+@partial(jax.jit, static_argnames=("has_counts",))
+def _compact_impl(hi, lo, cnt, has_counts):
+    n = hi.shape[0]
+    pos = jnp.arange(n, dtype=I32)
+    if has_counts:
+        keys, (c,) = segops.sort_keys_with_payload(
+            u.U64(hi, lo), (cnt,), jnp.ones_like(hi, jnp.bool_)
+        )
+        csum = jnp.cumsum(c.astype(jnp.uint32), dtype=jnp.uint32)
+    else:
+        keys = segops.sort_keys(u.U64(hi, lo), jnp.ones_like(hi, jnp.bool_))
+        csum = None
+    starts = segops.segment_starts(keys)
+    start_pos = jax.lax.cummax(jnp.where(starts, pos, I32(0)))
+    is_end = jnp.concatenate([starts[1:], jnp.ones((1,), jnp.bool_)])
+    if has_counts:
+        start_csum = jax.lax.cummax(
+            jnp.where(starts, csum - c.astype(jnp.uint32), jnp.uint32(0))
+        )
+        seg_count = csum - start_csum
+    else:
+        seg_count = (pos - start_pos + 1).astype(U32)
+    is_sent = (keys.hi == SENT) & (keys.lo == SENT)
+    keep = is_end & ~is_sent
+    # compact by sort: keep-lanes get rank = their order, others go last
+    rank = jnp.where(keep, pos, I32(0x7FFFFFFF))
+    seg_count = jnp.where(keep, seg_count, U32(0))
+    khi = jnp.where(keep, keys.hi, SENT)
+    klo = jnp.where(keep, keys.lo, SENT)
+    _, chi, clo, ccnt = jax.lax.sort((rank, khi, klo, seg_count), num_keys=1)
+    return chi, clo, ccnt, jnp.sum(keep.astype(I32))
+
+
+@partial(jax.jit, static_argnames=("has_counts",))
+def _counts_for_impl(hi, lo, cnt, qhi, qlo, has_counts):
+    n = hi.shape[0]
+    q = qhi.shape[0]
+    # merged key space: data lanes origin 0, query lanes origin 1 (query
+    # sorts after equal data keys); payloads: count, query index
+    m_hi = jnp.concatenate([hi, qhi])
+    m_lo = jnp.concatenate([lo, qlo])
+    origin = jnp.concatenate(
+        [jnp.zeros((n,), U32), jnp.ones((q,), U32)]
+    )
+    c = (
+        jnp.concatenate([cnt.astype(U32), jnp.zeros((q,), U32)])
+        if has_counts
+        else jnp.concatenate([jnp.ones((n,), U32), jnp.zeros((q,), U32)])
+    )
+    qidx = jnp.concatenate(
+        [jnp.full((n,), 0x7FFFFFFF, I32), jnp.arange(q, dtype=I32)]
+    )
+    s_hi, s_lo, s_orig, s_c, s_qidx = jax.lax.sort(
+        (m_hi, m_lo, origin, c, qidx), num_keys=3
+    )
+    keys = u.U64(s_hi, s_lo)
+    starts = segops.segment_starts(keys)
+    csum = jnp.cumsum(s_c, dtype=jnp.uint32)
+    start_csum = jax.lax.cummax(jnp.where(starts, csum - s_c, jnp.uint32(0)))
+    # at a query lane, data count of its key = csum so far - csum before
+    # the segment (query lanes contribute 0 to csum)
+    at_query = s_orig == 1
+    data_count = (csum - start_csum).astype(I32)
+    # return to query order: sort by query index, take the first q lanes
+    _, out = jax.lax.sort(
+        (jnp.where(at_query, s_qidx, I32(0x7FFFFFFF)), data_count), num_keys=1
+    )
+    return out[:q]

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import sys
 
-from ..pipeline.counter import CountEngine
+from ..pipeline.counter import SortCountEngine
 from ..utils.cli import ketopt
 
 KC_BITS = 10  # kc-c2.c:10 / kc-c4.c:11
@@ -34,10 +34,24 @@ def _print_hist(hist, lo=1, hi=256):
     sys.stdout.write("\n".join(out) + "\n")
 
 
+class _HistEngine:
+    """Adapter: run the sort-based engine, expose .hist(n_bins).
+
+    Count saturation (255 for kc-c2/c3, 1023 for kc-c4, none for
+    kc-c1/cpp/py) never changes a 256-bin display histogram — any true
+    count >= 255 lands in bin 255 either way — so all kc frontends
+    share the unsaturated engine."""
+
+    def __init__(self, paths, k, block_bases=10_000_000):
+        self.eng = SortCountEngine(k=k, block_bases=block_bases)
+        self.eng.count_paths(paths)
+
+    def hist(self, n_bins):
+        return self.eng.hist(n_bins, max_count=None)
+
+
 def _run_counter(paths, k, max_count, block_bases=10_000_000):
-    eng = CountEngine(k=k, max_count=max_count, block_bases=block_bases)
-    eng.count_paths(paths)
-    return eng
+    return _HistEngine(paths, k, block_bases)
 
 
 def main_kc_c1(argv=None):

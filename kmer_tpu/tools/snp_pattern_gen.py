@@ -19,9 +19,7 @@ import numpy as np
 
 from ..io.fastx import FastxReader
 from ..io.formats import read_bed_snps, write_pattern_row
-from ..kernels import u64 as u
-from ..pipeline.counter import CountEngine
-from ..table import count_table as ct
+from ..pipeline.counter import SortCountEngine
 from ..utils.cli import ketopt
 from ..utils.log import minfo
 from ..utils.seq import canonical_kmer, encode_kmer, hash64_np
@@ -107,34 +105,16 @@ def main(argv=None):
         per_snp.append((s, ref_b.decode(), alt_b.decode(), ref_can, alt_can))
     minfo("main", f"Generated {len(candidates)} candidate k-mers")
 
-    # pass 2: genome scan counting only candidates (device)
+    # pass 2: scan the genome, then sort-join the candidate set against
+    # the accumulated k-mer runs (the "count only candidates" filter of
+    # snp-pattern-gen.c:162-190 falls out of querying only candidates)
     minfo("main", "Counting candidate k-mers in genome...")
-    cand_keys = np.fromiter(candidates.keys(), np.uint64, len(candidates))
-    hashed = hash64_np(cand_keys, mask)
-    cap = 1 << max(12, int(np.ceil(np.log2(max(len(hashed), 1) * 2))))
-    table = ct.make(cap)
-    m = 1 << int(np.ceil(np.log2(max(len(hashed), 1)))) if len(hashed) else 1
-    pad = np.zeros(m, np.uint64)
-    pad[: len(hashed)] = hashed
-    valid = np.zeros(m, bool)
-    valid[: len(hashed)] = True
-    import jax.numpy as jnp
-
-    table, _ = ct.insert(
-        table,
-        u.from_np(pad),
-        jnp.asarray(valid),
-        max_count=None,
-        weights=jnp.zeros(m, jnp.uint32),
-    )
-    eng = CountEngine(k=k, max_count=None, init_capacity=cap)
-    eng.table = table
-    eng.count_paths([fasta_fn], create_new=False)
+    eng = SortCountEngine(k=k)
+    eng.count_paths([fasta_fn])
     minfo("main", "Finished counting k-mers")
 
     # pass 3: emit SNPs with ref count == 1 and alt count == 0
     minfo("main", "Processing SNPs...")
-    # batch-query all per-SNP k-mers
     query = []
     for e in per_snp:
         if e is not None and len(e) == 5:
@@ -143,13 +123,11 @@ def main(argv=None):
     if query:
         qk = np.asarray(query, np.uint64)
         qh = hash64_np(qk, mask)
-        qm = 1 << int(np.ceil(np.log2(len(qh))))
-        qpad = np.zeros(qm, np.uint64)
-        qpad[: len(qh)] = qh
-        qvalid = np.zeros(qm, bool)
-        qvalid[: len(qh)] = True
-        got = np.asarray(ct.get(eng.table, u.from_np(qpad), jnp.asarray(qvalid)))
-        for key, cnt in zip(qk.tolist(), got[: len(qh)].tolist()):
+        got = eng.counts_for(
+            (qh >> np.uint64(32)).astype(np.uint32),
+            (qh & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+        )
+        for key, cnt in zip(qk.tolist(), got.tolist()):
             counts[key] = cnt
 
     n_total = n_unique = 0

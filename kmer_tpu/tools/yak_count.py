@@ -4,7 +4,13 @@ from __future__ import annotations
 
 import sys
 
-from ..pipeline.yak import YAK_COUNTER_BITS, YAK_N_COUNTS, YakEngine, yak_count_file
+from ..pipeline.yak import (
+    YAK_COUNTER_BITS,
+    YAK_MAX_COUNT,
+    YAK_N_COUNTS,
+    YakEngine,
+    yak_count_file,
+)
 from ..utils.cli import ketopt
 
 
@@ -43,21 +49,42 @@ def main(argv=None):
         sys.stderr.write(f"ERROR: -p should be at least {YAK_COUNTER_BITS}\n")
         return 1
 
-    def log(n_seqs, tot):
-        sys.stderr.write(
-            f"[M] processed {n_seqs} sequences; {tot} distinct k-mers in the hash table\n"
-        )
-
-    eng = YakEngine(
-        k=k, pre=pre, bf_shift=bf_shift, bf_n_hash=bf_n_hash, chunk_size=chunk,
-        log=log,
-    )
     fn2 = pos[1] if len(pos) >= 2 else pos[0]
-    yak_count_file(pos[0], fn2, eng)
-    sys.stderr.write(
-        f"[M::main] {eng.tot} distinct k-mers after shrinking\n"
-    )
-    h = eng.hist()
+    if fn2 == pos[0]:
+        # Sort-engine fast path.  With fn2 == fn1 the bloom-filtered
+        # two-pass result is provably {key: count >= 2} with exact
+        # saturated counts (pass 2 recounts exactly and shrink drops
+        # bloom-FP singletons, yak-count.c:453-464), so a single
+        # counting pass with a min-count filter reproduces it
+        # bit-identically — and reads the input once instead of twice.
+        from ..pipeline.counter import SortCountEngine
+
+        eng_s = SortCountEngine(k=k, block_bases=chunk)
+        eng_s.count_paths([pos[0]])
+        min_keep = 2 if bf_shift > 0 else 1
+        h = eng_s.hist(YAK_N_COUNTS, max_count=YAK_MAX_COUNT, min_keep=min_keep)
+        tot = eng_s._n_distinct
+        sys.stderr.write(
+            f"[M] processed {eng_s.total_seqs} sequences; "
+            f"{tot} distinct k-mers in the hash table\n"
+        )
+    else:
+        # two-file mode (pass 2 counts fn2 against fn1's bloom-gated key
+        # set): the bloom's false positives are observable here, so run
+        # the faithful bloom + hash-table engine.
+        def log(n_seqs, tot):
+            sys.stderr.write(
+                f"[M] processed {n_seqs} sequences; {tot} distinct k-mers in the hash table\n"
+            )
+
+        eng = YakEngine(
+            k=k, pre=pre, bf_shift=bf_shift, bf_n_hash=bf_n_hash,
+            chunk_size=chunk, log=log,
+        )
+        yak_count_file(pos[0], fn2, eng)
+        tot = eng.tot
+        h = eng.hist()
+    sys.stderr.write(f"[M::main] {tot} distinct k-mers after shrinking\n")
     out = []
     for i in range(1, YAK_N_COUNTS):
         out.append(f"{i}\t{h[i]}")

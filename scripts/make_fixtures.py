@@ -61,18 +61,20 @@ def main():
     def make_haplotypes(gt_draw):
         hap1 = [list(s) for s in genome]
         hap2 = [list(s) for s in genome]
+        gts = []
         for t in snp_rows:
             c, p, alt = int(t[0][3:]) - 1, int(t[1]), t[5]
             gt = gt_draw()
+            gts.append(gt)
             if gt >= 1:
                 hap1[c][p] = alt
             if gt == 2:
                 hap2[c][p] = alt
-        return ["".join(s) for s in hap1] + ["".join(s) for s in hap2]
+        return ["".join(s) for s in hap1] + ["".join(s) for s in hap2], gts
 
     random.seed(777)
-    hapsA = make_haplotypes(lambda: random.choice([0, 0, 1, 1, 2]))
-    hapsB = make_haplotypes(lambda: random.choice([0, 0, 1, 1, 2]))
+    hapsA, gtsA = make_haplotypes(lambda: random.choice([0, 0, 1, 1, 2]))
+    hapsB, gtsB = make_haplotypes(lambda: random.choice([0, 0, 1, 1, 2]))
     for tag, src, n_reads in (
         ("sampleA1", hapsA, 6000),
         ("sampleA2", hapsA, 6000),
@@ -91,6 +93,81 @@ def main():
                 if random.random() < 0.5:
                     s = s.translate(comp)[::-1]
                 f.write(f"@{tag}_{i}\n{s}\n+\n{'I' * L}\n")
+
+    # Aligned fixture for bam-vaf-counter: reads from individual A's
+    # haplotypes with known positions, coordinate-sorted SAM with CIGAR
+    # variety (plain M, leading soft-clip, internal deletion).
+    # tests/build_bam_fixture (htslib helper) converts SAM -> BAM + .bai.
+    random.seed(4242)
+    alns = []
+    for i in range(8000):
+        hap_i = random.randrange(len(hapsA))
+        chrom_i = hap_i % len(genome)
+        hap = hapsA[hap_i]
+        style = random.random()
+        if style < 0.8:  # 150M
+            L = 150
+            pos = random.randint(0, len(hap) - L)
+            seq = list(hap[pos : pos + L])
+            cigar = f"{L}M"
+        elif style < 0.9:  # 6S144M
+            L = 144
+            pos = random.randint(0, len(hap) - L)
+            clip = "".join(random.choice(ACGT) for _ in range(6))
+            seq = list(clip) + list(hap[pos : pos + L])
+            cigar = f"6S{L}M"
+        else:  # 70M2D78M
+            pos = random.randint(0, len(hap) - 150)
+            seq = list(hap[pos : pos + 70]) + list(hap[pos + 72 : pos + 150])
+            cigar = "70M2D78M"
+        for j in range(len(seq)):
+            if random.random() < 0.002:
+                seq[j] = random.choice(ACGT)
+        flag = 16 if random.random() < 0.5 else 0
+        alns.append((chrom_i, pos, flag, cigar, "".join(seq), i))
+    alns.sort(key=lambda a: (a[0], a[1]))
+    with open(os.path.join(HERE, "sampleA_aln.sam"), "w") as f:
+        f.write("@HD\tVN:1.6\tSO:coordinate\n")
+        for ci, g in enumerate(genome):
+            f.write(f"@SQ\tSN:chr{ci+1}\tLN:{len(g)}\n")
+        for chrom_i, pos, flag, cigar, seq, i in alns:
+            f.write(
+                f"aread{i}\t{flag}\tchr{chrom_i+1}\t{pos+1}\t60\t{cigar}\t*\t0\t0\t{seq}\t{'I'*len(seq)}\n"
+            )
+
+    # VCF fixture for vcf-vaf-counter: individual A's genotypes at the
+    # BED SNPs with AD/DP fields (some records AD-less to exercise the
+    # DP+GT estimation path, vcf-vaf-counter.c:168-188).
+    random.seed(31337)
+    with open(os.path.join(HERE, "sampleA.vcf"), "w") as f:
+        f.write("##fileformat=VCFv4.2\n")
+        for ci, g in enumerate(genome):
+            f.write(f"##contig=<ID=chr{ci+1},length={len(g)}>\n")
+        f.write('##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">\n')
+        f.write('##FORMAT=<ID=AD,Number=R,Type=Integer,Description="Allele depths">\n')
+        f.write('##FORMAT=<ID=DP,Number=1,Type=Integer,Description="Depth">\n')
+        f.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tsampleA\n")
+        for t, gt in zip(snp_rows, gtsA):
+            chrom, pos, rsid, ref, alt = t[0], int(t[1]), t[3], t[4], t[5]
+            dp = random.randint(5, 40)
+            if gt == 0:
+                ad = (dp, 0)
+                gs = "0/0"
+            elif gt == 1:
+                a = random.randint(dp // 3, 2 * dp // 3)
+                ad = (dp - a, a)
+                gs = "0/1"
+            else:
+                ad = (0, dp)
+                gs = "1/1"
+            if random.random() < 0.2:  # no AD -> DP+GT estimation path
+                f.write(
+                    f"{chrom}\t{pos+1}\t{rsid}\t{ref}\t{alt}\t50\tPASS\t.\tGT:DP\t{gs}:{dp}\n"
+                )
+            else:
+                f.write(
+                    f"{chrom}\t{pos+1}\t{rsid}\t{ref}\t{alt}\t50\tPASS\t.\tGT:AD:DP\t{gs}:{ad[0]},{ad[1]}:{dp}\n"
+                )
     print("fixtures written to", HERE)
 
 

@@ -1,0 +1,125 @@
+"""Unit tests for the sort-based compactor against a dict oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from kmer_tpu.kernels import segops, u64 as u
+from kmer_tpu.table.compactor import KmerCompactor
+
+RNG = np.random.default_rng(5)
+
+
+def batch(keys_np, m=None):
+    m = m or len(keys_np)
+    arr = np.zeros(m, np.uint64)
+    arr[: len(keys_np)] = keys_np
+    valid = np.zeros(m, bool)
+    valid[: len(keys_np)] = True
+    return u.from_np(arr), jnp.asarray(valid)
+
+
+def oracle(draws):
+    h = {}
+    for d in draws:
+        for y in d.tolist():
+            h[y] = h.get(y, 0) + 1
+    return h
+
+
+class TestHist:
+    def test_multi_batch_hist(self):
+        pool = RNG.integers(0, 1 << 62, size=400, dtype=np.uint64)
+        c = KmerCompactor()
+        draws = []
+        for _ in range(5):
+            d = RNG.choice(pool, size=3000)
+            draws.append(d)
+            keys, valid = batch(d, m=4096)  # includes invalid padding
+            c.add_batch(keys, valid)
+        want_counts = oracle(draws)
+        h, nd = c.hist(64, max_count=None)
+        want = np.zeros(64, np.int64)
+        for v in want_counts.values():
+            want[min(v, 63)] += 1
+        assert np.array_equal(h[1:], want[1:])
+        assert nd == len(want_counts)
+
+    def test_min_keep_and_saturation(self):
+        draws = [np.repeat(np.arange(1, 30, dtype=np.uint64), np.arange(1, 30))]
+        c = KmerCompactor()
+        keys, valid = batch(draws[0])
+        c.add_batch(keys, valid)
+        h, nd = c.hist(16, max_count=10, min_keep=2)
+        want = np.zeros(16, np.int64)
+        for v in range(2, 30):  # count-1 key dropped by min_keep
+            want[min(min(v, 10), 15)] += 1
+        assert np.array_equal(h[1:], want[1:])
+        assert nd == 28
+
+    def test_compaction_preserves_counts(self):
+        pool = RNG.integers(0, 1 << 62, size=200, dtype=np.uint64)
+        c = KmerCompactor()
+        draws = []
+        for i in range(4):
+            d = RNG.choice(pool, size=2000)
+            draws.append(d)
+            keys, valid = batch(d)
+            c.add_batch(keys, valid)
+            if i % 2 == 1:
+                c.compact()
+        want_counts = oracle(draws)
+        h, nd = c.hist(128, max_count=None)
+        want = np.zeros(128, np.int64)
+        for v in want_counts.values():
+            want[min(v, 127)] += 1
+        assert np.array_equal(h[1:], want[1:])
+        assert nd == len(want_counts)
+
+
+class TestCountsFor:
+    def test_counts_in_query_order(self):
+        pool = RNG.integers(0, 1 << 62, size=300, dtype=np.uint64)
+        c = KmerCompactor()
+        draws = []
+        for _ in range(3):
+            d = RNG.choice(pool, size=2500)
+            draws.append(d)
+            keys, valid = batch(d, m=4096)
+            c.add_batch(keys, valid)
+        want_counts = oracle(draws)
+        # queries: half present, half absent, with duplicates
+        queries = np.concatenate(
+            [pool[:100], RNG.integers(0, 1 << 62, size=50, dtype=np.uint64), pool[:10]]
+        )
+        got = c.counts_for(
+            (queries >> np.uint64(32)).astype(np.uint32),
+            (queries & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+        )
+        for i, q in enumerate(queries.tolist()):
+            assert got[i] == want_counts.get(q, 0), i
+
+    def test_counts_for_after_compaction(self):
+        c = KmerCompactor()
+        d = np.repeat(np.arange(10, 20, dtype=np.uint64), 3)
+        keys, valid = batch(d)
+        c.add_batch(keys, valid)
+        c.compact()
+        extra = np.arange(10, 15, dtype=np.uint64)  # one more of 10..14
+        keys2, valid2 = batch(extra)
+        c.add_batch(keys2, valid2)
+        q = np.arange(8, 22, dtype=np.uint64)
+        got = c.counts_for(
+            (q >> np.uint64(32)).astype(np.uint32),
+            (q & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+        )
+        for i, qq in enumerate(q.tolist()):
+            want = (3 if 10 <= qq < 20 else 0) + (1 if 10 <= qq < 15 else 0)
+            assert got[i] == want
+
+
+class TestSegops:
+    def test_segmented_cummin(self):
+        starts = jnp.asarray(np.array([1, 0, 0, 1, 0, 1, 1, 0], bool))
+        vals = jnp.asarray(np.array([5, 3, 9, 7, 2, 8, 4, 6], np.uint32))
+        got = np.asarray(segops.segmented_cummin(starts, vals))
+        assert got.tolist() == [5, 3, 3, 7, 2, 8, 4, 4]

@@ -1,0 +1,116 @@
+"""Golden parity for the alternative VAF producers: ed-vaf-counter
+(Myers/edlib), bam-vaf-counter (alignment positions), vcf-vaf-counter
+(genotypes) — each diffed against its compiled C reference when the
+reference binary is available (bam/vcf need an htslib build; see
+.claude/skills/verify/SKILL.md)."""
+
+import os
+import subprocess
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFBIN = os.path.join(REPO, "tests", "refbin")
+FIXTURES = os.path.join(REPO, "tests", "fixtures")
+BED = os.path.join(FIXTURES, "snps_small.bed")
+GENOME = os.path.join(FIXTURES, "genome_small.fa.gz")
+
+
+@pytest.fixture(scope="module")
+def patterns(tmp_path_factory):
+    """Reference pattern file (built by the reference tool when present,
+    else by ours — both are parity-tested elsewhere)."""
+    d = tmp_path_factory.mktemp("pat")
+    out = str(d / "patterns.txt")
+    ref = os.path.join(REFBIN, "snp-pattern-gen")
+    if os.path.exists(ref):
+        subprocess.run(
+            [ref, "-k21", "-b", BED, "-f", GENOME, "-o", out],
+            capture_output=True,
+            check=True,
+        )
+    else:
+        from kmer_tpu.tools.snp_pattern_gen import main
+
+        assert not main(["-k21", "-b", BED, "-f", GENOME, "-o", out])
+    return out
+
+
+def _need(tool):
+    p = os.path.join(REFBIN, tool)
+    if not os.path.exists(p):
+        pytest.skip(f"reference {tool} not built (needs htslib for bam/vcf)")
+    return p
+
+
+def _read(p):
+    with open(p, "rb") as f:
+        return f.read()
+
+
+@pytest.mark.parametrize("max_e", [0, 1])
+def test_ed_vaf_parity(patterns, tmp_path, max_e):
+    ref = _need("ed-vaf-counter")
+    fq = os.path.join(FIXTURES, "sampleA1.fq.gz")
+    # a pattern subset keeps the O(reads x patterns) reference fast
+    sub = str(tmp_path / "sub.txt")
+    with open(patterns) as f, open(sub, "w") as g:
+        for i, line in enumerate(f):
+            if i >= 64:
+                break
+            g.write(line)
+    subprocess.run(
+        [ref, "-p", sub, "-o", str(tmp_path / "ref.vaf"), "-e", str(max_e), fq],
+        capture_output=True,
+        check=True,
+    )
+    from kmer_tpu.tools.ed_vaf_counter import main
+
+    assert not main(["-p", sub, "-o", str(tmp_path / "tpu.vaf"), "-e", str(max_e), fq])
+    assert _read(tmp_path / "tpu.vaf") == _read(tmp_path / "ref.vaf")
+
+
+def test_bam_vaf_parity_indexed_and_sequential(patterns, tmp_path):
+    ref = _need("bam-vaf-counter")
+    bam = os.path.join(FIXTURES, "sampleA_aln.bam")
+    if not os.path.exists(bam):
+        pytest.skip("BAM fixture missing")
+    from kmer_tpu.tools.bam_vaf_counter import main
+
+    subprocess.run(
+        [ref, "-p", patterns, "-o", str(tmp_path / "ref.vaf"), bam],
+        capture_output=True,
+        check=True,
+    )
+    assert not main(["-p", patterns, "-o", str(tmp_path / "tpu.vaf"), bam])
+    assert _read(tmp_path / "tpu.vaf") == _read(tmp_path / "ref.vaf")
+
+    # sequential fallback: copy without the .bai
+    import shutil
+
+    noidx = str(tmp_path / "noidx.bam")
+    shutil.copy(bam, noidx)
+    subprocess.run(
+        [ref, "-p", patterns, "-o", str(tmp_path / "ref2.vaf"), noidx],
+        capture_output=True,
+        check=True,
+    )
+    assert not main(["-p", patterns, "-o", str(tmp_path / "tpu2.vaf"), noidx])
+    assert _read(tmp_path / "tpu2.vaf") == _read(tmp_path / "ref2.vaf")
+
+
+@pytest.mark.parametrize("ext", ["vcf", "bcf", "vcf.gz"])
+def test_vcf_vaf_parity(patterns, tmp_path, ext):
+    ref = _need("vcf-vaf-counter")
+    vcf = os.path.join(FIXTURES, f"sampleA.{ext}")
+    if not os.path.exists(vcf):
+        pytest.skip(f"{ext} fixture missing")
+    from kmer_tpu.tools.vcf_vaf_counter import main
+
+    subprocess.run(
+        [ref, "-p", patterns, "-v", vcf, "-o", str(tmp_path / "ref.vaf")],
+        capture_output=True,
+        check=True,
+    )
+    assert not main(["-p", patterns, "-v", vcf, "-o", str(tmp_path / "tpu.vaf")])
+    assert _read(tmp_path / "tpu.vaf") == _read(tmp_path / "ref.vaf")
