@@ -60,14 +60,23 @@ def segment_end_lengths(starts: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def histogram_by_matmul(bins: jnp.ndarray, mask: jnp.ndarray, n_bins: int) -> jnp.ndarray:
-    """Histogram of bins[mask] via one-hot + MXU reduction (masked lanes
-    are parked in bin 0, which callers never print).  ~8x faster than a
-    scatter-add bincount on TPU."""
+    """Histogram of bins[mask] (masked lanes are parked in bin 0, which
+    callers never print).
+
+    On TPU: one-hot + MXU reduction — ~8x faster than a scatter-add
+    bincount there (XLA fuses the one-hot into the reduction, so the
+    one-hot matrix is never materialized).  Per-call lane count must
+    stay < 2^24 for exact f32 sums (callers chunk).
+
+    On CPU (tests / fallback): the one-hot path materializes an
+    n x n_bins f32 matrix (gigabytes); a scatter-add is the fast shape
+    there.  The backend is static at trace time, so this is a plain
+    Python branch."""
     b = jnp.where(mask, jnp.minimum(bins, n_bins - 1), 0)
-    # f32 one-hot + sum fuses into an MXU-friendly reduction; per-call
-    # lane count must stay < 2^24 for exact f32 sums (callers chunk).
-    h = jnp.sum(jax.nn.one_hot(b, n_bins, dtype=jnp.float32), axis=0)
-    return h.astype(I32)
+    if jax.default_backend() == "tpu":
+        h = jnp.sum(jax.nn.one_hot(b, n_bins, dtype=jnp.float32), axis=0)
+        return h.astype(I32)
+    return jnp.zeros((n_bins,), I32).at[b].add(1)
 
 
 def segmented_cummin(starts: jnp.ndarray, vals: jnp.ndarray) -> jnp.ndarray:

@@ -33,10 +33,22 @@ from ..table import count_table as ct
 GROW_LOAD = 0.65
 
 
+def _trim_to_class(buf: np.ndarray, n: int) -> np.ndarray:
+    """Trim a packed buffer to the smallest size class >= n bytes used.
+    Bytes past n are zero (an invalid base), so every window there is
+    invalid — trimming never changes the k-mer multiset.  Keeps device
+    work proportional to the input (small files / tests) while bounding
+    the number of compiled shapes."""
+    for cls in (1 << 16, 1 << 20, 1 << 23):
+        if n <= cls < buf.shape[0]:
+            return buf[:cls]
+    return buf
+
+
 def _iter_packed(
     paths: Sequence[str], k: int, block_bases: int, capacity: int
 ) -> Iterator[Tuple[np.ndarray, int, int]]:
-    """Yield (ascii_u8[capacity], n_bytes_packed, n_seqs) buffers.
+    """Yield (ascii_u8[<=capacity], n_bytes_packed, n_seqs) buffers.
 
     Uses the native C++ reader (kmer_tpu/io/native) when buildable —
     the host runtime analog of the reference's kseq + kt_pipeline read
@@ -45,7 +57,10 @@ def _iter_packed(
         from ..io import native
 
         if native.available():
-            yield from native.iter_packed_native(paths, k, block_bases, capacity)
+            for buf, n, n_seqs in native.iter_packed_native(
+                paths, k, block_bases, capacity
+            ):
+                yield _trim_to_class(buf, n), n, n_seqs
             return
     max_len = capacity - 1
     step = max_len - (k - 1)
@@ -62,7 +77,7 @@ def _iter_packed(
         blk = fastx.Block(seqs, blk.sum_len, blk.n_kmers)
         n_seqs = len(seqs)
         for buf, n in packing.pack_block(blk, capacity):
-            yield buf, n, n_seqs
+            yield _trim_to_class(buf, n), n, n_seqs
             n_seqs = 0
 
 

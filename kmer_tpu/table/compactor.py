@@ -52,14 +52,24 @@ def _sentinelize(keys_hi, keys_lo, valid):
     )
 
 
-_PAD_QUANTUM = 1 << 23  # pad totals so jit shapes (and compiles) are reused
+_PAD_QUANTUM = 1 << 23  # large-run shape quantum so jit compiles are reused
+
+
+def _pad_to(n: int) -> int:
+    """Total size to pad a concatenated run to: small size classes for
+    small inputs (tests, small files — keeps CPU sorts proportional to
+    the data), then multiples of the 8M quantum."""
+    for cls in (1 << 16, 1 << 18, 1 << 20, 1 << 22):
+        if n <= cls:
+            return cls
+    return ((n + _PAD_QUANTUM - 1) // _PAD_QUANTUM) * _PAD_QUANTUM
 
 
 def _concat_runs(runs: List[Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]]):
     """Concatenate (hi, lo, counts) runs, padded with sentinel lanes to a
     shape quantum; raw runs (counts=None) get implicit count 1."""
     n = sum(r[0].size for r in runs)
-    pad = ((n + _PAD_QUANTUM - 1) // _PAD_QUANTUM) * _PAD_QUANTUM - n
+    pad = _pad_to(n) - n
     pad_hi = jnp.full((pad,), SENT, U32)
     his = jnp.concatenate([r[0] for r in runs] + [pad_hi])
     los = jnp.concatenate([r[1] for r in runs] + [pad_hi])
@@ -111,7 +121,7 @@ def _hist_impl(hi, lo, counts, n_bins, max_count, min_keep, has_counts):
         seg_count = jnp.minimum(seg_count, I32(max_count))
     # chunked one-hot histogram (exact f32 sums need < 2^24 lanes/chunk);
     # lax.map keeps the compiled program size independent of n
-    chunk = 1 << 23
+    chunk = min(1 << 23, n)
     padded = ((n + chunk - 1) // chunk) * chunk
     b = jnp.where(mask, jnp.minimum(seg_count, n_bins - 1), 0)
     b = jnp.concatenate([b, jnp.zeros((padded - n,), I32)]).reshape(-1, chunk)
