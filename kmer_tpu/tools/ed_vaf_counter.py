@@ -63,8 +63,11 @@ def count_fastq(fn, patterns, max_e, totals):
     def flush(nb, acc):
         if nb == 0:
             return acc
+        # .copy(): the CPU backend may zero-copy alias numpy buffers into
+        # device arrays, and `batch`/`lens` are mutated in place for the
+        # next reads while this flush is still in flight
         counts = myers_hw_counts(
-            peq, plen_j, jnp.asarray(batch), jnp.asarray(lens), max_e
+            peq, plen_j, jnp.asarray(batch.copy()), jnp.asarray(lens.copy()), max_e
         )
         return acc + jnp.sum(counts, axis=0, dtype=jnp.int32)
 
