@@ -107,7 +107,20 @@ def _extract_step(ascii_u8: jnp.ndarray, k: int):
     """Fused encode -> canonical extraction -> hash64 -> sentinelize.
 
     Returns (hi, lo) uint32 planes where invalid lanes are the all-ones
-    sentinel, ready for the sort-based compactor."""
+    sentinel, ready for the sort-based compactor.  On TPU this is the
+    single-pass Pallas kernel (kernels/extract_tpu.py, ~9x the XLA
+    pipeline); zero-pad lanes encode as invalid, so padding to the tile
+    quantum never changes the k-mer multiset."""
+    if jax.default_backend() == "tpu":
+        from ..kernels.extract_tpu import extract_hashed_tpu
+
+        tile = 512 * 128
+        pad = (-ascii_u8.shape[0]) % tile
+        if pad:
+            ascii_u8 = jnp.concatenate(
+                [ascii_u8, jnp.zeros((pad,), jnp.uint8)]
+            )
+        return extract_hashed_tpu(ascii_u8, k, tile_rows=512)
     codes = encode_bases(ascii_u8)
     out = extract_canonical(codes, k, apply_hash64=True)
     hi = jnp.where(out.valid, out.kmer.hi, jnp.uint32(0xFFFFFFFF))
