@@ -89,7 +89,7 @@ def sharded_count_step_fn(mesh: Mesh, k: int, max_count: Optional[int],
     ascii:  (D*S, block) uint8, rows sharded over both axes
     Returns (tables', n_new_total, n_dropped_total).
     """
-    n_shard = mesh.shape["shard"]
+    n_dev = mesh.shape["data"] * mesh.shape["shard"]
 
     def per_device(table_planes, ascii_row):
         state, key_hi, key_lo, cnt, n_full = table_planes
@@ -98,13 +98,17 @@ def sharded_count_step_fn(mesh: Mesh, k: int, max_count: Optional[int],
         codes = encode_bases(ascii_row[0])
         out = extract_canonical(codes, k, apply_hash64=True)
         # route by low bits of the hashed k-mer (kc-c4.c:76 `y & (2^p-1)`)
-        dest = (out.kmer.lo & jnp.uint32(n_shard - 1)).astype(jnp.int32)
+        # over BOTH mesh axes: a key must have exactly one owning device
+        # or the same k-mer arriving via different data rows would be
+        # counted in two tables and the merged histogram would split it.
+        dest = (out.kmer.lo & jnp.uint32(n_dev - 1)).astype(jnp.int32)
         s_hi, s_lo, s_ok, n_drop = _bucketize(
-            out.kmer, out.valid, dest, n_shard, lanes_per_dest
+            out.kmer, out.valid, dest, n_dev, lanes_per_dest
         )
-        r_hi = jax.lax.all_to_all(s_hi, "shard", 0, 0, tiled=True)
-        r_lo = jax.lax.all_to_all(s_lo, "shard", 0, 0, tiled=True)
-        r_ok = jax.lax.all_to_all(s_ok, "shard", 0, 0, tiled=True)
+        axes = ("data", "shard")
+        r_hi = jax.lax.all_to_all(s_hi, axes, 0, 0, tiled=True)
+        r_lo = jax.lax.all_to_all(s_lo, axes, 0, 0, tiled=True)
+        r_ok = jax.lax.all_to_all(s_ok, axes, 0, 0, tiled=True)
         keys = u.U64(r_hi.reshape(-1), r_lo.reshape(-1))
         local, n_new = ct.insert(local, keys, r_ok.reshape(-1), max_count)
         n_new_tot = jax.lax.psum(jax.lax.psum(n_new, "shard"), "data")
@@ -158,6 +162,141 @@ def sharded_hist_fn(mesh: Mesh, n_bins: int):
         check_vma=False,
     )
     return jax.jit(fn)
+
+
+def _bucketize_by_sort(keys: u.U64, valid, dest, n_dest: int, lanes: int):
+    """TPU-native routing: ONE sort by destination groups each device's
+    k-mers, then n_dest fixed-size windows are sliced at the bucket
+    boundaries (sentinel-padded so slices never clamp).  Replaces the
+    per-destination cumsum/scatter loop for the sort engine — the same
+    "partition is a sort" principle as the count engine itself.
+    Returns ((n_dest, lanes) hi/lo with sentinel empties, n_dropped)."""
+    n = keys.hi.shape[0]
+    d = jnp.where(valid, dest, n_dest).astype(jnp.uint32)
+    sd, s_hi, s_lo = jax.lax.sort(
+        (d, jnp.where(valid, keys.hi, jnp.uint32(0xFFFFFFFF)),
+         jnp.where(valid, keys.lo, jnp.uint32(0xFFFFFFFF))),
+        num_keys=1,
+    )
+    # per-destination counts + exclusive boundaries
+    one_hot = (sd[:, None] == jnp.arange(n_dest, dtype=jnp.uint32)[None, :])
+    cnt = jnp.sum(one_hot.astype(jnp.int32), axis=0)  # (n_dest,)
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(cnt)[:-1]]
+    )
+    pad = jnp.full((lanes,), jnp.uint32(0xFFFFFFFF))
+    s_hi = jnp.concatenate([s_hi, pad])
+    s_lo = jnp.concatenate([s_lo, pad])
+    rows_hi, rows_lo = [], []
+    j = jnp.arange(lanes, dtype=jnp.int32)
+    for dd in range(n_dest):
+        h = jax.lax.dynamic_slice(s_hi, (starts[dd],), (lanes,))
+        l = jax.lax.dynamic_slice(s_lo, (starts[dd],), (lanes,))
+        m = j < cnt[dd]
+        rows_hi.append(jnp.where(m, h, jnp.uint32(0xFFFFFFFF)))
+        rows_lo.append(jnp.where(m, l, jnp.uint32(0xFFFFFFFF)))
+    n_drop = jnp.sum(jnp.maximum(cnt - lanes, 0))
+    return jnp.stack(rows_hi), jnp.stack(rows_lo), n_drop
+
+
+def sharded_extract_step_fn(mesh: Mesh, k: int, lanes_per_dest: int):
+    """Build the jitted extract+route step of the sort-based multi-chip
+    engine (the production counting path; see module docstring).
+
+    ascii: (D*S, block) uint8, rows sharded over both axes.
+    Returns (chunk_hi, chunk_lo) shaped (D, S, n_dev*lanes) — each
+    device's newly OWNED k-mers (routed by the low bits of hash64 over
+    both mesh axes, so every key has exactly one owner), sentinel-padded
+    — plus (n_kmers_total, n_dropped_total)."""
+    n_dev = mesh.shape["data"] * mesh.shape["shard"]
+
+    def per_device(ascii_row):
+        codes = encode_bases(ascii_row[0])
+        out = extract_canonical(codes, k, apply_hash64=True)
+        dest = (out.kmer.lo & jnp.uint32(n_dev - 1)).astype(jnp.int32)
+        s_hi, s_lo, n_drop = _bucketize_by_sort(
+            out.kmer, out.valid, dest, n_dev, lanes_per_dest
+        )
+        axes = ("data", "shard")
+        r_hi = jax.lax.all_to_all(s_hi, axes, 0, 0, tiled=True)
+        r_lo = jax.lax.all_to_all(s_lo, axes, 0, 0, tiled=True)
+        n_k = jax.lax.psum(
+            jax.lax.psum(jnp.sum(out.valid.astype(jnp.int32)), "shard"), "data"
+        )
+        n_d = jax.lax.psum(jax.lax.psum(n_drop, "shard"), "data")
+        return (
+            r_hi.reshape(1, 1, -1),
+            r_lo.reshape(1, 1, -1),
+            n_k,
+            n_d,
+        )
+
+    fn = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(("data", "shard"), None),),
+        out_specs=(P("data", "shard", None), P("data", "shard", None), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def sharded_hist_from_chunks_fn(mesh: Mesh, n_bins: int, max_count=None,
+                                min_keep: int = 1):
+    """Jitted global histogram over accumulated owned-key chunks:
+    per-device sort + segment reduction (the single-chip engine's XLA
+    core) + psum over both axes.  Keys are uniquely owned (see
+    sharded_extract_step_fn), so local histograms sum exactly."""
+    from ..table.compactor import hist_core
+
+    def per_device(hi, lo):
+        h, nd = hist_core(hi[0, 0], lo[0, 0], hi[0, 0], n_bins, max_count,
+                          min_keep, False)
+        h = jax.lax.psum(jax.lax.psum(h, "shard"), "data")
+        nd = jax.lax.psum(jax.lax.psum(nd, "shard"), "data")
+        return h, nd
+
+    fn = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P("data", "shard", None), P("data", "shard", None)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+class ShardedSortEngine:
+    """Multi-chip streaming counter on the sort-based engine.
+
+    Each step consumes one (D*S, block) batch of packed ASCII rows,
+    extracts and routes k-mers to their owning device (all_to_all over
+    ICI), and appends the owned chunk to a per-device run list; hist()
+    concatenates the chunks device-side and reduces.  This is the
+    distributed form of kmer_tpu.pipeline.counter.SortCountEngine."""
+
+    def __init__(self, mesh: Mesh, k: int, lanes_per_dest: int):
+        self.mesh = mesh
+        self.k = k
+        self.step = sharded_extract_step_fn(mesh, k, lanes_per_dest)
+        self.chunks = []
+        self.total_kmers = 0
+        self.total_dropped = 0
+
+    def add_batch(self, ascii_rows) -> None:
+        hi, lo, nk, nd = self.step(ascii_rows)
+        self.chunks.append((hi, lo))
+        self.total_kmers += int(nk)
+        self.total_dropped += int(nd)
+
+    def hist(self, n_bins: int, max_count=None, min_keep: int = 1):
+        assert self.chunks, "no batches counted"
+        hi = jnp.concatenate([c[0] for c in self.chunks], axis=2)
+        lo = jnp.concatenate([c[1] for c in self.chunks], axis=2)
+        fn = sharded_hist_from_chunks_fn(self.mesh, n_bins, max_count, min_keep)
+        h, nd = fn(hi, lo)
+        self._n_distinct = int(nd)
+        return np.asarray(h)
 
 
 def make_sharded_tables(mesh: Mesh, cap_local: int):

@@ -50,3 +50,62 @@ def test_sharded_matches_single_device(shape):
     want = np.asarray(ct.hist(t, 256))
     assert np.array_equal(got, want)
     assert int(n_new) == int(t.n_full)  # same distinct total
+
+
+@pytest.mark.parametrize("shape", [(2, 4), (1, 8)])
+def test_sharded_sort_engine_matches_single_device(shape):
+    """The sort-based multi-chip engine (extract -> all_to_all routing ->
+    per-device sort/segment hist -> psum) must equal the single-device
+    sort engine, including k-mers duplicated across data rows."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from kmer_tpu.table.compactor import KmerCompactor
+    from kmer_tpu.pipeline.counter import _extract_step
+
+    mesh = sharded.make_mesh(jax.devices()[:8], data=shape[0], shard=shape[1])
+    k, block, lanes = 21, 4096, 2048
+    rows = [_random_ascii(block) for _ in range(6)] + 2 * [_random_ascii(block)]
+    ascii_rows = np.stack(rows)  # rows 6 and 7 identical (cross-row dups)
+
+    eng = sharded.ShardedSortEngine(mesh, k, lanes_per_dest=lanes)
+    eng.add_batch(jnp.asarray(ascii_rows))
+    eng.add_batch(jnp.asarray(ascii_rows[::-1].copy()))  # second batch
+    assert eng.total_dropped == 0
+    got = eng.hist(256, max_count=1023)
+
+    comp = KmerCompactor()
+    for _ in range(2):
+        for row in rows:
+            hi, lo, _nk = _extract_step(jnp.asarray(row), k)
+            comp.add_raw(hi, lo)
+    want, want_nd = comp.hist(256, max_count=1023)
+    assert np.array_equal(got, want.astype(got.dtype))
+    assert eng._n_distinct == want_nd
+
+
+def test_sharded_cross_row_duplicates():
+    """The same k-mer arriving via different data rows must merge into
+    one owning device's table (routing over both mesh axes), not split
+    into per-data-row counts."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = sharded.make_mesh(jax.devices()[:8], data=4, shard=2)
+    k, block, cap_local, lanes = 21, 1024, 8192, 2048
+    row = _random_ascii(block)
+    ascii_rows = np.stack([row] * 8)  # every row identical
+
+    step = sharded.sharded_count_step_fn(mesh, k, max_count=1023,
+                                         lanes_per_dest=lanes)
+    tables = sharded.make_sharded_tables(mesh, cap_local)
+    tables, n_new, n_drop = step(tables, jnp.asarray(ascii_rows))
+    assert int(n_drop) == 0
+    got = np.asarray(sharded.sharded_hist_fn(mesh, 256)(tables))
+
+    t = ct.make(1 << 14)
+    for r in ascii_rows:
+        codes = encode_bases(jnp.asarray(r))
+        out = extract_canonical(codes, k, apply_hash64=True)
+        t, _ = ct.insert(t, out.kmer, out.valid, 1023)
+    want = np.asarray(ct.hist(t, 256))
+    assert np.array_equal(got, want)
+    assert int(n_new) == int(t.n_full)
