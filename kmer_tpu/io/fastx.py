@@ -24,7 +24,18 @@ _CHUNK = 1 << 20
 
 def _open_maybe_gz(path: str):
     if path == "-":
-        return io.BufferedReader(os.fdopen(os.dup(0), "rb", closefd=True))
+        # honor a replaced sys.stdin (tests) and sniff gzip like kseq
+        # over gzread does (/root/reference/kc-py1.py reads plain stdin,
+        # but gzip -dc | tool and tool <(...) both work either way)
+        import sys
+
+        raw = getattr(sys.stdin, "buffer", None)
+        if raw is None:
+            raw = os.fdopen(os.dup(0), "rb", closefd=True)
+        f = raw if hasattr(raw, "peek") else io.BufferedReader(raw)
+        if f.peek(2)[:2] == b"\x1f\x8b":
+            return gzip.GzipFile(fileobj=f)
+        return f
     f = open(path, "rb")
     magic = f.peek(2)[:2] if hasattr(f, "peek") else f.read(2)
     if magic == b"\x1f\x8b":

@@ -57,6 +57,78 @@ def run_ours(tool, args, capsys):
     return capsys.readouterr().out
 
 
+_REF_CPP = {
+    "kc-cpp1": ["kc-cpp1.cpp"],
+    "kc-cpp2": ["kc-cpp2.cpp"],
+}
+
+
+@pytest.fixture(scope="session")
+def refbin_cpp():
+    os.makedirs(REFBIN, exist_ok=True)
+    for name, srcs in _REF_CPP.items():
+        out = os.path.join(REFBIN, name)
+        if os.path.exists(out):
+            continue
+        # -include limits: the vendored robin_hood.h predates g++ 13's
+        # stricter transitive includes
+        cmd = (
+            ["g++", "-O2", "-std=c++11", "-include", "limits", "-o", out]
+            + [f"/root/reference/{s}" for s in srcs]
+            + ["-I/root/reference", "-lz"]
+        )
+        r = subprocess.run(cmd, capture_output=True)
+        if r.returncode != 0:
+            pytest.skip(f"cannot build reference {name}: {r.stderr.decode()}")
+    return REFBIN
+
+
+@pytest.mark.parametrize("tool", ["kc-cpp1", "kc-cpp2"])
+def test_cpp_counter_parity(refbin_cpp, capsys, tool):
+    import gzip
+    import tempfile
+
+    # the C++ reference tools have a naive line-based reader that only
+    # understands uncompressed FASTA (kc-cpp1.cpp:29-43)
+    with gzip.open(GENOME, "rb") as f:
+        raw = f.read()
+    with tempfile.NamedTemporaryFile(suffix=".fa", delete=False) as tf:
+        tf.write(raw)
+        path = tf.name
+    try:
+        want = run_ref(refbin_cpp, tool, ["-k31", path])
+        got = run_ours(tool, ["-k31", path], capsys)
+        assert got == want
+    finally:
+        os.unlink(path)
+
+
+def test_py1_counter_parity(capsys):
+    """kc-py1: fixed k=31, FASTA from stdin (kc-py1.py:45)."""
+    import gzip
+
+    with gzip.open(GENOME, "rb") as f:
+        raw = f.read()
+    r = subprocess.run(
+        [sys.executable, "/root/reference/kc-py1.py"],
+        input=raw, capture_output=True, check=True,
+    )
+    want = r.stdout.decode()
+
+    import io
+
+    from kmer_tpu.tools import get_tool
+
+    old = sys.stdin
+    sys.stdin = io.TextIOWrapper(io.BytesIO(raw))
+    try:
+        rc = get_tool("kc-py1")([])
+    finally:
+        sys.stdin = old
+    assert not rc
+    assert capsys.readouterr().out == want
+
+
 @pytest.mark.parametrize(
     "tool,args",
     [
