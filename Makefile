@@ -1,0 +1,42 @@
+# kmer_tpu build / test / bench conveniences.
+#
+# The Python package needs no build step; `native` compiles the C++
+# FASTA/FASTQ reader (kmer_tpu/io/native/) ahead of time — otherwise it
+# is built on demand at first use with the same flags.
+
+PY ?= python3
+
+.PHONY: all native test test-fast bench fixtures oracles panels clean
+
+all: native
+
+native: kmer_tpu/io/native/libkmerio.so
+
+kmer_tpu/io/native/libkmerio.so: kmer_tpu/io/native/fastx_reader.cpp
+	g++ -O3 -march=native -shared -fPIC -o $@ $< -lz
+
+test:
+	$(PY) -m pytest tests/ -q
+
+# unit + kernel tests only (skips the golden-oracle builds)
+test-fast:
+	$(PY) -m pytest tests/test_kernels.py tests/test_compactor.py \
+	  tests/test_count_table.py tests/test_sharded.py -q
+
+bench:
+	$(PY) bench.py
+
+fixtures:
+	$(PY) scripts/make_fixtures.py
+
+# reference oracle binaries for the golden tests (htslib ones are
+# documented in .claude/skills/verify/SKILL.md)
+oracles:
+	$(PY) -m pytest tests/test_golden_counters.py -q -x --co -q >/dev/null
+
+panels:
+	$(PY) scripts/fetch_snp_panels.py
+
+clean:
+	rm -f kmer_tpu/io/native/libkmerio.so
+	find . -name __pycache__ -type d -exec rm -rf {} + 2>/dev/null || true

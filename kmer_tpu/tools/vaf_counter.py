@@ -24,11 +24,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..io.formats import read_patterns, write_vaf_file
-from ..kernels.encode import encode_bases
-from ..kernels.kmer import extract_canonical
 from ..kernels import segops
 from ..kernels import u64 as u
-from ..pipeline.counter import _iter_packed, _prefetch
+from ..pipeline.counter import _extract_step, _iter_packed, _prefetch
 from ..utils.cli import ketopt
 from ..utils.log import minfo, verbose, warn
 from ..utils.seq import canonical_kmer, encode_kmer, hash64_np
@@ -37,8 +35,8 @@ from ..utils.seq import canonical_kmer, encode_kmer, hash64_np
 _SENT = jnp.uint32(0xFFFFFFFF)
 
 
-@partial(jax.jit, static_argnames=("k",), donate_argnums=(0,))
-def _vaf_step(counts, phi, plo, pval, ascii_u8, k: int):
+@partial(jax.jit, donate_argnums=(0,))
+def _vaf_step(counts, phi, plo, pval, rhi, rlo):
     """Sort-join block step: pattern k-mers and read k-mers are sorted
     together by key (patterns first within a key via a 3rd sort key);
     each read lane picks up its segment's minimum pattern value
@@ -48,11 +46,12 @@ def _vaf_step(counts, phi, plo, pval, ascii_u8, k: int):
 
     Replaces worker_lookup's hash probe + atomic increments
     (vaf-counter.c:449-479) with sort + segmented scan: measured ~6x
-    faster than gather-probing on TPU (random access serializes)."""
-    codes = encode_bases(ascii_u8)
-    out = extract_canonical(codes, k, apply_hash64=True)
-    rhi = jnp.where(out.valid, out.kmer.hi, _SENT)
-    rlo = jnp.where(out.valid, out.kmer.lo, _SENT)
+    faster than gather-probing on TPU (random access serializes).
+
+    rhi/rlo: sentinelized hash64 planes from pipeline.counter._extract_step
+    (the Pallas extraction on TPU; keeping extraction in its own program
+    also keeps this one small — the fused version took minutes to
+    compile at 8M-lane shapes)."""
     p = phi.shape[0]
     m = rhi.shape[0]
     m_hi = jnp.concatenate([phi, rhi])
@@ -66,8 +65,7 @@ def _vaf_step(counts, phi, plo, pval, ascii_u8, k: int):
     n2 = counts.shape[0]
     idx = jnp.where(hit, seg_val.astype(jnp.int32), n2)
     counts = counts.at[idx].add(1, mode="drop")
-    n_kmers = jnp.sum(out.valid.astype(jnp.int32))
-    return counts, n_kmers
+    return counts
 
 
 def create_combined_kmer_map(patterns, k: int):
@@ -167,7 +165,8 @@ def main(argv=None):
         file_bases = file_seqs = 0
         it = _prefetch(_iter_packed([fn], k, block_size, capacity))
         for buf, n_bases, n_seqs in it:
-            counts, n_kmers = _vaf_step(counts, phi, plo, pval, jnp.asarray(buf), k)
+            rhi, rlo, n_kmers = _extract_step(jnp.asarray(buf), k)
+            counts = _vaf_step(counts, phi, plo, pval, rhi, rlo)
             file_bases += int(n_bases) - int(n_seqs)
             file_seqs += n_seqs
             total_kmers += int(n_kmers)
