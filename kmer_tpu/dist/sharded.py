@@ -283,6 +283,13 @@ class ShardedSortEngine:
         self.total_kmers = 0
         self.total_dropped = 0
 
+    def reset(self) -> None:
+        """Drop accumulated state, keeping compiled steps (for reuse
+        across runs/benchmarks)."""
+        self.chunks = []
+        self.total_kmers = 0
+        self.total_dropped = 0
+
     def add_batch(self, ascii_rows) -> None:
         hi, lo, nk, nd = self.step(ascii_rows)
         self.chunks.append((hi, lo))

@@ -7,65 +7,29 @@ k-mers, looks each up and accumulates per-SNP ref/alt counts, then
 writes the VAF file (depth header + %.4f VAF rows) and optional -v
 performance report.
 
-TPU mapping: the pattern map is a device-resident static table; the
-lookup + scatter-add of the whole block happens in one fused jit step
-(the analog of worker_lookup's atomic increments, vaf-counter.c:449-479
-— duplicates combine in the scatter-add, no atomics needed).
+TPU mapping: reads stream through the same sort-based count engine as
+the kc-c4 counter (Pallas extraction, run-list accumulation), and ALL
+pattern k-mers resolve at the end with one global sort-join
+(compactor.counts_for) — the analog of worker_lookup's per-k-mer hash
+probe + atomic increments (vaf-counter.c:449-479), turned inside out:
+instead of probing 400M k-mers against a 42K-entry map, the map's 84K
+keys are merged into one sorted pass over the k-mer multiset.  Random
+access serializes on TPU; sorting does not.
 """
 
 from __future__ import annotations
 
 import sys
 import time
-from functools import partial
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..io.formats import read_patterns, write_vaf_file
-from ..kernels import segops
-from ..kernels import u64 as u
-from ..pipeline.counter import _extract_step, _iter_packed, _prefetch
+from ..pipeline.counter import SortCountEngine
 from ..utils.cli import ketopt
 from ..utils.log import minfo, verbose, warn
 from ..utils.seq import canonical_kmer, encode_kmer, hash64_np
-
-
-_SENT = jnp.uint32(0xFFFFFFFF)
-
-
-@partial(jax.jit, donate_argnums=(0,))
-def _vaf_step(counts, phi, plo, pval, rhi, rlo):
-    """Sort-join block step: pattern k-mers and read k-mers are sorted
-    together by key (patterns first within a key via a 3rd sort key);
-    each read lane picks up its segment's minimum pattern value
-    (min == first-inserted-wins on canonical collisions, matching
-    create_combined_kmer_map's absent-only insert, vaf-counter.c:224-243)
-    and the per-pattern ref/alt counts accumulate with one scatter-add.
-
-    Replaces worker_lookup's hash probe + atomic increments
-    (vaf-counter.c:449-479) with sort + segmented scan: measured ~6x
-    faster than gather-probing on TPU (random access serializes).
-
-    rhi/rlo: sentinelized hash64 planes from pipeline.counter._extract_step
-    (the Pallas extraction on TPU; keeping extraction in its own program
-    also keeps this one small — the fused version took minutes to
-    compile at 8M-lane shapes)."""
-    p = phi.shape[0]
-    m = rhi.shape[0]
-    m_hi = jnp.concatenate([phi, rhi])
-    m_lo = jnp.concatenate([plo, rlo])
-    origin = jnp.concatenate([jnp.zeros((p,), jnp.uint32), jnp.ones((m,), jnp.uint32)])
-    val = jnp.concatenate([pval, jnp.full((m,), _SENT, jnp.uint32)])
-    s_hi, s_lo, s_org, s_val = jax.lax.sort((m_hi, m_lo, origin, val), num_keys=3)
-    starts = segops.segment_starts(u.U64(s_hi, s_lo))
-    seg_val = segops.segmented_cummin(starts, s_val)
-    hit = (s_org == 1) & (seg_val != _SENT)
-    n2 = counts.shape[0]
-    idx = jnp.where(hit, seg_val.astype(jnp.int32), n2)
-    counts = counts.at[idx].add(1, mode="drop")
-    return counts
 
 
 def create_combined_kmer_map(patterns, k: int):
@@ -156,32 +120,39 @@ def main(argv=None):
 
     minfo("main", f"Counting k-mers in FASTQ files with {n_thread} threads...")
     t0 = time.time()
-    counts = jnp.zeros((2 * len(patterns),), jnp.uint32)
     total_bases = total_seqs = total_kmers = 0
-    capacity = block_size + 4096
+    # Stream every file into the sort-based count engine (identical
+    # machinery to the kc-c4 counter), then resolve all pattern k-mers
+    # with ONE global sort-join (counts_for).  Joining once at the end
+    # beats a per-block join ~3x: the per-block sort pays 4 planes per
+    # lane per block, the global engine 2 planes once.
+    eng = SortCountEngine(k=k, block_bases=block_size)
     for fn in pos:
         minfo("main", f"Processing {fn}...")
         t_file = time.time()
-        file_bases = file_seqs = 0
-        it = _prefetch(_iter_packed([fn], k, block_size, capacity))
-        for buf, n_bases, n_seqs in it:
-            rhi, rlo, n_kmers = _extract_step(jnp.asarray(buf), k)
-            counts = _vaf_step(counts, phi, plo, pval, rhi, rlo)
-            file_bases += int(n_bases) - int(n_seqs)
-            file_seqs += n_seqs
-            total_kmers += int(n_kmers)
-        total_bases += file_bases
-        total_seqs += file_seqs
+        b0, s0 = eng.total_bases, eng.total_seqs
+        eng.count_paths([fn])
         if verbose_mode:
             el = time.time() - t_file
+            fb, fs = eng.total_bases - b0, eng.total_seqs - s0
             verbose(
                 "count_fastq_kmers",
-                f"Processed {fn}: {file_seqs} sequences, {file_bases} bases in "
-                f"{el:.2f} sec ({file_bases / el / 1e6:.2f} Mbases/sec)",
+                f"Processed {fn}: {fs} sequences, {fb} bases in "
+                f"{el:.2f} sec ({fb / el / 1e6:.2f} Mbases/sec)",
             )
+    total_bases, total_seqs = eng.total_bases, eng.total_seqs
+    total_kmers = eng.total_kmers
+    # only the real map rows — the padding rows are the sentinel key,
+    # which would otherwise collect the invalid-lane count
+    qcounts = eng.counts_for(
+        np.asarray(phi)[:n_entries], np.asarray(plo)[:n_entries]
+    )
     time_counting = time.time() - t0
 
-    counts_np = np.asarray(counts)
+    pval_np = np.asarray(pval)
+    counts_np = np.zeros(2 * len(patterns), np.int64)
+    for q in range(n_entries):
+        counts_np[int(pval_np[q])] = int(qcounts[q])
     for i, p in enumerate(patterns):
         p.ref_count = int(counts_np[2 * i])
         p.alt_count = int(counts_np[2 * i + 1])
