@@ -21,6 +21,7 @@ import numpy as np
 
 from ..io import fastx, packing
 from ..kernels import bloom
+from ..kernels import u64 as u
 from ..kernels.encode import encode_bases
 from ..kernels.kmer import extract_canonical
 from ..table import count_table as ct
@@ -30,6 +31,42 @@ YAK_COUNTER_BITS = 10  # yak-count.c:9
 YAK_N_COUNTS = 1 << YAK_COUNTER_BITS
 YAK_MAX_COUNT = YAK_N_COUNTS - 1
 BLK_SHIFT = bloom.BLK_SHIFT
+
+
+@partial(
+    jax.jit,
+    static_argnames=("spec", "create_new", "use_bloom"),
+    donate_argnums=(0, 1),
+)
+def _yak_ingest(
+    table: ct.CountTable,
+    bits: jnp.ndarray,
+    hi: jnp.ndarray,
+    lo: jnp.ndarray,
+    spec: Optional[bloom.BloomSpec],
+    create_new: bool,
+    use_bloom: bool,
+):
+    """Bloom-gate + table-insert one block of sentinelized key planes
+    (from pipeline.counter._extract_step, i.e. the Pallas extraction on
+    TPU).  Extraction lives in its own jit program: fusing it with the
+    insert is the same XLA compile-time hazard the vaf step hit.  Valid
+    lanes are the non-sentinel ones — unambiguous for k < 32, where a
+    hash64 output masked to 2k bits can never be all-ones."""
+    valid = ~((hi == jnp.uint32(0xFFFFFFFF)) & (lo == jnp.uint32(0xFFFFFFFF)))
+    kmer = u.U64(hi, lo)
+    if create_new:
+        if use_bloom:
+            bits, preset = bloom.insert(bits, kmer, valid, spec)
+            table, n_new = ct.insert_gated(
+                table, kmer, valid, preset, YAK_MAX_COUNT
+            )
+        else:
+            table, n_new = ct.insert(table, kmer, valid, YAK_MAX_COUNT)
+    else:
+        table = ct.add_existing(table, kmer, valid, YAK_MAX_COUNT)
+        n_new = jnp.zeros((), jnp.int32)
+    return table, bits, n_new
 
 
 @partial(
@@ -46,6 +83,7 @@ def _yak_step(
     create_new: bool,
     use_bloom: bool,
 ):
+    """Fused fallback for k == 32 (sentinel ambiguity; see _yak_ingest)."""
     codes = encode_bases(ascii_u8)
     out = extract_canonical(codes, k, apply_hash64=True)
     if create_new:
@@ -108,19 +146,28 @@ class YakEngine:
             self.table = ct.rebuild(self.table, cap)
 
     def count(self, paths: Sequence[str], create_new: bool) -> None:
+        from .counter import _extract_step
+
         it = _iter_packed(paths, self.k, self.chunk_size, self.capacity_block)
         if self.prefetch:
             it = _prefetch(it)
         for buf, _n_bases, n_seqs in it:
-            self.table, self.bits, n_new = _yak_step(
-                self.table,
-                self.bits,
-                jnp.asarray(buf),
-                self.k,
-                self.spec,
-                create_new,
-                self.use_bloom,
-            )
+            if self.k < 32:
+                hi, lo, _nk = _extract_step(jnp.asarray(buf), self.k)
+                self.table, self.bits, n_new = _yak_ingest(
+                    self.table, self.bits, hi, lo,
+                    self.spec, create_new, self.use_bloom,
+                )
+            else:
+                self.table, self.bits, n_new = _yak_step(
+                    self.table,
+                    self.bits,
+                    jnp.asarray(buf),
+                    self.k,
+                    self.spec,
+                    create_new,
+                    self.use_bloom,
+                )
             if create_new:
                 self.tot += int(n_new)
                 self._maybe_grow()

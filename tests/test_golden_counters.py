@@ -140,6 +140,14 @@ def test_py1_counter_parity(capsys):
         ("yak-count", ["-k31", READS]),
         ("yak-count", ["-k31", "-b22", READS]),
         ("yak-count", ["-k21", "-b20", "-H3", READS]),
+        # two-file mode: pass 1 bloom-gates fn1, pass 2 recounts fn2 —
+        # exercises the bloom + hash-table engine (the single-file case
+        # takes the sort-engine fast path)
+        ("yak-count", [
+            "-k31", "-b16",
+            os.path.join(FIXTURES, "sampleA1.fq.gz"),
+            os.path.join(FIXTURES, "sampleB.fq.gz"),
+        ]),
     ],
 )
 def test_counter_parity(refbin, capsys, tool, args):
