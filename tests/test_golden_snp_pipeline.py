@@ -103,3 +103,35 @@ def test_full_pipeline_parity(refbin, tmp_path):
 
     # sanity: the pipeline found the replicate pair
     assert b"MATCHED" in _read(f"{d}/tpu.m2")
+
+    # correlation preset modes (-M) and explicit -m/-d overrides
+    for mode_args in (["-M", "matched"], ["-M", "strict"], ["-m", "5", "-d", "2"]):
+        run_ref(refbin, "correlation-matrix",
+                ["-o", f"{d}/ref.mc"] + mode_args + ref_vafs)
+        run_ours("correlation-matrix",
+                 ["-o", f"{d}/tpu.mc"] + mode_args + tpu_vafs)
+        assert _read(f"{d}/tpu.mc").replace(b"tpu_", b"") == _read(
+            f"{d}/ref.mc"
+        ).replace(b"ref_", b""), mode_args
+
+    # trained-threshold mode (-T): known matched pair -> midpoint threshold
+    with open(f"{d}/ref.pairs", "w") as f:
+        f.write(f"ref_{SAMPLES[0]}\tref_{SAMPLES[1]}\n")
+    with open(f"{d}/tpu.pairs", "w") as f:
+        f.write(f"tpu_{SAMPLES[0]}\ttpu_{SAMPLES[1]}\n")
+    run_ref(refbin, "match-classifier",
+            ["-c", f"{d}/ref.corr", "-o", f"{d}/ref.m3", "-v", "-T", f"{d}/ref.pairs"])
+    run_ours("match-classifier",
+             ["-c", f"{d}/tpu.corr", "-o", f"{d}/tpu.m3", "-v", "-T", f"{d}/tpu.pairs"])
+    assert _read(f"{d}/tpu.m3").replace(b"tpu_", b"") == _read(
+        f"{d}/ref.m3"
+    ).replace(b"ref_", b"")
+
+    # family mode (-P -F)
+    run_ref(refbin, "match-classifier",
+            ["-c", f"{d}/ref.corr", "-o", f"{d}/ref.m4", "-v", "-P", "-F"] + ref_vafs)
+    run_ours("match-classifier",
+             ["-c", f"{d}/tpu.corr", "-o", f"{d}/tpu.m4", "-v", "-P", "-F"] + tpu_vafs)
+    assert _read(f"{d}/tpu.m4").replace(b"tpu_", b"") == _read(
+        f"{d}/ref.m4"
+    ).replace(b"ref_", b"")
