@@ -81,6 +81,25 @@ def _iter_packed(
             n_seqs = 0
 
 
+class _maybe_profile:
+    """KMER_TPU_PROFILE=<dir> captures a jax.profiler trace of the
+    streaming loop (the observability analog of the reference's -v
+    perf_stats, SURVEY.md §5 row 1)."""
+
+    def __enter__(self):
+        import os
+
+        self.dir = os.environ.get("KMER_TPU_PROFILE")
+        if self.dir:
+            jax.profiler.start_trace(self.dir)
+        return self
+
+    def __exit__(self, *exc):
+        if self.dir:
+            jax.profiler.stop_trace()
+        return False
+
+
 def _prefetch(it, depth=2):
     """Run an iterator in a background thread (kt_pipeline step-0 analog)."""
     q: "queue.Queue" = queue.Queue(maxsize=depth)
@@ -156,14 +175,15 @@ class SortCountEngine:
         it = _iter_packed(paths, self.k, self.block_bases, self.capacity)
         if self.prefetch:
             it = _prefetch(it)
-        for buf, n_bases, n_seqs in it:
-            hi, lo, n_kmers = _extract_step(jnp.asarray(buf), self.k)
-            self.compactor.add_raw(hi, lo)
-            self.total_bases += int(n_bases) - int(n_seqs)
-            self.total_seqs += n_seqs
-            self.total_kmers += int(n_kmers)
-            if progress is not None:
-                progress(self)
+        with _maybe_profile():
+            for buf, n_bases, n_seqs in it:
+                hi, lo, n_kmers = _extract_step(jnp.asarray(buf), self.k)
+                self.compactor.add_raw(hi, lo)
+                self.total_bases += int(n_bases) - int(n_seqs)
+                self.total_seqs += n_seqs
+                self.total_kmers += int(n_kmers)
+                if progress is not None:
+                    progress(self)
 
     def hist(self, n_bins: int, max_count=None, min_keep: int = 1):
         h, self._n_distinct = self.compactor.hist(n_bins, max_count, min_keep)

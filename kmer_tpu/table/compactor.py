@@ -25,6 +25,7 @@ min(c, max_count) equals the reference's gated saturating increments
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import List, Optional, Tuple
 
@@ -255,6 +256,16 @@ class KmerCompactor:
             min_keep,
             has_counts,
         )
+        if os.environ.get("KMER_TPU_DEBUG"):
+            # debug mode (SURVEY.md §5 sanitizer analog): cross-check the
+            # Pallas path against the pure-XLA path lane for lane
+            h2, nd2 = _hist_impl(
+                hi, lo, cnt if has_counts else hi,
+                n_bins, max_count, min_keep, has_counts,
+            )
+            assert np.array_equal(np.asarray(h), np.asarray(h2)) and int(
+                nd
+            ) == int(nd2), "KMER_TPU_DEBUG: Pallas/XLA histogram mismatch"
         return np.asarray(h).astype(np.int64), int(nd)
 
     def counts_for(self, query_hi: np.ndarray, query_lo: np.ndarray) -> np.ndarray:
