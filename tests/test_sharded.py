@@ -109,3 +109,27 @@ def test_sharded_cross_row_duplicates():
     want = np.asarray(ct.hist(t, 256))
     assert np.array_equal(got, want)
     assert int(n_new) == int(t.n_full)
+
+
+def test_multihost_single_process_path():
+    """count_multihost degrades to the local sharded engine in a
+    single-process run; histogram must match the single-device sort
+    engine on the same files."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import os
+
+    from kmer_tpu.dist import multihost
+    from kmer_tpu.pipeline.counter import SortCountEngine
+
+    fixtures = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+    paths = [os.path.join(fixtures, "reads_small.fq.gz"),
+             os.path.join(fixtures, "sampleB.fq.gz")]
+    h, nd = multihost.count_multihost(paths, k=21, block=1 << 16,
+                                      max_count=1023)
+
+    eng = SortCountEngine(k=21, block_bases=1 << 16)
+    eng.count_paths(paths)
+    want = eng.hist(256, max_count=1023)
+    assert np.array_equal(h, want.astype(h.dtype))
+    assert nd == eng._n_distinct
