@@ -21,7 +21,6 @@ from typing import Iterator, List, Optional, Sequence
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..pipeline.counter import _iter_packed

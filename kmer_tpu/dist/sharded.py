@@ -26,8 +26,7 @@ count-array reduction of kc-c4.c:227-230).
 from __future__ import annotations
 
 import math
-from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..io import fastx, packing
 from ..kernels import bloom
 from ..kernels import u64 as u
 from ..kernels.encode import encode_bases

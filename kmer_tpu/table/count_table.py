@@ -29,7 +29,6 @@ prefix-sharded layout (see kmer_tpu.dist).
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
