@@ -112,10 +112,10 @@ def _hist_impl_tpu(hi, lo, counts, n_bins, max_count, min_keep, has_counts):
             keys.hi, keys.lo, tile_rows=tile_rows, bins_cfg=bins_cfg
         )
     chunk = min(1 << 23, n)
-    b = bins.astype(I32).reshape(-1, chunk)
+    b = bins.reshape(-1, chunk)
     ones = jnp.ones((chunk,), jnp.bool_)
     partial_hists = jax.lax.map(
-        lambda row: segops.histogram_by_matmul(row, ones, n_bins), b
+        lambda row: segops.histogram_by_matmul(row.astype(I32), ones, n_bins), b
     )
     total = jnp.sum(partial_hists, axis=0)
     total = total.at[0].set(0)
