@@ -30,7 +30,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from kmer_tpu.pipeline.counter import _extract_step
+from kmer_tpu.pipeline.counter import _extract_step_rows
 from kmer_tpu.table.compactor import KmerCompactor
 
 K = 31
@@ -75,7 +75,10 @@ def main():
     def run_once():
         comp = KmerCompactor(budget_bytes=8 << 30)
         for b in blocks:
-            hi, lo, _nk = _extract_step(b, K)
+            # reads are uniform 150bp -> the rows fast path drops the
+            # per-read invalid window lanes before the sort (the reader
+            # reports row_bytes for real uniform FASTQ the same way)
+            hi, lo, _nk = _extract_step_rows(b, K, READ_LEN + 1)
             comp.add_raw(hi, lo)
         return comp.hist(256, None)
 

@@ -57,7 +57,7 @@ def _local_batches(paths: Sequence[str], k: int, block: int,
                    n_local_rows: int) -> Iterator[np.ndarray]:
     """Pack this host's files into (n_local_rows, block) uint8 batches."""
     rows = []
-    for buf, _nb, _ns in _iter_packed(paths, k, block, block):
+    for buf, _nb, _ns, _rb in _iter_packed(paths, k, block, block):
         b = buf if buf.shape[0] == block else np.pad(buf, (0, block - buf.shape[0]))
         rows.append(b)
         if len(rows) == n_local_rows:

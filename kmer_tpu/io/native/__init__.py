@@ -66,6 +66,7 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
         ]
         _lib = lib
         return _lib
@@ -77,9 +78,11 @@ def available() -> bool:
 
 def iter_packed_native(
     paths, k: int, block_bases: int, capacity: int
-) -> Iterator[Tuple[np.ndarray, int, int]]:
+) -> Iterator[Tuple[np.ndarray, int, int, Optional[int]]]:
     """Native equivalent of pipeline.counter._iter_packed: yields
-    (ascii_u8[capacity], n_bases, n_seqs) packed buffers."""
+    (ascii_u8[capacity], n_bytes_packed, n_seqs, row_bytes) buffers;
+    row_bytes is L+1 when every packed read had length L (uniform-read
+    fast path), else None."""
     lib = _load()
     assert lib is not None
     for path in paths:
@@ -91,6 +94,7 @@ def iter_packed_native(
                 buf = np.zeros(capacity, np.uint8)
                 n_seqs = ctypes.c_int64()
                 n_bases = ctypes.c_int64()
+                row_bytes = ctypes.c_int64()
                 used = lib.ktp_read_block(
                     h,
                     buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
@@ -99,9 +103,16 @@ def iter_packed_native(
                     block_bases,
                     ctypes.byref(n_seqs),
                     ctypes.byref(n_bases),
+                    ctypes.byref(row_bytes),
                 )
                 if used <= 0:
                     break
-                yield buf, int(n_bases.value) + int(n_seqs.value), int(n_seqs.value)
+                rb = int(row_bytes.value) or None
+                yield (
+                    buf,
+                    int(n_bases.value) + int(n_seqs.value),
+                    int(n_seqs.value),
+                    rb,
+                )
         finally:
             lib.ktp_close(h)

@@ -133,13 +133,18 @@ void ktp_close(void* h) {
 // n_seqs/n_bases report what was packed this call; sequences shorter
 // than k are skipped; sequences longer than capacity-1 are emitted in
 // (k-1)-overlap chunks (possibly across calls via the carry buffer).
+// row_bytes (may be null): set to L+1 when every piece packed this call
+// had the same length L (uniform Illumina reads — enables the caller's
+// fixed-row window slicing), else 0.
 int64_t ktp_read_block(void* h, uint8_t* out, int64_t capacity, int32_t k,
                        int64_t target_bases, int64_t* n_seqs,
-                       int64_t* n_bases) {
+                       int64_t* n_bases, int64_t* row_bytes) {
   auto* r = static_cast<Reader*>(h);
   int64_t used = 0;
   *n_seqs = 0;
   *n_bases = 0;
+  int64_t first_len = -1;
+  bool uniform = true;
   const int64_t max_piece = capacity - 1;
   std::string seq;
   for (;;) {
@@ -163,6 +168,8 @@ int64_t ktp_read_block(void* h, uint8_t* out, int64_t capacity, int32_t k,
       out[used++] = 0;
       *n_bases += remain;
       ++*n_seqs;
+      if (first_len < 0) first_len = remain;
+      else if (remain != first_len) uniform = false;
       if (src == &r->carry) {
         r->carry.clear();
         r->carry_off = 0;
@@ -176,6 +183,8 @@ int64_t ktp_read_block(void* h, uint8_t* out, int64_t capacity, int32_t k,
         out[used++] = 0;
         *n_bases += piece;
         ++*n_seqs;
+        if (first_len < 0) first_len = piece;
+        else if (piece != first_len) uniform = false;
         off += piece - (k - 1);
       }
       if (src != &r->carry) {
@@ -184,6 +193,9 @@ int64_t ktp_read_block(void* h, uint8_t* out, int64_t capacity, int32_t k,
       r->carry_off = off;
       break;  // buffer full
     }
+  }
+  if (row_bytes) {
+    *row_bytes = (uniform && *n_seqs > 0) ? first_len + 1 : 0;
   }
   return used;
 }

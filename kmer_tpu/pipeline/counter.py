@@ -47,8 +47,13 @@ def _trim_to_class(buf: np.ndarray, n: int) -> np.ndarray:
 
 def _iter_packed(
     paths: Sequence[str], k: int, block_bases: int, capacity: int
-) -> Iterator[Tuple[np.ndarray, int, int]]:
-    """Yield (ascii_u8[<=capacity], n_bytes_packed, n_seqs) buffers.
+) -> Iterator[Tuple[np.ndarray, int, int, Optional[int]]]:
+    """Yield (ascii_u8[<=capacity], n_bytes_packed, n_seqs, row_bytes).
+
+    row_bytes is L+1 when every read packed into the buffer has the same
+    length L (uniform Illumina reads) — consumers can then drop the
+    per-read invalid window positions with a reshape+slice instead of
+    sorting them as sentinels (~20% of lanes for 150bp reads at k=31).
 
     Uses the native C++ reader (kmer_tpu/io/native) when buildable —
     the host runtime analog of the reference's kseq + kt_pipeline read
@@ -57,10 +62,10 @@ def _iter_packed(
         from ..io import native
 
         if native.available():
-            for buf, n, n_seqs in native.iter_packed_native(
+            for buf, n, n_seqs, rb in native.iter_packed_native(
                 paths, k, block_bases, capacity
             ):
-                yield _trim_to_class(buf, n), n, n_seqs
+                yield _trim_to_class(buf, n), n, n_seqs, rb
             return
     max_len = capacity - 1
     step = max_len - (k - 1)
@@ -74,10 +79,12 @@ def _iter_packed(
                     seqs.append(s[off : off + max_len])
             else:
                 seqs.append(s)
+        lens = {len(s) for s in seqs}
+        rb = (lens.pop() + 1) if len(lens) == 1 else None
         blk = fastx.Block(seqs, blk.sum_len, blk.n_kmers)
         n_seqs = len(seqs)
         for buf, n in packing.pack_block(blk, capacity):
-            yield _trim_to_class(buf, n), n, n_seqs
+            yield _trim_to_class(buf, n), n, n_seqs, rb
             n_seqs = 0
 
 
@@ -148,6 +155,23 @@ def _extract_step(ascii_u8: jnp.ndarray, k: int):
     return hi, lo, n_kmers
 
 
+@partial(jax.jit, static_argnames=("k", "row_bytes"))
+def _extract_step_rows(ascii_u8: jnp.ndarray, k: int, row_bytes: int):
+    """_extract_step for uniform-length reads: every read occupies
+    exactly row_bytes = L+1 bytes (L bases + one NUL), so the only lanes
+    that can ever be valid are window ends at in-row offsets k-1..L-1.
+    Slicing those columns drops the guaranteed-invalid ~(k/row_bytes)
+    fraction of lanes before they reach the sort (~20% for 150bp reads
+    at k=31).  Rows past the packed region are all-zero -> all-sentinel,
+    and remain so after slicing."""
+    hi, lo, n_kmers = _extract_step(ascii_u8, k)
+    n_rows = ascii_u8.shape[0] // row_bytes
+    span = n_rows * row_bytes
+    hi = hi[:span].reshape(n_rows, row_bytes)[:, k - 1 : row_bytes - 1]
+    lo = lo[:span].reshape(n_rows, row_bytes)[:, k - 1 : row_bytes - 1]
+    return hi.reshape(-1), lo.reshape(-1), n_kmers
+
+
 class SortCountEngine:
     """Streaming counter on the sort-based compactor (the TPU-native
     path; see kmer_tpu.table.compactor).  Histogram-equivalent to
@@ -176,8 +200,13 @@ class SortCountEngine:
         if self.prefetch:
             it = _prefetch(it)
         with _maybe_profile():
-            for buf, n_bases, n_seqs in it:
-                hi, lo, n_kmers = _extract_step(jnp.asarray(buf), self.k)
+            for buf, n_bases, n_seqs, row_bytes in it:
+                if row_bytes and row_bytes > self.k:
+                    hi, lo, n_kmers = _extract_step_rows(
+                        jnp.asarray(buf), self.k, row_bytes
+                    )
+                else:
+                    hi, lo, n_kmers = _extract_step(jnp.asarray(buf), self.k)
                 self.compactor.add_raw(hi, lo)
                 self.total_bases += int(n_bases) - int(n_seqs)
                 self.total_seqs += n_seqs
@@ -252,7 +281,7 @@ class CountEngine:
         it = _iter_packed(paths, self.k, self.block_bases, self.capacity)
         if self.prefetch:
             it = _prefetch(it)
-        for buf, n_bases, n_seqs in it:
+        for buf, n_bases, n_seqs, _rb in it:
             self.table, n_new, n_kmers = _count_step(
                 self.table,
                 jnp.asarray(buf),

@@ -150,9 +150,16 @@ class YakEngine:
         it = _iter_packed(paths, self.k, self.chunk_size, self.capacity_block)
         if self.prefetch:
             it = _prefetch(it)
-        for buf, _n_bases, n_seqs in it:
+        for buf, _n_bases, n_seqs, row_bytes in it:
             if self.k < 32:
-                hi, lo, _nk = _extract_step(jnp.asarray(buf), self.k)
+                if row_bytes and row_bytes > self.k:
+                    from .counter import _extract_step_rows
+
+                    hi, lo, _nk = _extract_step_rows(
+                        jnp.asarray(buf), self.k, row_bytes
+                    )
+                else:
+                    hi, lo, _nk = _extract_step(jnp.asarray(buf), self.k)
                 self.table, self.bits, n_new = _yak_ingest(
                     self.table, self.bits, hi, lo,
                     self.spec, create_new, self.use_bloom,

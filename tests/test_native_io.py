@@ -40,8 +40,11 @@ def test_native_reader_matches_python(fixture, k, block_bases):
         packing policy, not semantics — reads are atomic and windows
         never straddle the NUL separators)."""
         out, total_seqs = [], 0
-        for buf, n, n_seqs in blocks:
+        for buf, n, n_seqs, *rest in blocks:
             assert not buf[n:].any()
+            if rest and rest[0]:
+                # declared-uniform blocks must actually be uniform rows
+                assert n % rest[0] == 0
             out.extend(bytes(buf[:n]).split(b"\x00")[:-1])
             total_seqs += n_seqs
         return [r for r in out if r], total_seqs
