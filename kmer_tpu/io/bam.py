@@ -187,3 +187,94 @@ class BaiIndex:
             else:
                 merged.append((cb, ce))
         return merged
+
+
+_CIGAR_CODE = {c: i for i, c in enumerate("MIDNSHP=X")}
+
+
+class SamTextReader:
+    """Plain-text SAM reader exposing the BamReader record interface
+    (the reference accepts SAM transparently via htslib sam_open,
+    /root/reference/bam-vaf-counter.c:497; CRAM is out of scope)."""
+
+    def __init__(self, path: str):
+        import gzip as _gzip
+
+        self.path = path
+        f = open(path, "rb")
+        if f.peek(2)[:2] == b"\x1f\x8b":
+            f.seek(0)
+            f = _gzip.GzipFile(fileobj=f)
+        self._fp = f
+        self.ref_names: List[str] = []
+        self.ref_lens: List[int] = []
+        self.header_text = ""
+        self._pending: Optional[bytes] = None
+        header_lines = []
+        for line in self._fp:
+            if line.startswith(b"@"):
+                header_lines.append(line.decode(errors="replace"))
+                if line.startswith(b"@SQ"):
+                    name, ln = None, 0
+                    for fld in line.rstrip(b"\r\n").split(b"\t")[1:]:
+                        if fld.startswith(b"SN:"):
+                            name = fld[3:].decode()
+                        elif fld.startswith(b"LN:"):
+                            ln = int(fld[3:])
+                    if name is not None:
+                        self.ref_names.append(name)
+                        self.ref_lens.append(ln)
+            else:
+                self._pending = line
+                break
+        self.header_text = "".join(header_lines)
+        self.name2tid: Dict[str, int] = {n: i for i, n in enumerate(self.ref_names)}
+
+    def close(self):
+        self._fp.close()
+
+    def _parse(self, line: bytes) -> Optional[BamRecord]:
+        fields = line.rstrip(b"\r\n").split(b"\t")
+        if len(fields) < 11:
+            return None
+        flag = int(fields[1])
+        rname = fields[2].decode()
+        tid = self.name2tid.get(rname, -1)
+        pos = int(fields[3]) - 1  # SAM is 1-based
+        cigar: List[Tuple[int, int]] = []
+        cs = fields[5].decode()
+        if cs != "*":
+            num = ""
+            for ch in cs:
+                if ch.isdigit():
+                    num += ch
+                else:
+                    cigar.append((_CIGAR_CODE[ch], int(num)))
+                    num = ""
+        seq = fields[9].decode()
+        return BamRecord(tid=tid, pos=pos, flag=flag, cigar=cigar, seq=seq)
+
+    def records(self) -> Iterator[BamRecord]:
+        if self._pending is not None:
+            rec = self._parse(self._pending)
+            self._pending = None
+            if rec is not None:
+                yield rec
+        for line in self._fp:
+            if line.startswith(b"@"):
+                continue
+            rec = self._parse(line)
+            if rec is not None:
+                yield rec
+
+
+def open_alignment(path: str):
+    """BamReader for BAM (BGZF magic), SamTextReader for SAM text."""
+    with open(path, "rb") as f:
+        magic = f.read(2)
+    if magic == b"\x1f\x8b":
+        try:
+            return BamReader(path)
+        except ValueError:
+            return SamTextReader(path)  # gzipped SAM text
+    return SamTextReader(path)

@@ -16,7 +16,7 @@ from __future__ import annotations
 import os
 import sys
 
-from ..io.bam import FDUP, FQCFAIL, FUNMAP, BaiIndex, BamReader
+from ..io.bam import FDUP, FQCFAIL, FUNMAP, BaiIndex, open_alignment
 from ..io.formats import read_patterns, write_vaf_file
 from ..utils.cli import ketopt
 from ..utils.log import minfo
@@ -81,14 +81,20 @@ def _process_read(rec, by_tid, counts):
 
 
 def count_bam_variants(fn, patterns, regions, counts):
-    bam = BamReader(fn)
+    bam = open_alignment(fn)  # BAM or SAM text (sam_open analog)
     by_tid = {}
     for j, p in enumerate(patterns):
         tid = bam.name2tid.get(p.chr, -1)
         if tid >= 0:
             by_tid.setdefault(tid, []).append((j, p))
     idx = None
-    for cand in (fn + ".bai", os.path.splitext(fn)[0] + ".bai"):
+    # indexed access needs BGZF virtual offsets — BAM only, not SAM text
+    cands = (
+        (fn + ".bai", os.path.splitext(fn)[0] + ".bai")
+        if hasattr(bam, "query")
+        else ()
+    )
+    for cand in cands:
         if os.path.exists(cand):
             try:
                 idx = BaiIndex(cand)

@@ -99,6 +99,24 @@ def test_bam_vaf_parity_indexed_and_sequential(patterns, tmp_path):
     assert _read(tmp_path / "tpu2.vaf") == _read(tmp_path / "ref2.vaf")
 
 
+def test_sam_text_vaf_parity(patterns, tmp_path):
+    """Plain-text SAM input (the reference reads it via htslib sam_open;
+    ours via io.bam.SamTextReader)."""
+    ref = _need("bam-vaf-counter")
+    sam = os.path.join(FIXTURES, "sampleA_aln.sam")
+    if not os.path.exists(sam):
+        pytest.skip("SAM fixture missing (run scripts/make_fixtures.py)")
+    from kmer_tpu.tools.bam_vaf_counter import main
+
+    subprocess.run(
+        [ref, "-p", patterns, "-o", str(tmp_path / "ref.vaf"), sam],
+        capture_output=True,
+        check=True,
+    )
+    assert not main(["-p", patterns, "-o", str(tmp_path / "tpu.vaf"), sam])
+    assert _read(tmp_path / "tpu.vaf") == _read(tmp_path / "ref.vaf")
+
+
 @pytest.mark.parametrize("ext", ["vcf", "bcf", "vcf.gz"])
 def test_vcf_vaf_parity(patterns, tmp_path, ext):
     ref = _need("vcf-vaf-counter")
