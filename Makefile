@@ -29,10 +29,11 @@ bench:
 fixtures:
 	$(PY) scripts/make_fixtures.py
 
-# reference oracle binaries for the golden tests (htslib ones are
-# documented in .claude/skills/verify/SKILL.md)
+# reference oracle binaries for the golden tests, built by running the
+# counter goldens once (fixtures compile into tests/refbin/; the htslib
+# oracles are documented in .claude/skills/verify/SKILL.md)
 oracles:
-	$(PY) -m pytest tests/test_golden_counters.py -q -x --co -q >/dev/null
+	$(PY) -m pytest tests/test_golden_counters.py -q
 
 panels:
 	$(PY) scripts/fetch_snp_panels.py

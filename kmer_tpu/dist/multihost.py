@@ -83,7 +83,7 @@ def count_multihost(paths: Sequence[str], k: int,
     n_dev = len(jax.devices())
     n_local = len(jax.local_devices())
     if lanes_per_dest is None:
-        lanes_per_dest = (int(block / n_dev * 1.3) // 128) * 128 + 256
+        lanes_per_dest = sharded.default_lanes_per_dest(block, n_dev)
     eng = sharded.ShardedSortEngine(mesh, k, lanes_per_dest=lanes_per_dest)
     global_sharding = NamedSharding(mesh, P(("data", "shard"), None))
 
@@ -111,5 +111,11 @@ def count_multihost(paths: Sequence[str], k: int,
             global_sharding, local
         )
         eng.add_batch(global_rows)
+    if eng.total_dropped:
+        raise RuntimeError(
+            f"routing buffers overflowed: {eng.total_dropped} k-mers "
+            f"dropped (lanes_per_dest={lanes_per_dest} too small for this "
+            "input's key skew — rerun with a larger lanes_per_dest)"
+        )
     h = eng.hist(n_bins, max_count=max_count, min_keep=min_keep)
     return h, eng._n_distinct

@@ -43,6 +43,15 @@ from ..kernels.kmer import extract_canonical
 from ..table import count_table as ct
 
 
+def default_lanes_per_dest(block: int, n_dev: int) -> int:
+    """Send-buffer lanes per destination for a given block size: the
+    expected block/n_dev keys per device plus 30% Poisson slack, rounded
+    to the lane quantum.  Callers must still check total_dropped — a
+    pathologically low-complexity input (poly-A, adapter dimers) can
+    concentrate arbitrarily many identical k-mers on one destination."""
+    return (int(block / n_dev * 1.3) // 128) * 128 + 256
+
+
 def make_mesh(devices=None, data: Optional[int] = None, shard: Optional[int] = None) -> Mesh:
     """Build a ("data", "shard") mesh.  With no sizes given, picks the
     most square power-of-two-ish factorization of the device count."""
@@ -241,25 +250,58 @@ def sharded_extract_step_fn(mesh: Mesh, k: int, lanes_per_dest: int):
 
 
 def sharded_hist_from_chunks_fn(mesh: Mesh, n_bins: int, max_count=None,
-                                min_keep: int = 1):
+                                min_keep: int = 1, weighted: bool = False):
     """Jitted global histogram over accumulated owned-key chunks:
     per-device sort + segment reduction (the single-chip engine's XLA
     core) + psum over both axes.  Keys are uniquely owned (see
     sharded_extract_step_fn), so local histograms sum exactly."""
     from ..table.compactor import hist_core
 
-    def per_device(hi, lo):
-        h, nd = hist_core(hi[0, 0], lo[0, 0], hi[0, 0], n_bins, max_count,
-                          min_keep, False)
+    def per_device(hi, lo, cnt=None):
+        h, nd = hist_core(hi[0, 0], lo[0, 0],
+                          cnt[0, 0] if weighted else hi[0, 0],
+                          n_bins, max_count, min_keep, weighted)
         h = jax.lax.psum(jax.lax.psum(h, "shard"), "data")
         nd = jax.lax.psum(jax.lax.psum(nd, "shard"), "data")
         return h, nd
 
+    spec = P("data", "shard", None)
     fn = shard_map(
         per_device,
         mesh=mesh,
-        in_specs=(P("data", "shard", None), P("data", "shard", None)),
+        in_specs=(spec, spec, spec) if weighted else (spec, spec),
         out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def sharded_compact_fn(mesh: Mesh):
+    """Jitted per-device compaction: fold each device's (keys, counts)
+    lanes into unique (key, count) pairs (sort + segment sums, the
+    single-chip compactor's core) — the distributed analog of
+    KmerCompactor.compact, bounding memory on long streams.  Returns
+    (chi, clo, ccnt) full-length with sentinel/zero tails plus the
+    per-device unique count (callers slice to the max)."""
+    from ..table.compactor import _compact_impl
+
+    def per_device(hi, lo, cnt):
+        chi, clo, ccnt, nu = _compact_impl(
+            hi[0, 0], lo[0, 0], cnt[0, 0], has_counts=True
+        )
+        return (
+            chi[None, None],
+            clo[None, None],
+            ccnt[None, None],
+            nu[None, None],
+        )
+
+    spec = P("data", "shard", None)
+    fn = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=(spec, spec, spec, P("data", "shard")),
         check_vma=False,
     )
     return jax.jit(fn)
@@ -270,15 +312,22 @@ class ShardedSortEngine:
 
     Each step consumes one (D*S, block) batch of packed ASCII rows,
     extracts and routes k-mers to their owning device (all_to_all over
-    ICI), and appends the owned chunk to a per-device run list; hist()
-    concatenates the chunks device-side and reduces.  This is the
-    distributed form of kmer_tpu.pipeline.counter.SortCountEngine."""
+    ICI), and appends the owned chunk to a per-device run list; when the
+    per-device run bytes exceed budget_bytes the runs fold into unique
+    (key, count) pairs (compaction by sort, as in the single-chip
+    compactor), bounding memory on long streams.  hist() concatenates
+    the state device-side and reduces.  This is the distributed form of
+    kmer_tpu.pipeline.counter.SortCountEngine."""
 
-    def __init__(self, mesh: Mesh, k: int, lanes_per_dest: int):
+    def __init__(self, mesh: Mesh, k: int, lanes_per_dest: int,
+                 budget_bytes: int = 6 << 30):
         self.mesh = mesh
         self.k = k
         self.step = sharded_extract_step_fn(mesh, k, lanes_per_dest)
+        self.budget_bytes = budget_bytes
         self.chunks = []
+        self.weighted = None  # (hi, lo, cnt) compacted (D, S, L) planes
+        self._bytes = 0  # per-device run bytes
         self.total_kmers = 0
         self.total_dropped = 0
 
@@ -286,21 +335,68 @@ class ShardedSortEngine:
         """Drop accumulated state, keeping compiled steps (for reuse
         across runs/benchmarks)."""
         self.chunks = []
+        self.weighted = None
+        self._bytes = 0
         self.total_kmers = 0
         self.total_dropped = 0
 
     def add_batch(self, ascii_rows) -> None:
         hi, lo, nk, nd = self.step(ascii_rows)
         self.chunks.append((hi, lo))
+        self._bytes += hi.shape[2] * 8
         self.total_kmers += int(nk)
         self.total_dropped += int(nd)
+        if self._bytes > self.budget_bytes:
+            self.compact()
+
+    def _merged_planes(self):
+        """Per-device (hi, lo, cnt) over raw chunks (implicit count 1)
+        and any compacted state."""
+        his = [c[0] for c in self.chunks]
+        los = [c[1] for c in self.chunks]
+        cnts = [jnp.ones_like(c[0]) for c in self.chunks]
+        if self.weighted is not None:
+            his.append(self.weighted[0])
+            los.append(self.weighted[1])
+            cnts.append(self.weighted[2])
+        return (
+            jnp.concatenate(his, axis=2),
+            jnp.concatenate(los, axis=2),
+            jnp.concatenate(cnts, axis=2),
+        )
+
+    def compact(self) -> None:
+        hi, lo, cnt = self._merged_planes()
+        fn = sharded_compact_fn(self.mesh)
+        chi, clo, ccnt, nu = fn(hi, lo, cnt)
+        # slice every device to the largest unique count (static shape),
+        # rounded to a size class; tails are sentinel keys with count 0
+        nu_max = int(np.max(np.asarray(nu)))
+        size = min(max(1 << 16, 1 << (max(nu_max - 1, 1)).bit_length()),
+                   chi.shape[2])
+        self.weighted = (
+            chi[:, :, :size], clo[:, :, :size], ccnt[:, :, :size]
+        )
+        self.chunks = []
+        self._bytes = size * 12
 
     def hist(self, n_bins: int, max_count=None, min_keep: int = 1):
-        assert self.chunks, "no batches counted"
-        hi = jnp.concatenate([c[0] for c in self.chunks], axis=2)
-        lo = jnp.concatenate([c[1] for c in self.chunks], axis=2)
-        fn = sharded_hist_from_chunks_fn(self.mesh, n_bins, max_count, min_keep)
-        h, nd = fn(hi, lo)
+        if not self.chunks and self.weighted is None:
+            self._n_distinct = 0  # no input: empty histogram, like the
+            return np.zeros((n_bins,), np.int32)  # single-chip compactor
+        if self.weighted is None and self.chunks:
+            hi = jnp.concatenate([c[0] for c in self.chunks], axis=2)
+            lo = jnp.concatenate([c[1] for c in self.chunks], axis=2)
+            fn = sharded_hist_from_chunks_fn(
+                self.mesh, n_bins, max_count, min_keep
+            )
+            h, nd = fn(hi, lo)
+        else:
+            hi, lo, cnt = self._merged_planes()
+            fn = sharded_hist_from_chunks_fn(
+                self.mesh, n_bins, max_count, min_keep, weighted=True
+            )
+            h, nd = fn(hi, lo, cnt)
         self._n_distinct = int(nd)
         return np.asarray(h)
 

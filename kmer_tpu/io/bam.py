@@ -252,6 +252,9 @@ class SamTextReader:
                     cigar.append((_CIGAR_CODE[ch], int(num)))
                     num = ""
         seq = fields[9].decode()
+        # htslib normalization: '*' means no sequence stored (l_qseq=0);
+        # lowercase bases map through seq_nt16_table to uppercase
+        seq = "" if seq == "*" else seq.upper()
         return BamRecord(tid=tid, pos=pos, flag=flag, cigar=cigar, seq=seq)
 
     def records(self) -> Iterator[BamRecord]:

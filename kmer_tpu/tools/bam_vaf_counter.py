@@ -29,7 +29,10 @@ def count_base_at_position(rec, ref_pos: int, ref_base: str, alt_base: str):
     for op, ln in rec.cigar:
         if op in (0, 7, 8):  # M, =, X
             if cur <= ref_pos < cur + ln:
-                base = rec.seq[read_pos + (ref_pos - cur)]
+                i = read_pos + (ref_pos - cur)
+                if i >= len(rec.seq):  # record without stored SEQ ('*')
+                    return None
+                base = rec.seq[i]
                 if base == ref_base:
                     return "ref"
                 if base == alt_base:

@@ -76,9 +76,11 @@ def main():
     block = args.bases_per_device
     # lanes must hold ~block/n_dev keys per destination with slack
     results = {}
+    from kmer_tpu.dist.sharded import default_lanes_per_dest
+
     n = 1
     while n <= len(devs):
-        lanes = int(block / n * 1.3) // 128 * 128 + 256
+        lanes = default_lanes_per_dest(block, n)
         mbs = run(devs[:n], block, args.batches, lanes)
         results[n] = mbs
         eff = mbs / (n * results[1]) if n > 1 else 1.0

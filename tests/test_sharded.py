@@ -133,3 +133,36 @@ def test_multihost_single_process_path():
     want = eng.hist(256, max_count=1023)
     assert np.array_equal(h, want.astype(h.dtype))
     assert nd == eng._n_distinct
+
+
+def test_sharded_engine_compaction_preserves_hist():
+    """A tiny budget forces mid-stream compaction (raw chunks fold into
+    weighted unique-key planes per device); the final histogram must be
+    unchanged."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from kmer_tpu.table.compactor import KmerCompactor
+    from kmer_tpu.pipeline.counter import _extract_step
+
+    mesh = sharded.make_mesh(jax.devices()[:8], data=2, shard=4)
+    k, block, lanes = 21, 2048, 1024
+    batches = [np.stack([_random_ascii(block) for _ in range(8)])
+               for _ in range(3)]
+    batches.append(batches[0])  # repeat a batch -> cross-compaction dups
+
+    eng = sharded.ShardedSortEngine(mesh, k, lanes_per_dest=lanes,
+                                    budget_bytes=1)  # compact every batch
+    for b in batches:
+        eng.add_batch(jnp.asarray(b))
+    assert eng.total_dropped == 0
+    assert eng.weighted is not None  # compaction actually happened
+    got = eng.hist(256, max_count=1023)
+
+    comp = KmerCompactor()
+    for b in batches:
+        for row in b:
+            hi, lo, _nk = _extract_step(jnp.asarray(row), k)
+            comp.add_raw(hi, lo)
+    want, want_nd = comp.hist(256, max_count=1023)
+    assert np.array_equal(got, want.astype(got.dtype))
+    assert eng._n_distinct == want_nd
