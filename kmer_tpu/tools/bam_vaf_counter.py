@@ -18,7 +18,7 @@ import sys
 
 from ..io.bam import FDUP, FQCFAIL, FUNMAP, BaiIndex, open_alignment
 from ..io.formats import read_patterns, write_vaf_file
-from ..utils.cli import ketopt
+from ..utils.cli import c_atoi, ketopt
 from ..utils.log import minfo
 
 
@@ -137,7 +137,7 @@ def main(argv=None):
         elif c == "o":
             out_fn = a
         elif c == "t":
-            n_thread = int(a)
+            n_thread = c_atoi(a)
     if not pattern_fn or not out_fn or len(pos) < 1:
         e = sys.stderr
         e.write(

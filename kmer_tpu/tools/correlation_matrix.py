@@ -17,7 +17,7 @@ import math
 import sys
 
 from ..io.formats import read_vaf_file, write_corr_matrix
-from ..utils.cli import ketopt
+from ..utils.cli import c_atoi, ketopt
 from ..utils.log import minfo
 
 MAX_SNPS = 100000
@@ -102,10 +102,10 @@ def main(argv=None):
         elif c == "t":
             build_tree_flag = True
         elif c == "m":
-            min_snps = int(a)
+            min_snps = c_atoi(a)
             custom_min_snps = True
         elif c == "d":
-            min_depth = int(a)
+            min_depth = c_atoi(a)
             custom_min_depth = True
         elif c == "M":
             mode = a

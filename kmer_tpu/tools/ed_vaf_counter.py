@@ -22,7 +22,7 @@ from ..io.fastx import FastxReader
 from ..io.formats import read_patterns, write_vaf_file
 from ..kernels.encode import SEQ_NT4_NP
 from ..kernels.myers import build_peq, myers_hw_counts
-from ..utils.cli import ketopt
+from ..utils.cli import c_atoi, ketopt
 from ..utils.log import minfo
 
 READ_BATCH = 256
@@ -102,7 +102,7 @@ def main(argv=None):
         elif c == "o":
             out_fn = a
         elif c == "e":
-            max_e = int(a)
+            max_e = c_atoi(a)
     if not pattern_fn or not out_fn or len(pos) < 1:
         e = sys.stderr
         e.write(

@@ -22,7 +22,7 @@ from __future__ import annotations
 import sys
 
 from ..pipeline.counter import SortCountEngine
-from ..utils.cli import ketopt
+from ..utils.cli import c_atoi, ketopt
 
 KC_BITS = 10  # kc-c2.c:10 / kc-c4.c:11
 
@@ -60,7 +60,7 @@ def main_kc_c1(argv=None):
     opts, pos = ketopt(argv, "k:")
     for c, a in opts:
         if c == "k":
-            k = int(a)
+            k = c_atoi(a)
     if len(pos) < 1:
         sys.stderr.write(f"Usage: kc-c1 [-k {k}] <in.fa>\n")
         return 1
@@ -75,9 +75,9 @@ def main_kc_c2(argv=None):
     opts, pos = ketopt(argv, "k:p:")
     for c, a in opts:
         if c == "k":
-            k = int(a)
+            k = c_atoi(a)
         elif c == "p":
-            p = int(a)
+            p = c_atoi(a)
     if len(pos) < 1:
         sys.stderr.write(f"Usage: kc-c2 [-k {k}] [-p {p}] <in.fa>\n")
         return 1
@@ -95,11 +95,11 @@ def main_kc_c3(argv=None):
     opts, pos = ketopt(argv, "k:p:b:")
     for c, a in opts:
         if c == "k":
-            k = int(a)
+            k = c_atoi(a)
         elif c == "p":
-            p = int(a)
+            p = c_atoi(a)
         elif c == "b":
-            block_size = int(a)
+            block_size = c_atoi(a)
     if len(pos) < 1:
         sys.stderr.write("Usage: kc-c3 [options] <in.fa>\n")
         sys.stderr.write("Options:\n")
@@ -121,13 +121,13 @@ def main_kc_c4(argv=None):
     opts, pos = ketopt(argv, "k:p:b:t:")
     for c, a in opts:
         if c == "k":
-            k = int(a)
+            k = c_atoi(a)
         elif c == "p":
-            p = int(a)
+            p = c_atoi(a)
         elif c == "b":
-            block_size = int(a)
+            block_size = c_atoi(a)
         elif c == "t":
-            n_thread = int(a)
+            n_thread = c_atoi(a)
     if len(pos) < 1:
         sys.stderr.write("Usage: kc-c4 [options] <in.fa>\n")
         sys.stderr.write("Options:\n")
@@ -151,7 +151,7 @@ def main_kc_cpp1(argv=None):
     opts, pos = ketopt(argv, "k:")
     for c, a in opts:
         if c == "k":
-            k = int(a)
+            k = c_atoi(a)
     if len(pos) < 1:
         sys.stderr.write(f"Usage: kc-cpp1 [-k {k}] <in.fa>\n")
         return 1

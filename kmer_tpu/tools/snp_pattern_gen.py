@@ -20,7 +20,7 @@ import numpy as np
 from ..io.fastx import FastxReader
 from ..io.formats import read_bed_snps, write_pattern_row
 from ..pipeline.counter import SortCountEngine
-from ..utils.cli import ketopt
+from ..utils.cli import c_atoi, ketopt
 from ..utils.log import minfo
 from ..utils.seq import canonical_kmer, encode_kmer, hash64_np
 
@@ -47,7 +47,7 @@ def main(argv=None):
     opts, _pos = ketopt(argv, "k:b:f:o:")
     for c, a in opts:
         if c == "k":
-            k = int(a)
+            k = c_atoi(a)
         elif c == "b":
             bed_fn = a
         elif c == "f":

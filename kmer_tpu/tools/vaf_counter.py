@@ -28,7 +28,7 @@ import numpy as np
 
 from ..io.formats import read_patterns, write_vaf_file
 from ..pipeline.counter import SortCountEngine
-from ..utils.cli import ketopt
+from ..utils.cli import c_atoi, ketopt
 from ..utils.log import minfo, verbose, warn
 from ..utils.seq import canonical_kmer, encode_kmer, hash64_np
 
@@ -77,15 +77,15 @@ def main(argv=None):
     opts, pos = ketopt(argv, "k:p:o:t:b:v")
     for c, a in opts:
         if c == "k":
-            k = int(a)
+            k = c_atoi(a)
         elif c == "p":
             pattern_fn = a
         elif c == "o":
             out_fn = a
         elif c == "t":
-            n_thread = int(a)
+            n_thread = c_atoi(a)
         elif c == "b":
-            block_size = int(a)
+            block_size = c_atoi(a)
         elif c == "v":
             verbose_mode = True
     if not pattern_fn or not out_fn or len(pos) < 1:

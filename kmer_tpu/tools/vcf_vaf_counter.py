@@ -13,7 +13,7 @@ import sys
 
 from ..io.formats import read_patterns, write_vaf_file
 from ..io.vcf import INT32_MISSING, read_vcf
-from ..utils.cli import ketopt
+from ..utils.cli import c_atoi, ketopt
 from ..utils.log import minfo
 
 
@@ -82,9 +82,9 @@ def main(argv=None):
         elif c == "v":
             vcf_fn = a
         elif c == "s":
-            sample_idx = int(a)
+            sample_idx = c_atoi(a)
         elif c == "d":
-            min_depth = int(a)
+            min_depth = c_atoi(a)
     if not pattern_fn or not out_fn or not vcf_fn:
         e = sys.stderr
         e.write(

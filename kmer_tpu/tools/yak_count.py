@@ -11,7 +11,7 @@ from ..pipeline.yak import (
     YakEngine,
     yak_count_file,
 )
-from ..utils.cli import ketopt
+from ..utils.cli import c_atoi, ketopt
 
 
 def main(argv=None):
@@ -20,17 +20,17 @@ def main(argv=None):
     opts, pos = ketopt(argv, "k:p:K:t:b:H:")
     for c, a in opts:
         if c == "k":
-            k = int(a)
+            k = c_atoi(a)
         elif c == "p":
-            pre = int(a)
+            pre = c_atoi(a)
         elif c == "K":
-            chunk = int(a)
+            chunk = c_atoi(a)
         elif c == "t":
-            n_thread = int(a)
+            n_thread = c_atoi(a)
         elif c == "b":
-            bf_shift = int(a)
+            bf_shift = c_atoi(a)
         elif c == "H":
-            bf_n_hash = int(a)
+            bf_n_hash = c_atoi(a)
     if len(pos) < 1:
         e = sys.stderr
         e.write("Usage: yak-count [options] <in.fa> [in.fa]\n")

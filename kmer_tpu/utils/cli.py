@@ -52,3 +52,20 @@ def ketopt(argv: List[str], ostr: str) -> Tuple[List[Tuple[str, str]], List[str]
             j += 1
         i += 1
     return opts, pos
+
+
+def c_atoi(s: str) -> int:
+    """C atoi/atol semantics for numeric flags: parse the leading
+    decimal integer (optional sign), ignore trailing characters, 0 when
+    none — the reference tools parse every numeric option this way
+    (e.g. `yak-count -K100m` means 100)."""
+    s = s.strip()
+    i = 0
+    if i < len(s) and s[i] in "+-":
+        i += 1
+    j = i
+    while j < len(s) and s[j].isdigit():
+        j += 1
+    if j == i:
+        return 0
+    return int(s[:j])
