@@ -297,6 +297,15 @@ class KmerCompactor:
             )
         else:
             out = _counts_for_raw_impl(hi, lo, jnp.asarray(qhi), jnp.asarray(qlo))
+            if os.environ.get("KMER_TPU_DEBUG"):
+                # cross-check the position-arithmetic fast path against
+                # the cumsum-based general implementation
+                out2 = _counts_for_impl(
+                    hi, lo, hi, jnp.asarray(qhi), jnp.asarray(qlo), False
+                )
+                assert np.array_equal(
+                    np.asarray(out)[:q], np.asarray(out2)[:q]
+                ), "KMER_TPU_DEBUG: counts_for fast/general path mismatch"
         return np.asarray(out)[:q].astype(np.int64)[inverse]
 
 

@@ -14,13 +14,14 @@ for ch, code in (("A", 0), ("C", 1), ("G", 2), ("T", 3), ("U", 3)):
 def hash64_np(key, mask):
     key = np.asarray(key, np.uint64)
     mask = np.uint64(mask)
-    key = (~key + (key << np.uint64(21))) & mask
-    key = key ^ key >> np.uint64(24)
-    key = ((key + (key << np.uint64(3))) + (key << np.uint64(8))) & mask
-    key = key ^ key >> np.uint64(14)
-    key = ((key + (key << np.uint64(2))) + (key << np.uint64(4))) & mask
-    key = key ^ key >> np.uint64(28)
-    key = (key + (key << np.uint64(31))) & mask
+    with np.errstate(over="ignore"):  # mod-2^64 wraparound is the point
+        key = (~key + (key << np.uint64(21))) & mask
+        key = key ^ key >> np.uint64(24)
+        key = ((key + (key << np.uint64(3))) + (key << np.uint64(8))) & mask
+        key = key ^ key >> np.uint64(14)
+        key = ((key + (key << np.uint64(2))) + (key << np.uint64(4))) & mask
+        key = key ^ key >> np.uint64(28)
+        key = (key + (key << np.uint64(31))) & mask
     return key
 
 
