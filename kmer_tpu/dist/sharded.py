@@ -219,17 +219,34 @@ def sharded_extract_step_fn(mesh: Mesh, k: int, lanes_per_dest: int):
     n_dev = mesh.shape["data"] * mesh.shape["shard"]
 
     def per_device(ascii_row):
-        codes = encode_bases(ascii_row[0])
-        out = extract_canonical(codes, k, apply_hash64=True)
-        dest = (out.kmer.lo & jnp.uint32(n_dev - 1)).astype(jnp.int32)
+        if jax.default_backend() == "tpu" and k < 32:
+            # the fused Pallas extraction (kernels/extract_tpu.py); pad
+            # to its tile quantum — zero bytes are invalid bases
+            from ..kernels.extract_tpu import extract_hashed_tpu
+
+            row = ascii_row[0]
+            pad = (-row.shape[0]) % (512 * 128)
+            if pad:
+                row = jnp.concatenate([row, jnp.zeros((pad,), jnp.uint8)])
+            e_hi, e_lo, _nk = extract_hashed_tpu(row, k, tile_rows=512)
+            kmer = u.U64(e_hi, e_lo)
+            valid = ~(
+                (e_hi == jnp.uint32(0xFFFFFFFF))
+                & (e_lo == jnp.uint32(0xFFFFFFFF))
+            )
+        else:
+            codes = encode_bases(ascii_row[0])
+            out = extract_canonical(codes, k, apply_hash64=True)
+            kmer, valid = out.kmer, out.valid
+        dest = (kmer.lo & jnp.uint32(n_dev - 1)).astype(jnp.int32)
         s_hi, s_lo, n_drop = _bucketize_by_sort(
-            out.kmer, out.valid, dest, n_dev, lanes_per_dest
+            kmer, valid, dest, n_dev, lanes_per_dest
         )
         axes = ("data", "shard")
         r_hi = jax.lax.all_to_all(s_hi, axes, 0, 0, tiled=True)
         r_lo = jax.lax.all_to_all(s_lo, axes, 0, 0, tiled=True)
         n_k = jax.lax.psum(
-            jax.lax.psum(jnp.sum(out.valid.astype(jnp.int32)), "shard"), "data"
+            jax.lax.psum(jnp.sum(valid.astype(jnp.int32)), "shard"), "data"
         )
         n_d = jax.lax.psum(jax.lax.psum(n_drop, "shard"), "data")
         return (
