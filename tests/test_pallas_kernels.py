@@ -96,3 +96,35 @@ def test_seghist_bins_interpret():
     if fin_len >= 2:
         got = np.concatenate([got, [min(fin_len, 255)]])
     assert np.array_equal(np.sort(got.astype(np.int64)), np.sort(want))
+
+
+@pytest.mark.parametrize("k", [5, 21, 31])
+def test_extract_rows_matches_flat(k):
+    """The uniform-read rows fast path must yield exactly the valid-lane
+    multiset of the flat path (it only removes lanes that are invalid by
+    layout)."""
+    from kmer_tpu.pipeline.counter import _extract_step, _extract_step_rows
+
+    L = 151
+    n_rows = 400
+    rng = np.random.default_rng(7)
+    buf = np.zeros(1 << 16, np.uint8)
+    reads = rng.choice(np.frombuffer(b"ACGTN", np.uint8), size=(n_rows, L),
+                       p=[0.24, 0.24, 0.24, 0.24, 0.04])
+    flat = np.zeros((n_rows, L + 1), np.uint8)
+    flat[:, :L] = reads
+    packed = flat.reshape(-1)
+    buf[: packed.size] = packed
+
+    fhi, flo, fnk = _extract_step(jnp.asarray(buf), k)
+    rhi, rlo, rnk = _extract_step_rows(jnp.asarray(buf), k, L + 1)
+    assert int(fnk) == int(rnk)
+
+    def multiset(hi, lo):
+        hi = np.asarray(hi).astype(np.uint64)
+        lo = np.asarray(lo).astype(np.uint64)
+        keys = (hi << np.uint64(32)) | lo
+        keys = keys[keys != np.uint64(0xFFFFFFFFFFFFFFFF)]
+        return np.sort(keys)
+
+    assert np.array_equal(multiset(fhi, flo), multiset(rhi, rlo))
