@@ -42,33 +42,44 @@ GENOME_MB = 24
 
 
 def make_blocks(rng):
-    """Reads sampled from a synthetic genome so counts have structure."""
-    genome = rng.integers(0, 4, size=GENOME_MB * 1 << 20, dtype=np.uint8)
-    acgt = np.frombuffer(b"ACGT", np.uint8)
-    blocks = []
+    """Reads sampled from a synthetic genome so counts have structure.
+
+    Generated ON DEVICE (jax PRNG + gather) — uploading ~400 MB of host
+    blocks through this box's TPU tunnel is slow and its bandwidth
+    varies wildly, which must not gate the measured section's setup."""
+    del rng
     reads_per_block = BLOCK // (READ_LEN + 1)
-    for _ in range(N_BLOCKS):
-        starts = rng.integers(0, len(genome) - READ_LEN, size=reads_per_block)
-        idx = starts[:, None] + np.arange(READ_LEN)[None, :]
-        codes = genome[idx]
-        err = rng.random(codes.shape) < 0.005
-        codes = np.where(err, rng.integers(0, 4, size=codes.shape, dtype=np.uint8), codes)
-        ascii_reads = acgt[codes]
-        buf = np.zeros((reads_per_block, READ_LEN + 1), np.uint8)
-        buf[:, :READ_LEN] = ascii_reads
+    genome = jax.random.randint(
+        jax.random.key(1), (GENOME_MB * 1 << 20,), 0, 4, dtype=jnp.uint8
+    )
+    acgt = jnp.asarray(np.frombuffer(b"ACGT", np.uint8))
+
+    @jax.jit
+    def gen_block(key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        starts = jax.random.randint(
+            k1, (reads_per_block,), 0, genome.shape[0] - READ_LEN
+        )
+        idx = starts[:, None] + jnp.arange(READ_LEN)[None, :]
+        codes = jnp.take(genome, idx)
+        err = jax.random.uniform(k2, codes.shape) < 0.005
+        codes = jnp.where(
+            err, jax.random.randint(k3, codes.shape, 0, 4, dtype=jnp.uint8), codes
+        )
+        buf = jnp.zeros((reads_per_block, READ_LEN + 1), jnp.uint8)
+        buf = buf.at[:, :READ_LEN].set(jnp.take(acgt, codes))
         flat = buf.reshape(-1)
-        out = np.zeros(BLOCK, np.uint8)
-        out[: len(flat)] = flat
-        blocks.append(out)
-    return blocks
+        return jnp.zeros(BLOCK, jnp.uint8).at[: flat.shape[0]].set(flat)
+
+    keys = jax.random.split(jax.random.key(2), N_BLOCKS)
+    return [gen_block(k) for k in keys]
 
 
 def main():
-    rng = np.random.default_rng(0)
     t0 = time.time()
-    blocks = [jnp.asarray(b) for b in make_blocks(rng)]
-    jax.block_until_ready(blocks[-1])
-    gen_s = time.time() - t0
+    blocks = make_blocks(None)
+    _ = np.asarray(blocks[-1][:1])  # real sync (block_until_ready is a
+    gen_s = time.time() - t0        # no-op through the tunnel)
 
     # warmup pass: compiles every program at the measured shapes (the
     # reference's elapsed time likewise excludes its compiler)
