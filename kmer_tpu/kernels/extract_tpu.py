@@ -188,6 +188,12 @@ def _extract_kernel(ascii_ref, halo_ref, hi_ref, lo_ref, nk_ref, acc_ref,
     take_fwd = (fwd_hi < rev_hi) | ((fwd_hi == rev_hi) & (fwd_lo <= rev_lo))
     can_hi = jnp.where(take_fwd, fwd_hi, rev_hi)
     can_lo = jnp.where(take_fwd, fwd_lo, rev_lo)
+    if k == 32:
+        # x86-64 reference semantics: mask = (1ULL << 64) - 1 evaluates
+        # with a mod-64 shift to 0, so every k=32 canonical key is 0
+        # (see kernels/kmer.py) — reproduced for bit-identical output
+        can_hi = jnp.zeros_like(can_hi)
+        can_lo = jnp.zeros_like(can_lo)
     if apply_hash64:
         can_hi, can_lo = _hash64_planes(can_hi, can_lo, 2 * k)
 

@@ -71,6 +71,13 @@ def extract_canonical(codes: jnp.ndarray, k: int, apply_hash64: bool = True) -> 
     fwd = u.U64(fwd_hi, fwd_lo)
     rev = u.U64(rev_hi, rev_lo)
     canon = u.min_(fwd, rev)
+    if k == 32:
+        # x86-64 reference semantics: `mask = (1ULL << k*2) - 1` shifts
+        # by 64, which x86 computes mod 64, giving mask = 0 — the fwd
+        # key is always 0 and canonical = min(0, rev) = 0, so EVERY
+        # valid window counts as one key (kc-c1 -k32 prints one distinct
+        # k-mer).  Reproduced for bit-identical output.
+        canon = u.U64(jnp.zeros_like(canon.hi), jnp.zeros_like(canon.lo))
 
     # validity: no invalid base within the trailing window of k positions
     bad_i32 = is_bad.astype(jnp.int32)

@@ -26,8 +26,12 @@ def hash64_np(key, mask):
 
 
 def rolling_kmers(seq: bytes, k: int, do_hash=False):
-    """Per-position canonical k-mers of one sequence, scalar rolling loop."""
-    mask = (1 << (2 * k)) - 1
+    """Per-position canonical k-mers of one sequence, scalar rolling loop.
+
+    k == 32 reproduces the reference's x86-64 behavior: the C mask
+    expression `(1ULL << k*2) - 1` shifts by 64, which x86 computes
+    mod 64, giving mask 0 — every canonical key is 0."""
+    mask = 0 if k == 32 else (1 << (2 * k)) - 1
     shift = (k - 1) * 2
     x0 = x1 = 0
     l = 0

@@ -134,6 +134,11 @@ def test_py1_counter_parity(capsys):
     [
         ("kc-c1", ["-k21", READS]),
         ("kc-c1", ["-k31", GENOME]),
+        # k=32: the reference's mask expression shifts by 64 (x86 UB,
+        # computes mod 64 -> mask 0, all keys collapse to 0); we
+        # reproduce the x86-64 behavior bit-for-bit
+        ("kc-c1", ["-k32", READS]),
+        ("kc-c4", ["-k32", READS]),
         ("kc-c2", ["-k31", READS]),
         ("kc-c3", ["-k31", "-b1000000", READS]),
         ("kc-c4", ["-k31", "-t4", READS]),
