@@ -101,5 +101,95 @@ def main():
     return 1 if fails else 0
 
 
+
+def fuzz_pipeline(rounds=5, seed=0):
+    """Randomized full-pipeline parity: genome+BED -> snp-pattern-gen ->
+    vaf-counter -> correlation-matrix -> match-classifier, diffed
+    against the C binaries at every stage."""
+    rng = np.random.default_rng(seed)
+    fails = 0
+    for t in range(rounds):
+        k = int(rng.choice([11, 15, 21, 31]))
+        with tempfile.TemporaryDirectory() as d:
+            # genome: 2 chromosomes
+            chroms = {}
+            with open(f"{d}/g.fa", "w") as f:
+                for ci in range(2):
+                    ln = int(rng.integers(2000, 20000))
+                    s = "".join(rng.choice(list("ACGT"), size=ln))
+                    chroms[f"chr{ci+1}"] = s
+                    f.write(f">chr{ci+1}\n{s}\n")
+            # BED: random SNPs (some near edges, some duplicated pos)
+            with open(f"{d}/s.bed", "w") as f:
+                for si in range(int(rng.integers(10, 50))):
+                    cn = f"chr{int(rng.integers(1, 3))}"
+                    pos = int(rng.integers(0, len(chroms[cn])))
+                    ref = chroms[cn][pos]
+                    alt = rng.choice([c for c in "ACGT" if c != ref])
+                    f.write(f"{cn}\t{pos}\t{pos+1}\trs{si}\t{ref}\t{alt}\n")
+            args = ["-k" + str(k), "-b", f"{d}/s.bed", "-f", f"{d}/g.fa"]
+            subprocess.run([os.path.join(REFBIN, "snp-pattern-gen")] + args
+                           + ["-o", f"{d}/ref.pat"], capture_output=True, check=True)
+            import contextlib
+            from kmer_tpu.tools import get_tool
+            with contextlib.redirect_stdout(io.StringIO()):
+                rc = get_tool("snp-pattern-gen")(args + ["-o", f"{d}/tpu.pat"])
+            assert not rc
+            if open(f"{d}/tpu.pat").read() != open(f"{d}/ref.pat").read():
+                print(f"[FAIL] round {t} snp-pattern-gen k={k}")
+                fails += 1
+                continue
+            # reads: sample from genome with errors + some junk reads
+            vafs = {"ref": [], "tpu": []}
+            for s_i in range(2):
+                with open(f"{d}/r{s_i}.fq", "w") as f:
+                    for ri in range(int(rng.integers(50, 400))):
+                        cn = f"chr{int(rng.integers(1, 3))}"
+                        g = chroms[cn]
+                        L = int(rng.integers(max(k, 30), 150))
+                        st = int(rng.integers(0, max(len(g) - L, 1)))
+                        read = list(g[st : st + L])
+                        for _ in range(rng.poisson(0.5)):
+                            read[int(rng.integers(0, len(read)))] = str(
+                                rng.choice(list("ACGTN"))
+                            )
+                        f.write(f"@r{ri}\n{''.join(read)}\n+\n{'I'*len(read)}\n")
+                va = ["-k" + str(k), "-p", f"{d}/ref.pat",
+                      "-o", f"{d}/ref{s_i}.vaf", f"{d}/r{s_i}.fq"]
+                subprocess.run([os.path.join(REFBIN, "vaf-counter")] + va,
+                               capture_output=True, check=True)
+                with contextlib.redirect_stdout(io.StringIO()):
+                    rc = get_tool("vaf-counter")(
+                        ["-k" + str(k), "-p", f"{d}/ref.pat",
+                         "-o", f"{d}/tpu{s_i}.vaf", f"{d}/r{s_i}.fq"])
+                assert not rc
+                if open(f"{d}/tpu{s_i}.vaf").read() != open(f"{d}/ref{s_i}.vaf").read():
+                    print(f"[FAIL] round {t} vaf-counter sample {s_i} k={k}")
+                    fails += 1
+                    break
+            else:
+                # correlation + classifier
+                subprocess.run(
+                    [os.path.join(REFBIN, "correlation-matrix"), "-o",
+                     f"{d}/ref.corr", f"{d}/ref0.vaf", f"{d}/ref1.vaf"],
+                    capture_output=True, check=True)
+                with contextlib.redirect_stdout(io.StringIO()):
+                    rc = get_tool("correlation-matrix")(
+                        ["-o", f"{d}/tpu.corr", f"{d}/ref0.vaf", f"{d}/ref1.vaf"])
+                assert not rc
+                if open(f"{d}/tpu.corr").read() != open(f"{d}/ref.corr").read():
+                    print(f"[FAIL] round {t} correlation-matrix")
+                    fails += 1
+                    continue
+                print(f"[ok] pipeline round {t} k={k}")
+    print(f"pipeline done: {rounds - fails}/{rounds} clean")
+    return fails
+
+
 if __name__ == "__main__":
+    if "--pipeline" in sys.argv:
+        sys.argv.remove("--pipeline")
+        rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+        seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+        sys.exit(1 if fuzz_pipeline(rounds, seed) else 0)
     sys.exit(main())
