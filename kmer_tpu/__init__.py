@@ -19,18 +19,18 @@ __version__ = "0.1.0"
 
 import os as _os
 
-import jax as _jax
-
 # Persistent compilation cache: the CLI tools are separate processes and
 # the count/bloom kernels take tens of seconds to compile; caching makes
 # every invocation after the first start instantly (host analog of the
-# reference's ahead-of-time compiled binaries).
-_cache_dir = _os.environ.get(
-    "KMER_TPU_JAX_CACHE", _os.path.expanduser("~/.cache/kmer_tpu_jax")
+# reference's ahead-of-time compiled binaries).  Configured via env vars
+# (read by jax.config at import) so that host-only tools — bam/vcf-vaf-
+# counter, correlation-matrix, match-classifier — never pay the ~4 s
+# `import jax` cost.
+_os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    _os.environ.get(
+        "KMER_TPU_JAX_CACHE", _os.path.expanduser("~/.cache/kmer_tpu_jax")
+    ),
 )
-try:
-    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-except Exception:  # older jax without these flags
-    pass
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")

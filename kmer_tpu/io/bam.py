@@ -10,7 +10,6 @@ BAM records over BGZF; .bai = 5-level binning index (bin sizes 16 kb ..
 from __future__ import annotations
 
 import struct
-from dataclasses import dataclass
 from typing import Dict, Iterator, List, Optional, Tuple
 
 from .bgzf import BgzfReader
@@ -25,13 +24,53 @@ FDUP = 0x400
 CIGAR_OPS = "MIDNSHP=X"
 
 
-@dataclass
+# 256-entry nybble-pair -> 2-char decode table (vectorizes full-SEQ decode)
+_NYB2PAIR = [SEQ_NT16_STR[b >> 4] + SEQ_NT16_STR[b & 0xF] for b in range(256)]
+
+
 class BamRecord:
-    tid: int
-    pos: int
-    flag: int
-    cigar: List[Tuple[int, int]]  # (op, len); op indexes CIGAR_OPS
-    seq: str
+    """One alignment record.  CIGAR and SEQ decode lazily: the hot
+    consumer (bam-vaf-counter's sequential scan) discards most records
+    after the tid/flag check, so the per-base nybble decode must not run
+    for them (mirrors htslib handing out the raw bam1_t)."""
+
+    __slots__ = ("tid", "pos", "flag", "_cigar", "_cigar_raw", "l_seq",
+                 "_nyb", "_seq")
+
+    def __init__(self, tid, pos, flag, cigar=None, seq=None,
+                 cigar_raw=None, nyb=None, l_seq=None):
+        self.tid = tid
+        self.pos = pos
+        self.flag = flag
+        self._cigar = cigar
+        self._cigar_raw = cigar_raw
+        self._seq = seq
+        self._nyb = nyb
+        self.l_seq = len(seq) if seq is not None else (l_seq or 0)
+
+    @property
+    def cigar(self) -> List[Tuple[int, int]]:
+        """[(op, len)]; op indexes CIGAR_OPS."""
+        if self._cigar is None:
+            raw = self._cigar_raw
+            words = struct.unpack(f"<{len(raw) // 4}I", raw)
+            self._cigar = [(v & 0xF, v >> 4) for v in words]
+        return self._cigar
+
+    @property
+    def seq(self) -> str:
+        if self._seq is None:
+            self._seq = "".join(
+                map(_NYB2PAIR.__getitem__, self._nyb)
+            )[: self.l_seq]
+        return self._seq
+
+    def base_at(self, i: int) -> str:
+        """Single base without decoding the whole SEQ."""
+        if self._seq is not None:
+            return self._seq[i]
+        b = self._nyb[i >> 1]
+        return SEQ_NT16_STR[(b >> 4) if i & 1 == 0 else (b & 0xF)]
 
     def end_pos(self) -> int:
         """bam_endpos: pos + reference-consumed length (M/D/N/=/X)."""
@@ -88,18 +127,11 @@ class BamReader:
             _tlen,
         ) = struct.unpack("<iiBBHHHiiii", data[:32])
         off = 32 + l_read_name
-        cigar = []
-        for i in range(n_cigar):
-            v = struct.unpack("<I", data[off + 4 * i : off + 4 * i + 4])[0]
-            cigar.append((v & 0xF, v >> 4))
+        cigar_raw = data[off : off + 4 * n_cigar]
         off += 4 * n_cigar
         nybbles = data[off : off + (l_seq + 1) // 2]
-        seq_chars = []
-        for i in range(l_seq):
-            b = nybbles[i // 2]
-            code = (b >> 4) if i % 2 == 0 else (b & 0xF)
-            seq_chars.append(SEQ_NT16_STR[code])
-        return BamRecord(ref_id, pos, flag, cigar, "".join(seq_chars))
+        return BamRecord(ref_id, pos, flag, cigar_raw=cigar_raw,
+                         nyb=nybbles, l_seq=l_seq)
 
     def records(self) -> Iterator[BamRecord]:
         """Sequential scan of all records (sam_read1 fallback path)."""

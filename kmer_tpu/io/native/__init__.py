@@ -15,7 +15,10 @@ from typing import Iterator, Optional, Tuple
 import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_HERE, "fastx_reader.cpp")
+_SRCS = [
+    os.path.join(_HERE, "fastx_reader.cpp"),
+    os.path.join(_HERE, "bam_count.cpp"),
+]
 _SO = os.path.join(_HERE, "libkmerio.so")
 _lock = threading.Lock()
 _lib = None
@@ -31,7 +34,7 @@ def _build() -> bool:
         "-fPIC",
         "-o",
         _SO,
-        _SRC,
+        *_SRCS,
         "-lz",
     ]
     try:
@@ -47,7 +50,9 @@ def _load() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < max(
+            os.path.getmtime(s) for s in _SRCS
+        ):
             if not _build():
                 return None
         try:
@@ -68,12 +73,61 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.ktp_bam_count.restype = ctypes.c_int64
+        lib.ktp_bam_count.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         _lib = lib
         return _lib
 
 
 def available() -> bool:
+    if os.environ.get("KMER_TPU_NO_NATIVE"):  # force pure-Python paths
+        return False
     return _load() is not None
+
+
+def bam_count_native(path, tids, starts, refs, alts):
+    """Sequentially scan a BAM counting ref/alt bases at SNP positions
+    (native analog of the Python fallback in tools/bam_vaf_counter.py).
+
+    tids/starts must be sorted by (tid, start); refs/alts are ASCII base
+    codes (uint8).  Returns (ref_counts, alt_counts) int64 arrays, or
+    None when the native path is unavailable or the file is unreadable
+    as BAM (caller falls back to the Python reader)."""
+    if not available():
+        return None
+    lib = _load()
+    n = len(tids)
+    tids = np.ascontiguousarray(tids, np.int32)
+    starts = np.ascontiguousarray(starts, np.int32)
+    refs = np.ascontiguousarray(refs, np.uint8)
+    alts = np.ascontiguousarray(alts, np.uint8)
+    ref_counts = np.zeros(n, np.int64)
+    alt_counts = np.zeros(n, np.int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    rc = lib.ktp_bam_count(
+        os.fsencode(path),
+        tids.ctypes.data_as(i32p),
+        starts.ctypes.data_as(i32p),
+        refs.ctypes.data_as(u8p),
+        alts.ctypes.data_as(u8p),
+        n,
+        ref_counts.ctypes.data_as(i64p),
+        alt_counts.ctypes.data_as(i64p),
+    )
+    if rc < 0:
+        return None
+    return ref_counts, alt_counts
 
 
 def iter_packed_native(

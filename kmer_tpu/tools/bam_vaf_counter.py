@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import os
 import sys
+from bisect import bisect_left
 
 from ..io.bam import FDUP, FQCFAIL, FUNMAP, BaiIndex, open_alignment
 from ..io.formats import read_patterns, write_vaf_file
@@ -30,9 +31,9 @@ def count_base_at_position(rec, ref_pos: int, ref_base: str, alt_base: str):
         if op in (0, 7, 8):  # M, =, X
             if cur <= ref_pos < cur + ln:
                 i = read_pos + (ref_pos - cur)
-                if i >= len(rec.seq):  # record without stored SEQ ('*')
+                if i >= rec.l_seq:  # record without stored SEQ ('*')
                     return None
-                base = rec.seq[i]
+                base = rec.base_at(i)
                 if base == ref_base:
                     return "ref"
                 if base == alt_base:
@@ -67,29 +68,41 @@ def build_regions(patterns):
 
 
 def _process_read(rec, by_tid, counts):
+    """Count this read's base at every overlapping SNP.
+
+    The reference scans its pattern array linearly per read
+    (bam-vaf-counter.c:303-317); output-equivalent but O(patterns) per
+    read.  Here the per-tid patterns are sorted by start and bisected,
+    so each read touches only its overlapping SNPs."""
     if rec.flag & (FUNMAP | FQCFAIL | FDUP):
         return
     pats = by_tid.get(rec.tid)
     if not pats:
         return
+    starts, entries = pats
     ref_end = rec.end_pos()
-    for j, pat in pats:
-        if pat.start < rec.pos or pat.start >= ref_end:
-            continue
+    i = bisect_left(starts, rec.pos)
+    while i < len(starts) and starts[i] < ref_end:
+        j, pat = entries[i]
         got = count_base_at_position(rec, pat.start, pat.ref, pat.alt)
         if got == "ref":
             counts[j][0] += 1
         elif got == "alt":
             counts[j][1] += 1
+        i += 1
 
 
 def count_bam_variants(fn, patterns, regions, counts):
     bam = open_alignment(fn)  # BAM or SAM text (sam_open analog)
-    by_tid = {}
+    grouped = {}
     for j, p in enumerate(patterns):
         tid = bam.name2tid.get(p.chr, -1)
         if tid >= 0:
-            by_tid.setdefault(tid, []).append((j, p))
+            grouped.setdefault(tid, []).append((j, p))
+    by_tid = {}
+    for tid, entries in grouped.items():
+        entries.sort(key=lambda e: e[1].start)
+        by_tid[tid] = ([p.start for _, p in entries], entries)
     idx = None
     # indexed access needs BGZF virtual offsets — BAM only, not SAM text
     cands = (
@@ -121,9 +134,39 @@ def count_bam_variants(fn, patterns, regions, counts):
             "count_bam_variants",
             f"Warning: failed to load BAM index for {fn}, processing all reads",
         )
-        for rec in bam.records():
-            _process_read(rec, by_tid, counts)
+        if not (hasattr(bam, "query") and _count_sequential_native(
+            fn, bam, patterns, counts
+        )):
+            for rec in bam.records():
+                _process_read(rec, by_tid, counts)
     bam.close()
+
+
+def _count_sequential_native(fn, bam, patterns, counts) -> bool:
+    """Whole-file scan in the C++ reader (io/native/bam_count.cpp);
+    returns False when unavailable so the Python loop runs instead."""
+    from ..io import native
+
+    order = []
+    for j, p in enumerate(patterns):
+        tid = bam.name2tid.get(p.chr, -1)
+        if tid >= 0 and len(p.ref) == 1 and len(p.alt) == 1:
+            order.append((tid, p.start, j))
+    if len(order) != len(patterns):  # odd patterns: keep one code path
+        return False
+    order.sort()
+    tids = [t for t, _, _ in order]
+    starts = [s for _, s, _ in order]
+    refs = [ord(patterns[j].ref) for _, _, j in order]
+    alts = [ord(patterns[j].alt) for _, _, j in order]
+    out = native.bam_count_native(fn, tids, starts, refs, alts)
+    if out is None:
+        return False
+    ref_counts, alt_counts = out
+    for i, (_, _, j) in enumerate(order):
+        counts[j][0] += int(ref_counts[i])
+        counts[j][1] += int(alt_counts[i])
+    return True
 
 
 def main(argv=None):

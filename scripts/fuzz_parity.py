@@ -186,121 +186,161 @@ def fuzz_pipeline(rounds=5, seed=0):
     return fails
 
 
+def _gen_sam_case(rng, d):
+    """Write a random pattern file ({d}/p.txt) and adversarial SAM
+    ({d}/a.sam): CIGARs with S/I/D/N/H clips, lowercase bases,
+    unmapped/dup/qcfail flags, off-reference positions."""
+    glen = int(rng.integers(2000, 8000))
+    g = "".join(rng.choice(list("ACGT"), size=glen))
+    k = 21
+    with open(f"{d}/s.bed", "w") as f:
+        for si in range(int(rng.integers(10, 40))):
+            pos = int(rng.integers(50, glen - 50))
+            ref = g[pos]
+            alt = rng.choice([c for c in "ACGT" if c != ref])
+            f.write(f"chr1\t{pos}\t{pos+1}\trs{si}\t{ref}\t{alt}\n")
+    with open(f"{d}/g.fa", "w") as f:
+        f.write(f">chr1\n{g}\n")
+    args = [f"-k{k}", "-b", f"{d}/s.bed", "-f", f"{d}/g.fa",
+            "-o", f"{d}/p.txt"]
+    subprocess.run([os.path.join(REFBIN, "snp-pattern-gen")] + args,
+                   capture_output=True, check=True)
+    # random SAM
+    with open(f"{d}/a.sam", "w") as f:
+        f.write("@HD\tVN:1.6\tSO:unknown\n")
+        f.write(f"@SQ\tSN:chr1\tLN:{glen}\n")
+        for ri in range(int(rng.integers(100, 500))):
+            pos = int(rng.integers(0, glen - 200))
+            flag = int(rng.choice([0, 16, 4, 256, 1024, 512],
+                                  p=[.5, .3, .05, .05, .05, .05]))
+            # build a random VALID CIGAR: optional leading/trailing
+            # soft/hard clips, middle ops M/I/D/N only (htslib
+            # rejects mid-CIGAR clips and the reference then stops
+            # reading at the first invalid record)
+            cig = []
+            if rng.random() < 0.3:
+                if rng.random() < 0.5:
+                    cig.append(f"{int(rng.integers(1, 20))}H")
+                cig.append(f"{int(rng.integers(1, 20))}S")
+            cig.append(f"{int(rng.integers(20, 60))}M")
+            for _ in range(int(rng.integers(0, 3))):
+                op = rng.choice(list("IDN"), p=[.4, .4, .2])
+                cig.append(f"{int(rng.integers(1, 30))}{op}")
+                cig.append(f"{int(rng.integers(10, 50))}M")
+            tail = []
+            if rng.random() < 0.3:
+                tail.append(f"{int(rng.integers(1, 20))}S")
+                if rng.random() < 0.5:
+                    tail.append(f"{int(rng.integers(1, 20))}H")
+            cig += tail
+            rp = pos + sum(int(p[:-1]) for p in cig if p[-1] in "MDN")
+            if rp > glen:
+                continue
+            seq_chars = []
+            # sequence roughly matching the reference at M ops
+            cur = pos
+            for piece in cig:
+                ln, op = int(piece[:-1]), piece[-1]
+                if op == "M":
+                    frag = list(g[cur:cur + ln])
+                    for _ in range(rng.poisson(0.5)):
+                        if frag:
+                            frag[int(rng.integers(0, len(frag)))] = str(
+                                rng.choice(list("ACGTN")))
+                    seq_chars += frag
+                    cur += ln
+                elif op in "IS":
+                    seq_chars += list(rng.choice(list("ACGT"), size=ln))
+                elif op in "DN":
+                    cur += ln
+            seq = "".join(seq_chars) or "*"
+            if rng.random() < 0.1:
+                seq = seq.lower()
+            # NOTE: '*' SEQ on mapped reads is deliberately NOT
+            # fuzzed: the reference reads stale bam1_t buffer
+            # memory past l_qseq=0 there (bam_seqi into the
+            # reused record buffer), so its counts on such
+            # records are undefined; we skip them (see
+            # io/bam.py SamTextReader and the CIGAR-walk bound
+            # check in tools/bam_vaf_counter.py).
+            if flag & 4:
+                cigar_s = "*"
+            else:
+                cigar_s = "".join(cig)
+            f.write(f"r{ri}\t{flag}\tchr1\t{pos+1}\t60\t{cigar_s}\t*\t0\t0\t{seq}\t*\n")
+
+
+def fuzz_sam(rounds=10, seed=0, bam=False):
+    """Randomized alignment parity for bam-vaf-counter.
+
+    bam=False: SAM text through both implementations (reference htslib
+    text parser vs io/bam.py SamTextReader).
+    bam=True: the SAM converted to real BGZF BAM (io/bamwrite.py), run
+    3-way — reference binary, our native C++ sequential scanner
+    (io/native/bam_count.cpp), and our pure-Python BamReader
+    (KMER_TPU_NO_NATIVE=1) — all byte-identical."""
+    rng = np.random.default_rng(seed)
+    import contextlib
+    from kmer_tpu.tools import get_tool
+
+    fails = 0
+    mode = "bam" if bam else "sam"
+    for t in range(rounds):
+        with tempfile.TemporaryDirectory() as d:
+            _gen_sam_case(rng, d)
+            aln = f"{d}/a.sam"
+            if bam:
+                from kmer_tpu.io.bamwrite import sam_to_bam
+
+                aln = f"{d}/a.bam"
+                sam_to_bam(f"{d}/a.sam", aln)
+            subprocess.run(
+                [os.path.join(REFBIN, "bam-vaf-counter"), "-p", f"{d}/p.txt",
+                 "-o", f"{d}/ref.vaf", aln],
+                capture_output=True, check=True)
+            with contextlib.redirect_stdout(io.StringIO()):
+                rc = get_tool("bam-vaf-counter")(
+                    ["-p", f"{d}/p.txt", "-o", f"{d}/tpu.vaf", aln])
+            assert not rc
+            outs = [f"{d}/tpu.vaf"]
+            if bam:
+                os.environ["KMER_TPU_NO_NATIVE"] = "1"
+                try:
+                    with contextlib.redirect_stdout(io.StringIO()):
+                        rc = get_tool("bam-vaf-counter")(
+                            ["-p", f"{d}/p.txt", "-o", f"{d}/tpu_py.vaf", aln])
+                    assert not rc
+                finally:
+                    del os.environ["KMER_TPU_NO_NATIVE"]
+                outs.append(f"{d}/tpu_py.vaf")
+            want = open(f"{d}/ref.vaf").read()
+            bad = [o for o in outs if open(o).read() != want]
+            if bad:
+                fails += 1
+                sub = subprocess.run(["diff", bad[0], f"{d}/ref.vaf"],
+                                     capture_output=True)
+                print(f"[FAIL] {mode} round {t} ({bad})\n"
+                      + sub.stdout.decode()[:400])
+                os.system(f"cp {d}/a.sam /tmp/fuzz_{mode}_fail_{t}.sam; "
+                          f"cp {d}/p.txt /tmp/fuzz_{mode}_fail_{t}.pat")
+            else:
+                print(f"[ok] {mode} round {t}")
+    print(f"{mode} done: {rounds - fails}/{rounds} clean")
+    return fails
+
+
 if __name__ == "__main__":
     if "--pipeline" in sys.argv:
         sys.argv.remove("--pipeline")
         rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 5
         seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
         sys.exit(1 if fuzz_pipeline(rounds, seed) else 0)
+    if "--sam" in sys.argv or "--bam" in sys.argv:
+        bam = "--bam" in sys.argv
+        for flag in ("--sam", "--bam"):
+            if flag in sys.argv:
+                sys.argv.remove(flag)
+        rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+        seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+        sys.exit(1 if fuzz_sam(rounds, seed, bam=bam) else 0)
     sys.exit(main())
-
-
-def fuzz_sam(rounds=10, seed=0):
-    """Randomized SAM-text parity for bam-vaf-counter: adversarial
-    CIGARs (S/I/D/N/H/P, '*' SEQ, lowercase bases, unmapped/dup/qcfail
-    flags, off-reference positions) through both implementations."""
-    rng = np.random.default_rng(seed)
-    import contextlib
-    from kmer_tpu.tools import get_tool
-
-    fails = 0
-    for t in range(rounds):
-        with tempfile.TemporaryDirectory() as d:
-            glen = int(rng.integers(2000, 8000))
-            g = "".join(rng.choice(list("ACGT"), size=glen))
-            k = 21
-            with open(f"{d}/s.bed", "w") as f:
-                for si in range(int(rng.integers(10, 40))):
-                    pos = int(rng.integers(50, glen - 50))
-                    ref = g[pos]
-                    alt = rng.choice([c for c in "ACGT" if c != ref])
-                    f.write(f"chr1\t{pos}\t{pos+1}\trs{si}\t{ref}\t{alt}\n")
-            with open(f"{d}/g.fa", "w") as f:
-                f.write(f">chr1\n{g}\n")
-            args = [f"-k{k}", "-b", f"{d}/s.bed", "-f", f"{d}/g.fa",
-                    "-o", f"{d}/p.txt"]
-            subprocess.run([os.path.join(REFBIN, "snp-pattern-gen")] + args,
-                           capture_output=True, check=True)
-            # random SAM
-            ops = "MIDNSH"
-            with open(f"{d}/a.sam", "w") as f:
-                f.write("@HD\tVN:1.6\tSO:unknown\n")
-                f.write(f"@SQ\tSN:chr1\tLN:{glen}\n")
-                for ri in range(int(rng.integers(100, 500))):
-                    pos = int(rng.integers(0, glen - 200))
-                    flag = int(rng.choice([0, 16, 4, 256, 1024, 512],
-                                          p=[.5, .3, .05, .05, .05, .05]))
-                    # build a random VALID CIGAR: optional leading/trailing
-                    # soft/hard clips, middle ops M/I/D/N only (htslib
-                    # rejects mid-CIGAR clips and the reference then stops
-                    # reading at the first invalid record)
-                    cig, rp = [], pos
-                    if rng.random() < 0.3:
-                        if rng.random() < 0.5:
-                            cig.append(f"{int(rng.integers(1, 20))}H")
-                        cig.append(f"{int(rng.integers(1, 20))}S")
-                    cig.append(f"{int(rng.integers(20, 60))}M")
-                    for _ in range(int(rng.integers(0, 3))):
-                        op = rng.choice(list("IDN"), p=[.4, .4, .2])
-                        cig.append(f"{int(rng.integers(1, 30))}{op}")
-                        cig.append(f"{int(rng.integers(10, 50))}M")
-                    tail = []
-                    if rng.random() < 0.3:
-                        tail.append(f"{int(rng.integers(1, 20))}S")
-                        if rng.random() < 0.5:
-                            tail.append(f"{int(rng.integers(1, 20))}H")
-                    cig += tail
-                    rp = pos + sum(int(p[:-1]) for p in cig if p[-1] in "MDN")
-                    if rp > glen:
-                        continue
-                    seq_chars = []
-                    # sequence roughly matching the reference at M ops
-                    cur, qp = pos, 0
-                    for piece in cig:
-                        ln, op = int(piece[:-1]), piece[-1]
-                        if op == "M":
-                            frag = list(g[cur:cur + ln])
-                            for _ in range(rng.poisson(0.5)):
-                                if frag:
-                                    frag[int(rng.integers(0, len(frag)))] = str(
-                                        rng.choice(list("ACGTN")))
-                            seq_chars += frag
-                            cur += ln
-                        elif op in "IS":
-                            seq_chars += list(rng.choice(list("ACGT"), size=ln))
-                        elif op in "DN":
-                            cur += ln
-                    seq = "".join(seq_chars) or "*"
-                    if rng.random() < 0.1:
-                        seq = seq.lower()
-                    # NOTE: '*' SEQ on mapped reads is deliberately NOT
-                    # fuzzed: the reference reads stale bam1_t buffer
-                    # memory past l_qseq=0 there (bam_seqi into the
-                    # reused record buffer), so its counts on such
-                    # records are undefined; we skip them (see
-                    # io/bam.py SamTextReader and the CIGAR-walk bound
-                    # check in tools/bam_vaf_counter.py).
-                    if flag & 4:
-                        cigar_s = "*"
-                    else:
-                        cigar_s = "".join(cig)
-                    f.write(f"r{ri}\t{flag}\tchr1\t{pos+1}\t60\t{cigar_s}\t*\t0\t0\t{seq}\t*\n")
-            subprocess.run(
-                [os.path.join(REFBIN, "bam-vaf-counter"), "-p", f"{d}/p.txt",
-                 "-o", f"{d}/ref.vaf", f"{d}/a.sam"],
-                capture_output=True, check=True)
-            with contextlib.redirect_stdout(io.StringIO()):
-                rc = get_tool("bam-vaf-counter")(
-                    ["-p", f"{d}/p.txt", "-o", f"{d}/tpu.vaf", f"{d}/a.sam"])
-            assert not rc
-            if open(f"{d}/tpu.vaf").read() != open(f"{d}/ref.vaf").read():
-                fails += 1
-                sub = subprocess.run(["diff", f"{d}/tpu.vaf", f"{d}/ref.vaf"],
-                                     capture_output=True)
-                print(f"[FAIL] sam round {t}\n" + sub.stdout.decode()[:400])
-                os.system(f"cp {d}/a.sam /tmp/fuzz_sam_fail_{t}.sam; "
-                          f"cp {d}/p.txt /tmp/fuzz_sam_fail_{t}.pat")
-            else:
-                print(f"[ok] sam round {t}")
-    print(f"sam done: {rounds - fails}/{rounds} clean")
-    return fails

@@ -99,6 +99,38 @@ def test_bam_vaf_parity_indexed_and_sequential(patterns, tmp_path):
     assert _read(tmp_path / "tpu2.vaf") == _read(tmp_path / "ref2.vaf")
 
 
+def test_bam_native_vs_python_sequential(patterns, tmp_path, monkeypatch):
+    """The C++ sequential scanner (io/native/bam_count.cpp) and the
+    pure-Python BamReader loop must produce identical VAF files; also
+    round-trips the fixture SAM through io/bamwrite.sam_to_bam so the
+    binary readers see a BAM we constructed ourselves."""
+    sam = os.path.join(FIXTURES, "sampleA_aln.sam")
+    if not os.path.exists(sam):
+        pytest.skip("SAM fixture missing (run scripts/make_fixtures.py)")
+    from kmer_tpu.io import native
+    from kmer_tpu.io.bamwrite import sam_to_bam
+    from kmer_tpu.tools.bam_vaf_counter import main
+
+    bam = str(tmp_path / "rt.bam")  # no .bai -> sequential scan
+    sam_to_bam(sam, bam)
+    assert not main(["-p", patterns, "-o", str(tmp_path / "a.vaf"), bam])
+    monkeypatch.setenv("KMER_TPU_NO_NATIVE", "1")
+    assert not main(["-p", patterns, "-o", str(tmp_path / "b.vaf"), bam])
+    monkeypatch.delenv("KMER_TPU_NO_NATIVE")
+    assert _read(tmp_path / "a.vaf") == _read(tmp_path / "b.vaf")
+    # the SAM text path must agree with the BAM round-trip too
+    assert not main(["-p", patterns, "-o", str(tmp_path / "c.vaf"), sam])
+    assert _read(tmp_path / "c.vaf") == _read(tmp_path / "a.vaf")
+    if native.available():
+        ref = _need("bam-vaf-counter")
+        subprocess.run(
+            [ref, "-p", patterns, "-o", str(tmp_path / "ref.vaf"), bam],
+            capture_output=True,
+            check=True,
+        )
+        assert _read(tmp_path / "a.vaf") == _read(tmp_path / "ref.vaf")
+
+
 def test_sam_text_vaf_parity(patterns, tmp_path):
     """Plain-text SAM input (the reference reads it via htslib sam_open;
     ours via io.bam.SamTextReader)."""
