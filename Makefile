@@ -12,8 +12,8 @@ all: native
 
 native: kmer_tpu/io/native/libkmerio.so
 
-kmer_tpu/io/native/libkmerio.so: kmer_tpu/io/native/fastx_reader.cpp
-	g++ -O3 -march=native -shared -fPIC -o $@ $< -lz
+kmer_tpu/io/native/libkmerio.so: kmer_tpu/io/native/fastx_reader.cpp kmer_tpu/io/native/bam_count.cpp
+	g++ -O3 -march=native -shared -fPIC -o $@ $^ -lz
 
 test:
 	$(PY) -m pytest tests/ -q
