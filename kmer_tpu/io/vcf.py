@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import gzip
 import struct
-from dataclasses import dataclass, field
 from typing import Iterator, List, Optional
 
 from .bgzf import BgzfReader
@@ -18,14 +17,47 @@ from .bgzf import BgzfReader
 INT32_MISSING = -2147483648
 
 
-@dataclass
 class VcfRecord:
-    chrom: str
-    pos: int  # 0-based
-    alleles: List[str]
-    gts: List[List[int]] = field(default_factory=list)  # per sample allele idx, -1 missing
-    ad: Optional[List[List[int]]] = None  # per sample per allele
-    dp: Optional[List[int]] = None
+    """One variant record.  chrom/pos/alleles are eager (callers filter
+    on them); the per-sample FORMAT fields (GT/AD/DP) parse lazily on
+    first access — vcf-vaf-counter touches them only for the ~21k
+    records matching a SNP pattern, a tiny fraction of a whole-genome
+    VCF (mirrors htslib's bcf_unpack levels)."""
+
+    __slots__ = ("chrom", "pos", "alleles", "_lazy", "_gts", "_ad", "_dp")
+
+    def __init__(self, chrom: str, pos: int, alleles: List[str],
+                 lazy=None, gts=None, ad=None, dp=None):
+        self.chrom = chrom
+        self.pos = pos  # 0-based
+        self.alleles = alleles
+        self._lazy = lazy  # callable -> (gts, ad, dp), or None
+        self._gts = gts if gts is not None else ([] if lazy is None else None)
+        self._ad = ad
+        self._dp = dp
+
+    def _ensure(self):
+        if self._lazy is not None:
+            g, a, d = self._lazy()
+            self._gts = g if g is not None else []
+            self._ad = a
+            self._dp = d
+            self._lazy = None
+
+    @property
+    def gts(self) -> List[List[int]]:  # per sample allele idx, -1 missing
+        self._ensure()
+        return self._gts
+
+    @property
+    def ad(self) -> Optional[List[List[int]]]:  # per sample per allele
+        self._ensure()
+        return self._ad
+
+    @property
+    def dp(self) -> Optional[List[int]]:
+        self._ensure()
+        return self._dp
 
 
 def _open_text(path: str):
@@ -64,51 +96,55 @@ def read_vcf(path: str) -> Iterator[VcfRecord]:
             yield from _read_bcf(path)
             return
     f = _open_text(path)
-    n_samples = 0
     for raw in f:
         line = raw.decode(errors="replace").rstrip("\n")
-        if line.startswith("##"):
+        if line.startswith("#") or not line:
             continue
-        if line.startswith("#CHROM"):
-            cols = line.split("\t")
-            n_samples = max(0, len(cols) - 9)
-            continue
-        if not line:
-            continue
-        t = line.split("\t")
+        # split only through ALT eagerly; FORMAT+samples stay one string
+        t = line.split("\t", 8)
         if len(t) < 8:
             continue
         chrom, pos_s, _id, ref, alt = t[0], t[1], t[2], t[3], t[4]
         alleles = [ref] + (alt.split(",") if alt != "." else [])
-        rec = VcfRecord(chrom, int(pos_s) - 1, alleles)
-        if len(t) >= 10:
-            fmt = t[8].split(":")
-            gt_i = fmt.index("GT") if "GT" in fmt else -1
-            ad_i = fmt.index("AD") if "AD" in fmt else -1
-            dp_i = fmt.index("DP") if "DP" in fmt else -1
-            ad_all, dp_all = [], []
-            for s in t[9:]:
-                sv = s.split(":")
-                rec.gts.append(_parse_gt(sv[gt_i]) if 0 <= gt_i < len(sv) else [-1])
-                if ad_i >= 0 and ad_i < len(sv) and sv[ad_i] not in (".", ""):
-                    ad_all.append(
-                        [
-                            int(x) if x not in (".", "") else INT32_MISSING
-                            for x in sv[ad_i].split(",")
-                        ]
-                    )
-                else:
-                    ad_all.append([INT32_MISSING] * len(alleles))
-                if dp_i >= 0 and dp_i < len(sv) and sv[dp_i] not in (".", ""):
-                    dp_all.append(int(sv[dp_i]))
-                else:
-                    dp_all.append(INT32_MISSING)
-            if ad_i >= 0:
-                rec.ad = ad_all
-            if dp_i >= 0:
-                rec.dp = dp_all
-        yield rec
+        lazy = None
+        if len(t) == 9:
+            rest = t[8]
+            n_all = len(alleles)
+
+            def lazy(rest=rest, n_all=n_all):
+                return _parse_text_format(rest, n_all)
+
+        yield VcfRecord(chrom, int(pos_s) - 1, alleles, lazy=lazy)
     f.close()
+
+
+def _parse_text_format(rest: str, n_alleles: int):
+    """Parse 'FORMAT\\tS1\\tS2...' into (gts, ad, dp) lazily."""
+    fields = rest.split("\t")
+    if len(fields) < 2:
+        return None, None, None
+    fmt = fields[0].split(":")
+    gt_i = fmt.index("GT") if "GT" in fmt else -1
+    ad_i = fmt.index("AD") if "AD" in fmt else -1
+    dp_i = fmt.index("DP") if "DP" in fmt else -1
+    gts, ad_all, dp_all = [], [], []
+    for s in fields[1:]:
+        sv = s.split(":")
+        gts.append(_parse_gt(sv[gt_i]) if 0 <= gt_i < len(sv) else [-1])
+        if ad_i >= 0 and ad_i < len(sv) and sv[ad_i] not in (".", ""):
+            ad_all.append(
+                [
+                    int(x) if x not in (".", "") else INT32_MISSING
+                    for x in sv[ad_i].split(",")
+                ]
+            )
+        else:
+            ad_all.append([INT32_MISSING] * n_alleles)
+        if dp_i >= 0 and dp_i < len(sv) and sv[dp_i] not in (".", ""):
+            dp_all.append(int(sv[dp_i]))
+        else:
+            dp_all.append(INT32_MISSING)
+    return gts, (ad_all if ad_i >= 0 else None), (dp_all if dp_i >= 0 else None)
 
 
 # ---------------- BCF2 ----------------
@@ -208,10 +244,6 @@ def _read_bcf(path: str) -> Iterator[VcfRecord]:
                 if name and name not in ids:
                     ids.append(name)
         fmt_ids = {n: i for i, n in enumerate(ids)}
-    n_samples = 0
-    for line in header_text.split("\n"):
-        if line.startswith("#CHROM"):
-            n_samples = max(0, len(line.split("\t")) - 9)
     id_gt = fmt_ids.get("GT", -1)
     id_ad = fmt_ids.get("AD", -1)
     id_dp = fmt_ids.get("DP", -1)
@@ -236,54 +268,57 @@ def _read_bcf(path: str) -> Iterator[VcfRecord]:
         for _ in range(n_allele):
             _, a, off = _read_typed(shared, off)
             alleles.append(a)
-        rec = VcfRecord(
-            contigs[rid] if rid < len(contigs) else str(rid), pos, alleles
+        def lazy(indiv=indiv, n_fmt=n_fmt, ns=ns):
+            return _parse_bcf_format(indiv, n_fmt, ns, id_gt, id_ad, id_dp)
+
+        yield VcfRecord(
+            contigs[rid] if rid < len(contigs) else str(rid), pos, alleles,
+            lazy=lazy,
         )
-        # FORMAT blocks
-        off = 0
-        gts = None
-        ad = None
-        dp = None
-        for _ in range(n_fmt):
-            key, off = _read_typed_int(indiv, off)
-            t = indiv[off]
-            off += 1
-            ty = t & 0xF
-            per = t >> 4
-            if per == 15:
-                per, off = _read_typed_int(indiv, off)
-            width = {0: 0, 1: 1, 2: 2, 3: 4, 5: 4, 7: 1}[ty]
-            total = per * ns * width
-            blob = indiv[off : off + total]
-            off += total
-            if key not in (id_gt, id_ad, id_dp) or ty not in (1, 2, 3):
-                continue
-            fmtc = {1: "b", 2: "h", 3: "i"}[ty]
-            vals = struct.unpack(f"<{per * ns}{fmtc}", blob)
-            missing = _BCF_MISSING[ty]
-            eov = _BCF_EOV[ty]
-            rows = [list(vals[i * per : (i + 1) * per]) for i in range(ns)]
-            if key == id_gt:
-                gts = [
-                    [
-                        -1 if v in (missing, eov) or v == 0 else ((v >> 1) - 1)
-                        for v in row
-                    ]
-                    for row in rows
-                ]
-            elif key == id_ad:
-                ad = [
-                    [INT32_MISSING if v in (missing, eov) else v for v in row]
-                    for row in rows
-                ]
-            elif key == id_dp:
-                dp = [
-                    INT32_MISSING if row[0] in (missing, eov) else row[0]
-                    for row in rows
-                ]
-        if gts is not None:
-            rec.gts = gts
-        rec.ad = ad
-        rec.dp = dp
-        yield rec
     br.close()
+
+
+def _parse_bcf_format(indiv, n_fmt, ns, id_gt, id_ad, id_dp):
+    """Walk the per-sample FORMAT blocks lazily (bcf_unpack FMT level)."""
+    off = 0
+    gts = None
+    ad = None
+    dp = None
+    for _ in range(n_fmt):
+        key, off = _read_typed_int(indiv, off)
+        t = indiv[off]
+        off += 1
+        ty = t & 0xF
+        per = t >> 4
+        if per == 15:
+            per, off = _read_typed_int(indiv, off)
+        width = {0: 0, 1: 1, 2: 2, 3: 4, 5: 4, 7: 1}[ty]
+        total = per * ns * width
+        blob = indiv[off : off + total]
+        off += total
+        if key not in (id_gt, id_ad, id_dp) or ty not in (1, 2, 3):
+            continue
+        fmtc = {1: "b", 2: "h", 3: "i"}[ty]
+        vals = struct.unpack(f"<{per * ns}{fmtc}", blob)
+        missing = _BCF_MISSING[ty]
+        eov = _BCF_EOV[ty]
+        rows = [list(vals[i * per : (i + 1) * per]) for i in range(ns)]
+        if key == id_gt:
+            gts = [
+                [
+                    -1 if v in (missing, eov) or v == 0 else ((v >> 1) - 1)
+                    for v in row
+                ]
+                for row in rows
+            ]
+        elif key == id_ad:
+            ad = [
+                [INT32_MISSING if v in (missing, eov) else v for v in row]
+                for row in rows
+            ]
+        elif key == id_dp:
+            dp = [
+                INT32_MISSING if row[0] in (missing, eov) else row[0]
+                for row in rows
+            ]
+    return gts, ad, dp
