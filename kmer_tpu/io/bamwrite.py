@@ -7,9 +7,11 @@ htslib (the reference's vendored IO layer, SURVEY.md §2.2)."""
 
 from __future__ import annotations
 
+import io
 import struct
-import zlib
 from typing import List, Tuple
+
+from .bgzf import BGZF_EOF, bgzf_write_blocks
 
 _SEQ_NT16 = {c: i for i, c in enumerate("=ACMGRSVTWYHKDBN")}
 for _c in list(_SEQ_NT16):
@@ -19,24 +21,10 @@ _CIGAR_CODE = {c: i for i, c in enumerate("MIDNSHP=X")}
 
 def bgzf_compress(payload: bytes, level: int = 6) -> bytes:
     """Compress a byte string into a BGZF member stream + EOF block."""
-    out = bytearray()
-    for off in range(0, len(payload), 60000):
-        out += _bgzf_block(payload[off : off + 60000], level)
-    out += _bgzf_block(b"", level)  # EOF marker block
-    return bytes(out)
-
-
-def _bgzf_block(chunk: bytes, level: int) -> bytes:
-    co = zlib.compressobj(level, zlib.DEFLATED, -15)
-    comp = co.compress(chunk) + co.flush()
-    bsize = len(comp) + 25 + 1
-    hdr = struct.pack("<4BIBBH", 31, 139, 8, 4, 0, 0, 255, 6)
-    hdr += struct.pack("<BBHH", 66, 67, 2, bsize - 1)
-    return (
-        hdr
-        + comp
-        + struct.pack("<II", zlib.crc32(chunk) & 0xFFFFFFFF, len(chunk))
-    )
+    buf = io.BytesIO()
+    bgzf_write_blocks(buf, payload, level)
+    buf.write(BGZF_EOF)
+    return buf.getvalue()
 
 
 def _encode_record(fields: List[bytes], name2tid) -> bytes:
@@ -87,8 +75,89 @@ def _encode_record(fields: List[bytes], name2tid) -> bytes:
     return struct.pack("<i", len(body)) + body
 
 
-def sam_to_bam(sam_path: str, bam_path: str) -> None:
-    """Convert plain-text SAM to BAM (single-threaded, test-scale)."""
+def _reg2bin(beg: int, end: int) -> int:
+    """Smallest bin containing [beg, end) (SAM spec 5-level binning)."""
+    end -= 1
+    if beg >> 14 == end >> 14:
+        return ((1 << 15) - 1) // 7 + (beg >> 14)
+    if beg >> 17 == end >> 17:
+        return ((1 << 12) - 1) // 7 + (beg >> 17)
+    if beg >> 20 == end >> 20:
+        return ((1 << 9) - 1) // 7 + (beg >> 20)
+    if beg >> 23 == end >> 23:
+        return ((1 << 6) - 1) // 7 + (beg >> 23)
+    if beg >> 26 == end >> 26:
+        return ((1 << 3) - 1) // 7 + (beg >> 26)
+    return 0
+
+
+def _ref_span(cigar: List[Tuple[int, int]], pos: int) -> int:
+    ref_len = 0
+    for op, ln in cigar:
+        if op in (0, 2, 3, 7, 8):
+            ref_len += ln
+    return pos + max(ref_len, 1)
+
+
+def write_bai(bam_path: str, bai_path: str) -> None:
+    """Build a .bai index by re-reading the BAM (test-scale; mirrors
+    htslib sam_index_build's binning + 16 kb linear index)."""
+    from .bam import BamReader
+
+    rdr = BamReader(bam_path)
+    n_ref = len(rdr.ref_names)
+    bins = [dict() for _ in range(n_ref)]  # bin -> [(vbeg, vend)]
+    intervals = [[] for _ in range(n_ref)]
+    rdr._bgzf.seek_voffset(rdr._body_voffset)
+    while True:
+        vbeg = rdr._bgzf.tell_voffset()
+        rec = rdr._read_record()
+        if rec is None:
+            break
+        vend = rdr._bgzf.tell_voffset()
+        if rec.tid < 0 or rec.pos < 0:
+            continue
+        end = _ref_span(rec.cigar, rec.pos)
+        b = _reg2bin(rec.pos, end)
+        chunks = bins[rec.tid].setdefault(b, [])
+        if chunks and chunks[-1][1] == vbeg:
+            chunks[-1] = (chunks[-1][0], vend)
+        else:
+            chunks.append((vbeg, vend))
+        ivs = intervals[rec.tid]
+        for iv in range(rec.pos >> 14, ((end - 1) >> 14) + 1):
+            while len(ivs) <= iv:
+                ivs.append(0)
+            if ivs[iv] == 0 or vbeg < ivs[iv]:
+                ivs[iv] = vbeg
+    rdr.close()
+    # backfill empty linear slots with the next non-empty offset
+    for ivs in intervals:
+        nxt = 0
+        for i in range(len(ivs) - 1, -1, -1):
+            if ivs[i] == 0:
+                ivs[i] = nxt
+            else:
+                nxt = ivs[i]
+    out = bytearray(b"BAI\x01")
+    out += struct.pack("<i", n_ref)
+    for tid in range(n_ref):
+        out += struct.pack("<i", len(bins[tid]))
+        for b in sorted(bins[tid]):
+            chunks = bins[tid][b]
+            out += struct.pack("<Ii", b, len(chunks))
+            for cb, ce in chunks:
+                out += struct.pack("<QQ", cb, ce)
+        out += struct.pack("<i", len(intervals[tid]))
+        for v in intervals[tid]:
+            out += struct.pack("<Q", v)
+    with open(bai_path, "wb") as f:
+        f.write(bytes(out))
+
+
+def sam_to_bam(sam_path: str, bam_path: str, sort: bool = False) -> None:
+    """Convert plain-text SAM to BAM (single-threaded, test-scale).
+    sort=True coordinate-sorts records (required before write_bai)."""
     header_lines = []
     ref_names: List[str] = []
     ref_lens: List[int] = []
@@ -110,6 +179,12 @@ def sam_to_bam(sam_path: str, bam_path: str) -> None:
             elif line.rstrip():
                 records.append(line.rstrip(b"\r\n").split(b"\t"))
     name2tid = {n: i for i, n in enumerate(ref_names)}
+    if sort:
+        def _key(fields):
+            tid = name2tid.get(fields[2].decode(), -1)
+            return (tid if tid >= 0 else 1 << 30, int(fields[3]) - 1)
+
+        records.sort(key=_key)
     text = b"".join(header_lines)
     payload = bytearray(b"BAM\x01")
     payload += struct.pack("<i", len(text)) + text

@@ -289,11 +289,18 @@ def fuzz_sam(rounds=10, seed=0, bam=False):
         with tempfile.TemporaryDirectory() as d:
             _gen_sam_case(rng, d)
             aln = f"{d}/a.sam"
+            indexed = False
             if bam:
-                from kmer_tpu.io.bamwrite import sam_to_bam
+                from kmer_tpu.io.bamwrite import sam_to_bam, write_bai
 
                 aln = f"{d}/a.bam"
-                sam_to_bam(f"{d}/a.sam", aln)
+                # half the rounds: coordinate-sorted + .bai, so the
+                # indexed iteration path (io/bam.py BaiIndex.query and
+                # htslib's) is fuzzed too
+                indexed = bool(rng.integers(0, 2))
+                sam_to_bam(f"{d}/a.sam", aln, sort=indexed)
+                if indexed:
+                    write_bai(aln, aln + ".bai")
             subprocess.run(
                 [os.path.join(REFBIN, "bam-vaf-counter"), "-p", f"{d}/p.txt",
                  "-o", f"{d}/ref.vaf", aln],

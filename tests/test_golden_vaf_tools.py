@@ -131,6 +131,46 @@ def test_bam_native_vs_python_sequential(patterns, tmp_path, monkeypatch):
         assert _read(tmp_path / "a.vaf") == _read(tmp_path / "ref.vaf")
 
 
+def test_bai_writer_indexed_parity(patterns, tmp_path):
+    """A BAM we coordinate-sort + index ourselves (io/bamwrite.write_bai)
+    must yield identical VAF via: our indexed path, our sequential path
+    (index hidden), and the reference binary reading our .bai."""
+    sam = os.path.join(FIXTURES, "sampleA_aln.sam")
+    if not os.path.exists(sam):
+        pytest.skip("SAM fixture missing (run scripts/make_fixtures.py)")
+    from kmer_tpu.io.bamwrite import sam_to_bam, write_bai
+    from kmer_tpu.tools.bam_vaf_counter import main
+
+    bam = str(tmp_path / "sorted.bam")
+    sam_to_bam(sam, bam, sort=True)
+    write_bai(bam, bam + ".bai")
+    assert not main(["-p", patterns, "-o", str(tmp_path / "idx.vaf"), bam])
+    noidx = str(tmp_path / "noidx.bam")
+    import shutil
+
+    shutil.copy(bam, noidx)
+    assert not main(["-p", patterns, "-o", str(tmp_path / "seq.vaf"), noidx])
+    # NOTE: idx.vaf and seq.vaf deliberately differ on this dense panel —
+    # the reference's indexed mode re-fetches a read once per merged
+    # region it overlaps and counts ALL its SNPs each time
+    # (bam-vaf-counter.c:303-317 runs per fetched read), so reads
+    # spanning several regions are multi-counted.  We reproduce that
+    # mode-for-mode; the assertions below pin parity per mode.
+    ref = _need("bam-vaf-counter")
+    subprocess.run(
+        [ref, "-p", patterns, "-o", str(tmp_path / "ref.vaf"), bam],
+        capture_output=True,
+        check=True,
+    )
+    assert _read(tmp_path / "idx.vaf") == _read(tmp_path / "ref.vaf")
+    subprocess.run(
+        [ref, "-p", patterns, "-o", str(tmp_path / "refseq.vaf"), noidx],
+        capture_output=True,
+        check=True,
+    )
+    assert _read(tmp_path / "seq.vaf") == _read(tmp_path / "refseq.vaf")
+
+
 def test_sam_text_vaf_parity(patterns, tmp_path):
     """Plain-text SAM input (the reference reads it via htslib sam_open;
     ours via io.bam.SamTextReader)."""
