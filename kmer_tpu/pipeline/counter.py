@@ -190,7 +190,11 @@ class SortCountEngine:
         self.block_bases = block_bases
         self.capacity = int(block_bases) + 4096
         self.prefetch = prefetch
-        self.compactor = KmerCompactor(budget_bytes=budget_bytes)
+        # hash64 output is < 2^(2k): for k <= 15 the compactor's sorts
+        # can run single-plane (half the comparator work)
+        self.compactor = KmerCompactor(
+            budget_bytes=budget_bytes, key_bits=2 * k
+        )
         self.total_bases = 0
         self.total_seqs = 0
         self.total_kmers = 0

@@ -41,6 +41,22 @@ U32 = jnp.uint32
 SENT = jnp.uint32(0xFFFFFFFF)
 
 
+def _sort_kl(hi, lo, payloads=(), extra_keys=0, one_plane=False):
+    """Sort by (key, payloads) where key is (hi, lo) or just lo when
+    one_plane (keys < 2^31, so the hi plane is all zero except sentinel
+    lanes and need not be sorted — half the comparator work and one
+    plane less of data movement).  extra_keys payload planes directly
+    after the key also participate in the comparison (e.g. the
+    query-after-data tag).  Returns (hi_s, lo_s, payloads_s)."""
+    if one_plane:
+        out = jax.lax.sort((lo,) + tuple(payloads), num_keys=1 + extra_keys)
+        lo_s = out[0]
+        hi_s = jnp.where(lo_s == SENT, SENT, jnp.uint32(0))
+        return hi_s, lo_s, out[1:]
+    out = jax.lax.sort((hi, lo) + tuple(payloads), num_keys=2 + extra_keys)
+    return out[0], out[1], out[2:]
+
+
 def _size_class(n: int, quantum: int = 1 << 20) -> int:
     return max(quantum, ((n + quantum - 1) // quantum) * quantum)
 
@@ -88,8 +104,10 @@ def _concat_runs(runs: List[Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray
     return his, los, cs
 
 
-@partial(jax.jit, static_argnames=("n_bins", "max_count", "min_keep", "has_counts"))
-def _hist_impl_tpu(hi, lo, counts, n_bins, max_count, min_keep, has_counts):
+@partial(jax.jit, static_argnames=("n_bins", "max_count", "min_keep",
+                                   "has_counts", "one_plane"))
+def _hist_impl_tpu(hi, lo, counts, n_bins, max_count, min_keep, has_counts,
+                   one_plane=False):
     """TPU path: sort, then ONE Pallas pass extracts per-segment lengths
     (kmer_tpu.kernels.seghist) instead of four XLA scan/mask passes —
     ~8x faster post-sort on a v5e."""
@@ -99,17 +117,15 @@ def _hist_impl_tpu(hi, lo, counts, n_bins, max_count, min_keep, has_counts):
     tile_rows = 2048 if n % (2048 * 128) == 0 else 512
     bins_cfg = (n_bins, max_count, min_keep)
     if has_counts:
-        keys, (cnt,) = segops.sort_keys_with_payload(
-            u.U64(hi, lo), (counts,), jnp.ones_like(hi, jnp.bool_)
-        )
+        s_hi, s_lo, (cnt,) = _sort_kl(hi, lo, (counts,), one_plane=one_plane)
         bins, final = seghist.segment_bins_sorted(
-            keys.hi, keys.lo, cnt, weighted=True, tile_rows=tile_rows,
+            s_hi, s_lo, cnt, weighted=True, tile_rows=tile_rows,
             bins_cfg=bins_cfg,
         )
     else:
-        keys = segops.sort_keys(u.U64(hi, lo), jnp.ones_like(hi, jnp.bool_))
+        s_hi, s_lo, _ = _sort_kl(hi, lo, one_plane=one_plane)
         bins, final = seghist.segment_bins_sorted(
-            keys.hi, keys.lo, tile_rows=tile_rows, bins_cfg=bins_cfg
+            s_hi, s_lo, tile_rows=tile_rows, bins_cfg=bins_cfg
         )
     chunk = min(1 << 23, n)
     b = bins.reshape(-1, chunk)
@@ -140,21 +156,24 @@ def hist_core(hi, lo, counts, n_bins, max_count, min_keep, has_counts):
                           has_counts)
 
 
-@partial(jax.jit, static_argnames=("n_bins", "max_count", "min_keep", "has_counts"))
-def _hist_impl(hi, lo, counts, n_bins, max_count, min_keep, has_counts):
+@partial(jax.jit, static_argnames=("n_bins", "max_count", "min_keep",
+                                   "has_counts", "one_plane"))
+def _hist_impl(hi, lo, counts, n_bins, max_count, min_keep, has_counts,
+               one_plane=False):
     return _hist_xla_core(hi, lo, counts, n_bins, max_count, min_keep,
-                          has_counts)
+                          has_counts, one_plane)
 
 
-def _hist_xla_core(hi, lo, counts, n_bins, max_count, min_keep, has_counts):
+def _hist_xla_core(hi, lo, counts, n_bins, max_count, min_keep, has_counts,
+                   one_plane=False):
     """Sort everything, reduce counts per key segment, histogram."""
     if has_counts:
-        keys, (cnt,) = segops.sort_keys_with_payload(
-            u.U64(hi, lo), (counts,), jnp.ones_like(hi, jnp.bool_)
-        )
+        s_hi, s_lo, (cnt,) = _sort_kl(hi, lo, (counts,), one_plane=one_plane)
+        keys = u.U64(s_hi, s_lo)
         csum = jnp.cumsum(cnt.astype(jnp.uint32), dtype=jnp.uint32)
     else:
-        keys = segops.sort_keys(u.U64(hi, lo), jnp.ones_like(hi, jnp.bool_))
+        s_hi, s_lo, _ = _sort_kl(hi, lo, one_plane=one_plane)
+        keys = u.U64(s_hi, s_lo)
         csum = None
     starts = segops.segment_starts(keys)
     n = hi.shape[0]
@@ -197,10 +216,14 @@ def _hist_xla_core(hi, lo, counts, n_bins, max_count, min_keep, has_counts):
 class KmerCompactor:
     """Accumulate-and-sort count engine (see module docstring)."""
 
-    def __init__(self, budget_bytes: int = 6 << 30):
+    def __init__(self, budget_bytes: int = 6 << 30,
+                 key_bits: Optional[int] = None):
         self.runs: List[Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]] = []
         self.budget_bytes = budget_bytes
         self._bytes = 0
+        # keys < 2^31 (k <= 15 after hash64) leave the hi plane all-zero:
+        # every sort drops to one key plane (half the comparator work)
+        self.one_plane = key_bits is not None and key_bits <= 31
 
     def add_batch(self, keys: u.U64, valid: jnp.ndarray) -> None:
         hi, lo = _sentinelize(keys.hi, keys.lo, valid)
@@ -226,7 +249,8 @@ class KmerCompactor:
             return
         hi, lo, cnt = _concat_runs(self.runs)
         has_counts = cnt is not None
-        out = _compact_impl(hi, lo, cnt if has_counts else hi, has_counts)
+        out = _compact_impl(hi, lo, cnt if has_counts else hi, has_counts,
+                            self.one_plane)
         chi, clo, ccnt, n_unique = out
         nu = int(n_unique)
         size = min(_size_class(nu), chi.shape[0])
@@ -255,13 +279,15 @@ class KmerCompactor:
             max_count,
             min_keep,
             has_counts,
+            self.one_plane,
         )
         if os.environ.get("KMER_TPU_DEBUG"):
             # debug mode (SURVEY.md §5 sanitizer analog): cross-check the
-            # Pallas path against the pure-XLA path lane for lane
+            # Pallas path against the pure-XLA path lane for lane (and
+            # the one-plane fast path against the general two-plane one)
             h2, nd2 = _hist_impl(
                 hi, lo, cnt if has_counts else hi,
-                n_bins, max_count, min_keep, has_counts,
+                n_bins, max_count, min_keep, has_counts, False,
             )
             assert np.array_equal(np.asarray(h), np.asarray(h2)) and int(
                 nd
@@ -293,15 +319,19 @@ class KmerCompactor:
         qlo[:q] = query_lo
         if has_counts:
             out = _counts_for_impl(
-                hi, lo, cnt, jnp.asarray(qhi), jnp.asarray(qlo), True
+                hi, lo, cnt, jnp.asarray(qhi), jnp.asarray(qlo), True,
+                self.one_plane,
             )
         else:
-            out = _counts_for_raw_impl(hi, lo, jnp.asarray(qhi), jnp.asarray(qlo))
+            out = _counts_for_raw_impl(
+                hi, lo, jnp.asarray(qhi), jnp.asarray(qlo), self.one_plane
+            )
             if os.environ.get("KMER_TPU_DEBUG"):
                 # cross-check the position-arithmetic fast path against
                 # the cumsum-based general implementation
                 out2 = _counts_for_impl(
-                    hi, lo, hi, jnp.asarray(qhi), jnp.asarray(qlo), False
+                    hi, lo, hi, jnp.asarray(qhi), jnp.asarray(qlo), False,
+                    False,
                 )
                 assert np.array_equal(
                     np.asarray(out)[:q], np.asarray(out2)[:q]
@@ -309,17 +339,17 @@ class KmerCompactor:
         return np.asarray(out)[:q].astype(np.int64)[inverse]
 
 
-@partial(jax.jit, static_argnames=("has_counts",))
-def _compact_impl(hi, lo, cnt, has_counts):
+@partial(jax.jit, static_argnames=("has_counts", "one_plane"))
+def _compact_impl(hi, lo, cnt, has_counts, one_plane=False):
     n = hi.shape[0]
     pos = jnp.arange(n, dtype=I32)
     if has_counts:
-        keys, (c,) = segops.sort_keys_with_payload(
-            u.U64(hi, lo), (cnt,), jnp.ones_like(hi, jnp.bool_)
-        )
+        s_hi, s_lo, (c,) = _sort_kl(hi, lo, (cnt,), one_plane=one_plane)
+        keys = u.U64(s_hi, s_lo)
         csum = jnp.cumsum(c.astype(jnp.uint32), dtype=jnp.uint32)
     else:
-        keys = segops.sort_keys(u.U64(hi, lo), jnp.ones_like(hi, jnp.bool_))
+        s_hi, s_lo, _ = _sort_kl(hi, lo, one_plane=one_plane)
+        keys = u.U64(s_hi, s_lo)
         csum = None
     starts = segops.segment_starts(keys)
     start_pos = jax.lax.cummax(jnp.where(starts, pos, I32(0)))
@@ -336,14 +366,20 @@ def _compact_impl(hi, lo, cnt, has_counts):
     # compact by sort: keep-lanes get rank = their order, others go last
     rank = jnp.where(keep, pos, I32(0x7FFFFFFF))
     seg_count = jnp.where(keep, seg_count, U32(0))
-    khi = jnp.where(keep, keys.hi, SENT)
     klo = jnp.where(keep, keys.lo, SENT)
-    _, chi, clo, ccnt = jax.lax.sort((rank, khi, klo, seg_count), num_keys=1)
+    if one_plane:
+        _, clo, ccnt = jax.lax.sort((rank, klo, seg_count), num_keys=1)
+        chi = jnp.where(clo == SENT, SENT, jnp.uint32(0))
+    else:
+        khi = jnp.where(keep, keys.hi, SENT)
+        _, chi, clo, ccnt = jax.lax.sort(
+            (rank, khi, klo, seg_count), num_keys=1
+        )
     return chi, clo, ccnt, jnp.sum(keep.astype(I32))
 
 
-@partial(jax.jit, static_argnames=())
-def _counts_for_raw_impl(hi, lo, qhi, qlo):
+@partial(jax.jit, static_argnames=("one_plane",))
+def _counts_for_raw_impl(hi, lo, qhi, qlo, one_plane=False):
     """Unweighted fast path: every data lane has multiplicity 1, and
     query keys are unique, so after sorting (hi, lo, tag) — tag 0 for
     data, 1+query_index for queries (queries sort after their data
@@ -357,7 +393,9 @@ def _counts_for_raw_impl(hi, lo, qhi, qlo):
     tag = jnp.concatenate(
         [jnp.zeros((n,), jnp.uint32), 1 + jnp.arange(q, dtype=jnp.uint32)]
     )
-    s_hi, s_lo, s_tag = jax.lax.sort((m_hi, m_lo, tag), num_keys=3)
+    s_hi, s_lo, (s_tag,) = _sort_kl(
+        m_hi, m_lo, (tag,), extra_keys=1, one_plane=one_plane
+    )
     starts = segops.segment_starts(u.U64(s_hi, s_lo))
     pos = jnp.arange(n + q, dtype=I32)
     start_pos = jax.lax.cummax(jnp.where(starts, pos, I32(0)))
@@ -375,8 +413,8 @@ def _counts_for_raw_impl(hi, lo, qhi, qlo):
     return out[:q]
 
 
-@partial(jax.jit, static_argnames=("has_counts",))
-def _counts_for_impl(hi, lo, cnt, qhi, qlo, has_counts):
+@partial(jax.jit, static_argnames=("has_counts", "one_plane"))
+def _counts_for_impl(hi, lo, cnt, qhi, qlo, has_counts, one_plane=False):
     n = hi.shape[0]
     q = qhi.shape[0]
     # merged key space: data lanes origin 0, query lanes origin 1 (query
@@ -394,8 +432,8 @@ def _counts_for_impl(hi, lo, cnt, qhi, qlo, has_counts):
     qidx = jnp.concatenate(
         [jnp.full((n,), 0x7FFFFFFF, I32), jnp.arange(q, dtype=I32)]
     )
-    s_hi, s_lo, s_orig, s_c, s_qidx = jax.lax.sort(
-        (m_hi, m_lo, origin, c, qidx), num_keys=3
+    s_hi, s_lo, (s_orig, s_c, s_qidx) = _sort_kl(
+        m_hi, m_lo, (origin, c, qidx), extra_keys=1, one_plane=one_plane
     )
     keys = u.U64(s_hi, s_lo)
     starts = segops.segment_starts(keys)

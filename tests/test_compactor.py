@@ -123,3 +123,43 @@ class TestSegops:
         vals = jnp.asarray(np.array([5, 3, 9, 7, 2, 8, 4, 6], np.uint32))
         got = np.asarray(segops.segmented_cummin(starts, vals))
         assert got.tolist() == [5, 3, 3, 7, 2, 8, 4, 4]
+
+
+class TestOnePlane:
+    """key_bits <= 31 drops the hi plane from every sort; results must
+    match the general two-plane path exactly."""
+
+    def _fill(self, c, draws):
+        for d in draws:
+            keys, valid = batch(d, m=4096)
+            c.add_batch(keys, valid)
+
+    def test_hist_compact_counts_match_two_plane(self):
+        pool = RNG.integers(0, 1 << 30, size=300, dtype=np.uint64)
+        draws = [RNG.choice(pool, size=2500) for _ in range(4)]
+        queries = np.concatenate(
+            [RNG.choice(pool, size=50), RNG.integers(0, 1 << 30, size=20,
+                                                     dtype=np.uint64)]
+        )
+        q_hi = (queries >> np.uint64(32)).astype(np.uint32)
+        q_lo = (queries & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+
+        results = []
+        for key_bits in (None, 30):
+            c = KmerCompactor(key_bits=key_bits)
+            self._fill(c, draws)
+            h_raw, nd_raw = c.hist(64, max_count=None)
+            cf_raw = c.counts_for(q_hi, q_lo)
+            c.compact()
+            h_c, nd_c = c.hist(64, max_count=None)
+            cf_c = c.counts_for(q_hi, q_lo)
+            results.append((h_raw, nd_raw, cf_raw, h_c, nd_c, cf_c))
+        two, one = results
+        for a, b in zip(two, one):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+        # and against the dict oracle
+        want = oracle(draws)
+        assert two[1] == len(want)
+        assert np.array_equal(
+            two[2], np.array([want.get(int(x), 0) for x in queries])
+        )
