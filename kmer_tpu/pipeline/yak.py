@@ -21,8 +21,6 @@ import numpy as np
 
 from ..kernels import bloom
 from ..kernels import u64 as u
-from ..kernels.encode import encode_bases
-from ..kernels.kmer import extract_canonical
 from ..table import count_table as ct
 from .counter import GROW_LOAD, _iter_packed, _prefetch
 
@@ -50,8 +48,10 @@ def _yak_ingest(
     (from pipeline.counter._extract_step, i.e. the Pallas extraction on
     TPU).  Extraction lives in its own jit program: fusing it with the
     insert is the same XLA compile-time hazard the vaf step hit.  Valid
-    lanes are the non-sentinel ones — unambiguous for k < 32, where a
-    hash64 output masked to 2k bits can never be all-ones."""
+    lanes are the non-sentinel ones — unambiguous for every k: a hash64
+    output masked to 2k bits can never be all-ones for k < 32, and at
+    k = 32 the reproduced x86-64 shift UB (mask = 0, see
+    kernels/kmer.py) collapses every real key to 0."""
     valid = ~((hi == jnp.uint32(0xFFFFFFFF)) & (lo == jnp.uint32(0xFFFFFFFF)))
     kmer = u.U64(hi, lo)
     if create_new:
@@ -64,37 +64,6 @@ def _yak_ingest(
             table, n_new = ct.insert(table, kmer, valid, YAK_MAX_COUNT)
     else:
         table = ct.add_existing(table, kmer, valid, YAK_MAX_COUNT)
-        n_new = jnp.zeros((), jnp.int32)
-    return table, bits, n_new
-
-
-@partial(
-    jax.jit,
-    static_argnames=("k", "spec", "create_new", "use_bloom"),
-    donate_argnums=(0, 1),
-)
-def _yak_step(
-    table: ct.CountTable,
-    bits: jnp.ndarray,
-    ascii_u8: jnp.ndarray,
-    k: int,
-    spec: Optional[bloom.BloomSpec],
-    create_new: bool,
-    use_bloom: bool,
-):
-    """Fused fallback for k == 32 (sentinel ambiguity; see _yak_ingest)."""
-    codes = encode_bases(ascii_u8)
-    out = extract_canonical(codes, k, apply_hash64=True)
-    if create_new:
-        if use_bloom:
-            bits, preset = bloom.insert(bits, out.kmer, out.valid, spec)
-            table, n_new = ct.insert_gated(
-                table, out.kmer, out.valid, preset, YAK_MAX_COUNT
-            )
-        else:
-            table, n_new = ct.insert(table, out.kmer, out.valid, YAK_MAX_COUNT)
-    else:
-        table = ct.add_existing(table, out.kmer, out.valid, YAK_MAX_COUNT)
         n_new = jnp.zeros((), jnp.int32)
     return table, bits, n_new
 
@@ -151,29 +120,18 @@ class YakEngine:
         if self.prefetch:
             it = _prefetch(it)
         for buf, _n_bases, n_seqs, row_bytes in it:
-            if self.k < 32:
-                if row_bytes and row_bytes > self.k:
-                    from .counter import _extract_step_rows
+            if row_bytes and row_bytes > self.k:
+                from .counter import _extract_step_rows
 
-                    hi, lo, _nk = _extract_step_rows(
-                        jnp.asarray(buf), self.k, row_bytes
-                    )
-                else:
-                    hi, lo, _nk = _extract_step(jnp.asarray(buf), self.k)
-                self.table, self.bits, n_new = _yak_ingest(
-                    self.table, self.bits, hi, lo,
-                    self.spec, create_new, self.use_bloom,
+                hi, lo, _nk = _extract_step_rows(
+                    jnp.asarray(buf), self.k, row_bytes
                 )
             else:
-                self.table, self.bits, n_new = _yak_step(
-                    self.table,
-                    self.bits,
-                    jnp.asarray(buf),
-                    self.k,
-                    self.spec,
-                    create_new,
-                    self.use_bloom,
-                )
+                hi, lo, _nk = _extract_step(jnp.asarray(buf), self.k)
+            self.table, self.bits, n_new = _yak_ingest(
+                self.table, self.bits, hi, lo,
+                self.spec, create_new, self.use_bloom,
+            )
             if create_new:
                 self.tot += int(n_new)
                 self._maybe_grow()
