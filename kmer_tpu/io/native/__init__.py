@@ -142,7 +142,9 @@ def iter_packed_native(
     for path in paths:
         h = lib.ktp_open(os.fsencode(path))
         if not h:
-            raise OSError(f"cannot open {path}")
+            import errno
+
+            raise OSError(errno.ENOENT, "cannot open", path)
         try:
             while True:
                 buf = np.zeros(capacity, np.uint8)

@@ -108,7 +108,9 @@ class _maybe_profile:
 
 
 def _prefetch(it, depth=2):
-    """Run an iterator in a background thread (kt_pipeline step-0 analog)."""
+    """Run an iterator in a background thread (kt_pipeline step-0 analog).
+    Reader exceptions (e.g. unreadable input) re-raise in the consumer
+    instead of dying silently in the thread."""
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     sentinel = object()
 
@@ -116,6 +118,8 @@ def _prefetch(it, depth=2):
         try:
             for item in it:
                 q.put(item)
+        except BaseException as e:  # noqa: BLE001 - forwarded verbatim
+            q.put((sentinel, e))
         finally:
             q.put(sentinel)
 
@@ -125,6 +129,8 @@ def _prefetch(it, depth=2):
         item = q.get()
         if item is sentinel:
             return
+        if isinstance(item, tuple) and len(item) == 2 and item[0] is sentinel:
+            raise item[1]
         yield item
 
 

@@ -92,13 +92,22 @@ def _process_read(rec, by_tid, counts):
         i += 1
 
 
-def count_bam_variants(fn, patterns, regions, counts):
-    bam = open_alignment(fn)  # BAM or SAM text (sam_open analog)
+def count_bam_variants(fn, patterns, p_tids, regions, counts):
+    """Process one alignment file.  p_tids holds each pattern's tid as
+    resolved against the FIRST file's header (create_snp_map,
+    bam-vaf-counter.c:187-215) — the reference never re-resolves them
+    for later files, and reads are filtered by comparing those tids to
+    the current file's record tids (bam-vaf-counter.c:298-301), so we
+    deliberately do the same."""
+    try:
+        bam = open_alignment(fn)  # BAM or SAM text (sam_open analog)
+    except OSError:
+        sys.stderr.write(f"Error: failed to open BAM file: {fn}\n")
+        return
     grouped = {}
     for j, p in enumerate(patterns):
-        tid = bam.name2tid.get(p.chr, -1)
-        if tid >= 0:
-            grouped.setdefault(tid, []).append((j, p))
+        if p_tids[j] >= 0:
+            grouped.setdefault(p_tids[j], []).append((j, p))
     by_tid = {}
     for tid, entries in grouped.items():
         entries.sort(key=lambda e: e[1].start)
@@ -130,30 +139,32 @@ def count_bam_variants(fn, patterns, regions, counts):
             for rec in bam.query(idx, tid, beg, end):
                 _process_read(rec, by_tid, counts)
     else:
+        sys.stderr.write(
+            f"[E::idx_find_and_load] Could not retrieve index file for '{fn}'\n"
+        )
         minfo(
             "count_bam_variants",
             f"Warning: failed to load BAM index for {fn}, processing all reads",
         )
         if not (hasattr(bam, "query") and _count_sequential_native(
-            fn, bam, patterns, counts
+            fn, patterns, p_tids, counts
         )):
             for rec in bam.records():
                 _process_read(rec, by_tid, counts)
     bam.close()
 
 
-def _count_sequential_native(fn, bam, patterns, counts) -> bool:
+def _count_sequential_native(fn, patterns, p_tids, counts) -> bool:
     """Whole-file scan in the C++ reader (io/native/bam_count.cpp);
     returns False when unavailable so the Python loop runs instead."""
     from ..io import native
 
     order = []
     for j, p in enumerate(patterns):
-        tid = bam.name2tid.get(p.chr, -1)
-        if tid >= 0 and len(p.ref) == 1 and len(p.alt) == 1:
-            order.append((tid, p.start, j))
-    if len(order) != len(patterns):  # odd patterns: keep one code path
-        return False
+        if p_tids[j] >= 0 and len(p.ref) == 1 and len(p.alt) == 1:
+            order.append((p_tids[j], p.start, j))
+    if len(order) != sum(t >= 0 for t in p_tids):
+        return False  # odd patterns: keep one code path
     order.sort()
     tids = [t for t, _, _ in order]
     starts = [s for _, s, _ in order]
@@ -197,8 +208,40 @@ def main(argv=None):
         return 1
 
     minfo("main", "Loading patterns...")
-    patterns = read_patterns(pattern_fn)
+    try:
+        patterns = read_patterns(pattern_fn)
+    except OSError:
+        sys.stderr.write("Error: failed to load pattern file\n")
+        return 1
     minfo("main", f"Loaded {len(patterns)} patterns")
+
+    # tid resolution against the FIRST file's header, once
+    # (bam-vaf-counter.c:510-528): later files reuse these tids
+    minfo("main", "Reading BAM header...")
+    try:
+        hdr_bam = open_alignment(pos[0])
+    except OSError:
+        sys.stderr.write(f"Error: failed to open BAM file: {pos[0]}\n")
+        return 1
+    minfo("main", "Creating SNP position map...")
+    p_tids = []
+    seen = set()
+    for p in patterns:
+        tid = hdr_bam.name2tid.get(p.chr, -1)
+        if tid < 0:
+            sys.stderr.write(
+                f"Warning: chromosome {p.chr} not found in BAM header\n"
+            )
+        else:
+            key = (tid, p.start)
+            if key in seen:
+                sys.stderr.write(
+                    f"Warning: duplicate SNP at {p.chr}:{p.start}\n"
+                )
+            else:
+                seen.add(key)
+        p_tids.append(tid)
+    hdr_bam.close()
 
     minfo("main", "Building target regions from patterns...")
     regions = build_regions(patterns)
@@ -211,7 +254,7 @@ def main(argv=None):
     counts = [[0, 0] for _ in patterns]
     for fn in pos:
         minfo("main", f"Processing {fn}...")
-        count_bam_variants(fn, patterns, regions, counts)
+        count_bam_variants(fn, patterns, p_tids, regions, counts)
 
     for j, p in enumerate(patterns):
         p.ref_count, p.alt_count = counts[j]

@@ -33,8 +33,22 @@ def _encode(seq: bytes) -> np.ndarray:
     return SEQ_NT4_NP[np.frombuffer(seq, np.uint8)]
 
 
+def _openable(fn) -> bool:
+    if fn == "-":
+        return True
+    try:
+        open(fn, "rb").close()
+        return True
+    except OSError:
+        return False
+
+
 def count_fastq(fn, patterns, max_e, totals):
     """Accumulate per-pattern (ref, alt) counts over all reads in fn."""
+    if not _openable(fn):
+        # ed-vaf-counter.c:130
+        sys.stderr.write(f"Warning: failed to open {fn}\n")
+        return
     # pattern kmers -> code matrix (2P, Lp)
     kmers = []
     for p in patterns:
@@ -115,13 +129,19 @@ def main(argv=None):
             f"  -e INT    maximum edit distance for approximate matching [{max_e}]\n"
         )
         e.write("\nDescription:\n")
-        e.write("  This program uses a Myers bit-vector kernel to search for pattern k-mers\n")
-        e.write("  in FASTQ reads with approximate matching (edlib-equivalent HW mode).\n")
+        e.write("  This program uses edlib to search for pattern k-mers in FASTQ reads.\n")
+        e.write("  Unlike vaf-counter which extracts all k-mers from reads and looks them up,\n")
+        e.write("  ed-vaf-counter searches for each pattern k-mer in the reads using approximate\n")
+        e.write("  string matching. This can be more efficient for small pattern sets.\n")
         e.write("  Set -e 0 for exact matches only (default), or higher values to allow mismatches.\n")
         return 1
 
     minfo("main", "Loading patterns...")
-    patterns = read_patterns(pattern_fn)
+    try:
+        patterns = read_patterns(pattern_fn)
+    except OSError:
+        sys.stderr.write("Error: failed to load pattern file\n")
+        return 1
     minfo("main", f"Loaded {len(patterns)} patterns")
 
     minfo(

@@ -51,7 +51,14 @@ class _HistEngine:
 
 
 def _run_counter(paths, k, max_count, block_bases=10_000_000):
-    return _HistEngine(paths, k, block_bases)
+    """Count, or return None after a clean error message.  (The C
+    originals segfault on an unopenable input — kseq_init on a NULL
+    gzFile; failing cleanly is a deliberate divergence, PARITY.md.)"""
+    try:
+        return _HistEngine(paths, k, block_bases)
+    except OSError:
+        sys.stderr.write(f"Error: failed to open {paths[0]}\n")
+        return None
 
 
 def main_kc_c1(argv=None):
@@ -65,6 +72,8 @@ def main_kc_c1(argv=None):
         sys.stderr.write(f"Usage: kc-c1 [-k {k}] <in.fa>\n")
         return 1
     eng = _run_counter([pos[0]], k, max_count=None)
+    if eng is None:
+        return 1
     _print_hist(eng.hist(256))
     return 0
 
@@ -85,6 +94,8 @@ def main_kc_c2(argv=None):
         sys.stderr.write(f"ERROR: -p should be at least {KC_BITS}\n")
         return 1
     eng = _run_counter([pos[0]], k, max_count=255)
+    if eng is None:
+        return 1
     _print_hist(eng.hist(256))
     return 0
 
@@ -111,6 +122,8 @@ def main_kc_c3(argv=None):
         sys.stderr.write(f"ERROR: -p should be at least {KC_BITS}\n")
         return 1
     eng = _run_counter([pos[0]], k, max_count=255, block_bases=block_size)
+    if eng is None:
+        return 1
     _print_hist(eng.hist(256))
     return 0
 
@@ -140,6 +153,8 @@ def main_kc_c4(argv=None):
         sys.stderr.write(f"ERROR: -p should be at least {KC_BITS}\n")
         return 1
     eng = _run_counter([pos[0]], k, max_count=1023, block_bases=block_size)
+    if eng is None:
+        return 1
     _print_hist(eng.hist(256))
     return 0
 
@@ -156,6 +171,8 @@ def main_kc_cpp1(argv=None):
         sys.stderr.write(f"Usage: kc-cpp1 [-k {k}] <in.fa>\n")
         return 1
     eng = _run_counter([pos[0]], k, max_count=None)
+    if eng is None:
+        return 1
     _print_hist(eng.hist(256))
     return 0
 

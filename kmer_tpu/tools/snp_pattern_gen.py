@@ -72,14 +72,22 @@ def main(argv=None):
     minfo("main", "Loading reference genome...")
     genome = {}
     order = 0
-    for name, seq in FastxReader(fasta_fn):
-        genome[name.decode()] = seq
-        order += 1
+    try:
+        for name, seq in FastxReader(fasta_fn):
+            genome[name.decode()] = seq
+            order += 1
+    except OSError:
+        sys.stderr.write("Error: failed to load FASTA file\n")  # :256
+        return 1
     minfo("main", f"Loaded {order} sequences")
 
     # pass 1: candidate canonical k-mers from the BED
     minfo("main", "Generating candidate k-mers from BED file...")
-    snps = read_bed_snps(bed_fn)
+    try:
+        snps = read_bed_snps(bed_fn)
+    except OSError:
+        sys.stderr.write("Error: failed to open BED file\n")  # :265
+        return 1
     mask = (1 << (2 * k)) - 1
     candidates = {}
     per_snp = []  # (snp, ref_kmer_str, alt_kmer_str, ref_can, alt_can) or None

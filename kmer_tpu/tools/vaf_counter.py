@@ -105,7 +105,11 @@ def main(argv=None):
     t_start = time.time()
     minfo("main", "Loading patterns...")
     t0 = time.time()
-    patterns = read_patterns(pattern_fn)
+    try:
+        patterns = read_patterns(pattern_fn)
+    except OSError:
+        sys.stderr.write("Error: failed to load pattern file\n")
+        return 1
     time_pattern_load = time.time() - t0
     minfo("main", f"Loaded {len(patterns)} patterns in {time_pattern_load:.3f} sec")
 
@@ -132,7 +136,12 @@ def main(argv=None):
         minfo("main", f"Processing {fn}...")
         t_file = time.time()
         b0, s0 = eng.total_bases, eng.total_seqs
-        eng.count_paths([fn])
+        try:
+            eng.count_paths([fn])
+        except OSError:
+            continue  # unopenable input: silent skip, like the
+            # reference's `if ((fp = gzopen(fn, "r")) == 0) return;`
+            # (vaf-counter.c:557)
         if verbose_mode:
             el = time.time() - t_file
             fb, fs = eng.total_bases - b0, eng.total_seqs - s0

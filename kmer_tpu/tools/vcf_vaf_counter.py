@@ -22,6 +22,14 @@ def process_vcf(fn, patterns, sample_idx, min_depth):
     for i, p in enumerate(patterns):
         by_pos.setdefault((p.chr, p.start), i)
 
+    try:
+        open(fn, "rb").close()
+    except OSError:
+        # the reference warns and still writes the (all-zero) VAF file
+        # (vcf-vaf-counter.c:105, main continues after the message)
+        sys.stderr.write(f"Error: failed to open VCF file: {fn}\n")
+        return
+
     for rec in read_vcf(fn):
         pat_idx = by_pos.get((rec.chrom, rec.pos))
         if pat_idx is None:
@@ -99,7 +107,11 @@ def main(argv=None):
         return 1
 
     minfo("main", "Loading patterns...")
-    patterns = read_patterns(pattern_fn)
+    try:
+        patterns = read_patterns(pattern_fn)
+    except OSError:
+        sys.stderr.write("Error: failed to load pattern file\n")
+        return 1
     minfo("main", f"Loaded {len(patterns)} patterns")
 
     minfo("main", "Processing VCF file...")

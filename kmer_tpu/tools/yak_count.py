@@ -60,7 +60,13 @@ def main(argv=None):
         from ..pipeline.counter import SortCountEngine
 
         eng_s = SortCountEngine(k=k, block_bases=chunk)
-        eng_s.count_paths([pos[0]])
+        try:
+            eng_s.count_paths([pos[0]])
+        except OSError:
+            # the C original segfaults here (kseq on a NULL gzFile);
+            # failing cleanly is a deliberate divergence (PARITY.md)
+            sys.stderr.write(f"Error: failed to open {pos[0]}\n")
+            return 1
         min_keep = 2 if bf_shift > 0 else 1
         h = eng_s.hist(YAK_N_COUNTS, max_count=YAK_MAX_COUNT, min_keep=min_keep)
         tot = eng_s._n_distinct
@@ -81,7 +87,13 @@ def main(argv=None):
             k=k, pre=pre, bf_shift=bf_shift, bf_n_hash=bf_n_hash,
             chunk_size=chunk, log=log,
         )
-        yak_count_file(pos[0], fn2, eng)
+        try:
+            yak_count_file(pos[0], fn2, eng)
+        except OSError as exc:
+            # clean failure instead of the C original's segfault (PARITY.md)
+            fn = exc.filename if getattr(exc, "filename", None) else pos[0]
+            sys.stderr.write(f"Error: failed to open {fn}\n")
+            return 1
         tot = eng.tot
         h = eng.hist()
     sys.stderr.write(f"[M::main] {tot} distinct k-mers after shrinking\n")
