@@ -73,6 +73,18 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.ktp_read_block_packed.restype = ctypes.c_int64
+        lib.ktp_read_block_packed.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         lib.ktp_bam_count.restype = ctypes.c_int64
         lib.ktp_bam_count.argtypes = [
             ctypes.c_char_p,
@@ -92,6 +104,52 @@ def available() -> bool:
     if os.environ.get("KMER_TPU_NO_NATIVE"):  # force pure-Python paths
         return False
     return _load() is not None
+
+
+def iter_packed2bit_native(paths, k: int, block_bases: int, capacity: int):
+    """Bit-packed variant of iter_packed_native for bandwidth-limited
+    host->device links: yields (packed_u8[cap/4], mask_u8[cap/8],
+    n_bytes_packed, n_seqs, row_bytes).  capacity is rounded up to a
+    multiple of 8."""
+    lib = _load()
+    assert lib is not None
+    capacity = (capacity + 7) & ~7
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    for path in paths:
+        h = lib.ktp_open(os.fsencode(path))
+        if not h:
+            import errno
+
+            raise OSError(errno.ENOENT, "cannot open", path)
+        try:
+            while True:
+                packed = np.zeros(capacity // 4, np.uint8)
+                mask = np.zeros(capacity // 8, np.uint8)
+                n_seqs = ctypes.c_int64()
+                n_bases = ctypes.c_int64()
+                row_bytes = ctypes.c_int64()
+                used = lib.ktp_read_block_packed(
+                    h,
+                    packed.ctypes.data_as(u8p),
+                    mask.ctypes.data_as(u8p),
+                    capacity,
+                    k,
+                    block_bases,
+                    ctypes.byref(n_seqs),
+                    ctypes.byref(n_bases),
+                    ctypes.byref(row_bytes),
+                )
+                if used <= 0:
+                    break
+                yield (
+                    packed,
+                    mask,
+                    int(n_bases.value) + int(n_seqs.value),
+                    int(n_seqs.value),
+                    int(row_bytes.value) or None,
+                )
+        finally:
+            lib.ktp_close(h)
 
 
 def bam_count_native(path, tids, starts, refs, alts):

@@ -26,6 +26,7 @@ struct Reader {
   std::string buf;        // unconsumed raw bytes
   size_t pos = 0;         // cursor into buf
   bool eof = false;
+  std::vector<uint8_t> scratch;  // ASCII staging for the packed path
 
   // carry-over sequence that did not fit the caller's buffer
   std::string carry;
@@ -197,6 +198,50 @@ int64_t ktp_read_block(void* h, uint8_t* out, int64_t capacity, int32_t k,
   if (row_bytes) {
     *row_bytes = (uniform && *n_seqs > 0) ? first_len + 1 : 0;
   }
+  return used;
+}
+
+// Packed variant of ktp_read_block for bandwidth-limited host->device
+// links: emits 2-bit base codes (A/C/G/T -> 0..3, 4 per byte,
+// little-endian within the byte) plus a 1-bit-per-base invalid mask
+// (N / separators / anything non-ACGT, and every slot past the packed
+// region).  0.375 bytes per base instead of 1 — the device unpacks
+// (kmer_tpu/pipeline/counter.py _unpack_ascii) into the exact byte
+// stream ktp_read_block would have produced, modulo non-ACGT letters
+// all becoming NUL (their base code is 4 either way).
+// `capacity` must be a multiple of 8; packed/mask must hold
+// capacity/4 and capacity/8 bytes and arrive zeroed.
+int64_t ktp_read_block_packed(void* h, uint8_t* packed, uint8_t* mask,
+                              int64_t capacity, int32_t k,
+                              int64_t target_bases, int64_t* n_seqs,
+                              int64_t* n_bases, int64_t* row_bytes) {
+  auto* r = static_cast<Reader*>(h);
+  if ((int64_t)r->scratch.size() < capacity) r->scratch.resize(capacity);
+  int64_t used = ktp_read_block(h, r->scratch.data(), capacity, k,
+                                target_bases, n_seqs, n_bases, row_bytes);
+  if (used <= 0) return used;
+  static uint8_t nt4[256];
+  static bool init = false;
+  if (!init) {
+    memset(nt4, 4, sizeof(nt4));
+    nt4['A'] = nt4['a'] = 0;
+    nt4['C'] = nt4['c'] = 1;
+    nt4['G'] = nt4['g'] = 2;
+    nt4['T'] = nt4['t'] = 3;
+    init = true;
+  }
+  const uint8_t* s = r->scratch.data();
+  for (int64_t i = 0; i < used; ++i) {
+    uint8_t c = nt4[s[i]];
+    if (c > 3)
+      mask[i >> 3] |= (uint8_t)(1u << (i & 7));
+    else
+      packed[i >> 2] |= (uint8_t)(c << (2 * (i & 3)));
+  }
+  // everything past the packed region is invalid
+  int64_t i = used;
+  for (; i < capacity && (i & 7); ++i) mask[i >> 3] |= (uint8_t)(1u << (i & 7));
+  if (i < capacity) memset(mask + (i >> 3), 0xFF, (capacity - i) >> 3);
   return used;
 }
 

@@ -88,6 +88,43 @@ def _iter_packed(
             n_seqs = 0
 
 
+def _use_packed_ingest(paths) -> bool:
+    """2-bit packed host->device ingest: on for real files through the
+    native reader on TPU (where the host link is the bottleneck —
+    0.375 B/base instead of 1).  KMER_TPU_PACKED=0 disables, =1 forces
+    (e.g. to exercise the path in CPU tests)."""
+    import os
+
+    env = os.environ.get("KMER_TPU_PACKED")
+    if env is not None:
+        if env == "0":
+            return False
+    elif jax.default_backend() != "tpu":
+        return False
+    if any(p == "-" for p in paths):
+        return False
+    from ..io import native
+
+    return native.available()
+
+
+def _iter_packed2(paths, k: int, block_bases: int, capacity: int):
+    """Packed-ingest analog of _iter_packed: yields (packed, mask,
+    n_bytes, n_seqs, row_bytes) with buffers trimmed to the smallest
+    size class (slots past the packed region are mask-invalid, so
+    trimming never changes the k-mer multiset)."""
+    from ..io import native
+
+    for packed, mask, n, n_seqs, rb in native.iter_packed2bit_native(
+        paths, k, block_bases, capacity
+    ):
+        for cls in (1 << 16, 1 << 20, 1 << 23):
+            if n <= cls < 4 * packed.shape[0]:
+                packed, mask = packed[: cls // 4], mask[: cls // 8]
+                break
+        yield packed, mask, n, n_seqs, rb
+
+
 class _maybe_profile:
     """KMER_TPU_PROFILE=<dir> captures a jax.profiler trace of the
     streaming loop (the observability analog of the reference's -v
@@ -161,6 +198,39 @@ def _extract_step(ascii_u8: jnp.ndarray, k: int):
     return hi, lo, n_kmers
 
 
+def _unpack_ascii(packed: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Expand the native reader's 2-bit base codes + invalid bitmask
+    (io/native/fastx_reader.cpp ktp_read_block_packed) into the ASCII
+    byte stream the plain reader would have produced: code 0..3 ->
+    'A'/'C'/'G'/'T', masked slots -> NUL (an invalid base either way).
+    One cheap elementwise pass on device; the payoff is 0.375 bytes per
+    base over the host->device link instead of 1."""
+    n4 = packed.shape[0]
+    shifts = jnp.arange(4, dtype=jnp.uint8) * 2
+    codes = ((packed[:, None] >> shifts[None, :]) & 3).reshape(4 * n4)
+    bits = jnp.arange(8, dtype=jnp.uint8)
+    inv = ((mask[:, None] >> bits[None, :]) & 1).reshape(8 * mask.shape[0])
+    lut = jnp.where(
+        codes == 0,
+        jnp.uint8(65),
+        jnp.where(
+            codes == 1,
+            jnp.uint8(67),
+            jnp.where(codes == 2, jnp.uint8(71), jnp.uint8(84)),
+        ),
+    )
+    return jnp.where(inv[: 4 * n4] == 1, jnp.uint8(0), lut)
+
+
+@partial(jax.jit, static_argnames=("k", "row_bytes"))
+def _extract_step_packed(packed: jnp.ndarray, mask: jnp.ndarray, k: int,
+                         row_bytes):
+    ascii_u8 = _unpack_ascii(packed, mask)
+    if row_bytes and row_bytes > k:
+        return _extract_step_rows(ascii_u8, k, row_bytes)
+    return _extract_step(ascii_u8, k)
+
+
 @partial(jax.jit, static_argnames=("k", "row_bytes"))
 def _extract_step_rows(ascii_u8: jnp.ndarray, k: int, row_bytes: int):
     """_extract_step for uniform-length reads: every read occupies
@@ -206,6 +276,23 @@ class SortCountEngine:
         self.total_kmers = 0
 
     def count_paths(self, paths: Sequence[str], progress=None) -> None:
+        if _use_packed_ingest(paths):
+            it = _iter_packed2(paths, self.k, self.block_bases, self.capacity)
+            if self.prefetch:
+                it = _prefetch(it)
+            with _maybe_profile():
+                for packed, mask, n_bases, n_seqs, row_bytes in it:
+                    rb = row_bytes if row_bytes and row_bytes > self.k else None
+                    hi, lo, n_kmers = _extract_step_packed(
+                        jnp.asarray(packed), jnp.asarray(mask), self.k, rb
+                    )
+                    self.compactor.add_raw(hi, lo)
+                    self.total_bases += int(n_bases) - int(n_seqs)
+                    self.total_seqs += n_seqs
+                    self.total_kmers += int(n_kmers)
+                    if progress is not None:
+                        progress(self)
+            return
         it = _iter_packed(paths, self.k, self.block_bases, self.capacity)
         if self.prefetch:
             it = _prefetch(it)

@@ -114,20 +114,38 @@ class YakEngine:
             self.table = ct.rebuild(self.table, cap)
 
     def count(self, paths: Sequence[str], create_new: bool) -> None:
-        from .counter import _extract_step
+        from .counter import (
+            _extract_step,
+            _extract_step_packed,
+            _extract_step_rows,
+            _iter_packed2,
+            _use_packed_ingest,
+        )
 
-        it = _iter_packed(paths, self.k, self.chunk_size, self.capacity_block)
+        packed_mode = _use_packed_ingest(paths)
+        if packed_mode:
+            it = _iter_packed2(paths, self.k, self.chunk_size,
+                               self.capacity_block)
+        else:
+            it = _iter_packed(paths, self.k, self.chunk_size,
+                              self.capacity_block)
         if self.prefetch:
             it = _prefetch(it)
-        for buf, _n_bases, n_seqs, row_bytes in it:
-            if row_bytes and row_bytes > self.k:
-                from .counter import _extract_step_rows
-
-                hi, lo, _nk = _extract_step_rows(
-                    jnp.asarray(buf), self.k, row_bytes
+        for item in it:
+            if packed_mode:
+                packed, mask, _n_bases, n_seqs, row_bytes = item
+                rb = row_bytes if row_bytes and row_bytes > self.k else None
+                hi, lo, _nk = _extract_step_packed(
+                    jnp.asarray(packed), jnp.asarray(mask), self.k, rb
                 )
             else:
-                hi, lo, _nk = _extract_step(jnp.asarray(buf), self.k)
+                buf, _n_bases, n_seqs, row_bytes = item
+                if row_bytes and row_bytes > self.k:
+                    hi, lo, _nk = _extract_step_rows(
+                        jnp.asarray(buf), self.k, row_bytes
+                    )
+                else:
+                    hi, lo, _nk = _extract_step(jnp.asarray(buf), self.k)
             self.table, self.bits, n_new = _yak_ingest(
                 self.table, self.bits, hi, lo,
                 self.spec, create_new, self.use_bloom,

@@ -53,3 +53,61 @@ def test_native_reader_matches_python(fixture, k, block_bases):
     w_reads, w_seqs = reads(want)
     assert g_seqs == w_seqs
     assert g_reads == w_reads
+
+
+def test_packed2bit_matches_ascii_reader():
+    """The 2-bit packed native reader must unpack to exactly the ASCII
+    reader's base-code stream (io/native ktp_read_block_packed)."""
+    import numpy as np
+
+    from kmer_tpu.io import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native reader unavailable")
+    k = 21
+    paths = [os.path.join(FIXTURES, "reads_small.fq.gz")]
+    nt4 = np.full(256, 4, np.uint8)
+    for i, c in enumerate(b"ACGT"):
+        nt4[c] = i
+        nt4[c + 32] = i
+    cap = 1_000_000 + 4096
+    a_blocks = list(native.iter_packed_native(paths, k, 1_000_000, cap))
+    p_blocks = list(native.iter_packed2bit_native(paths, k, 1_000_000, cap))
+    assert len(a_blocks) == len(p_blocks)
+    shifts = np.arange(4, dtype=np.uint8) * 2
+    bits = np.arange(8, dtype=np.uint8)
+    for (buf, n, ns, rb), (packed, mask, n2, ns2, rb2) in zip(
+        a_blocks, p_blocks
+    ):
+        assert (n, ns, rb) == (n2, ns2, rb2)
+        codes_a = nt4[buf]
+        codes_p = ((packed[:, None] >> shifts[None, :]) & 3).reshape(-1)
+        inv = ((mask[:, None] >> bits[None, :]) & 1).reshape(-1)
+        codes_p = np.where(inv == 1, 4, codes_p)
+        m = min(len(codes_a), len(codes_p))
+        assert np.array_equal(codes_a[:m], codes_p[:m])
+        assert np.all(codes_p[m:] == 4)
+
+
+def test_packed_ingest_engine_equivalence(monkeypatch):
+    """SortCountEngine with packed ingest forced must produce the same
+    histogram as the ASCII path."""
+    from kmer_tpu.pipeline.counter import SortCountEngine
+
+    path = os.path.join(FIXTURES, "reads_small.fq.gz")
+    import numpy as np
+
+    monkeypatch.setenv("KMER_TPU_PACKED", "1")
+    e1 = SortCountEngine(k=17)
+    e1.count_paths([path])
+    h1 = e1.hist(256)
+    monkeypatch.setenv("KMER_TPU_PACKED", "0")
+    e2 = SortCountEngine(k=17)
+    e2.count_paths([path])
+    h2 = e2.hist(256)
+    assert np.array_equal(h1, h2)
+    assert (e1.total_bases, e1.total_seqs, e1.total_kmers) == (
+        e2.total_bases, e2.total_seqs, e2.total_kmers
+    )
