@@ -125,6 +125,21 @@ def _iter_packed2(paths, k: int, block_bases: int, capacity: int):
         yield packed, mask, n, n_seqs, rb
 
 
+def _to_device_ascii(item):
+    """Upload a block inside the prefetch thread so the host->device
+    transfer overlaps the previous block's dispatch/compute (the P1
+    pipeline overlap, extended to the copy).  Buffers are freshly
+    allocated per block, so the zero-copy-alias hazard (CLAUDE.md) does
+    not apply."""
+    buf, n, ns, rb = item
+    return jnp.asarray(buf), n, ns, rb
+
+
+def _to_device_packed(item):
+    p, m, n, ns, rb = item
+    return jnp.asarray(p), jnp.asarray(m), n, ns, rb
+
+
 class _maybe_profile:
     """KMER_TPU_PROFILE=<dir> captures a jax.profiler trace of the
     streaming loop (the observability analog of the reference's -v
@@ -277,14 +292,17 @@ class SortCountEngine:
 
     def count_paths(self, paths: Sequence[str], progress=None) -> None:
         if _use_packed_ingest(paths):
-            it = _iter_packed2(paths, self.k, self.block_bases, self.capacity)
+            it = map(
+                _to_device_packed,
+                _iter_packed2(paths, self.k, self.block_bases, self.capacity),
+            )
             if self.prefetch:
                 it = _prefetch(it)
             with _maybe_profile():
                 for packed, mask, n_bases, n_seqs, row_bytes in it:
                     rb = row_bytes if row_bytes and row_bytes > self.k else None
                     hi, lo, n_kmers = _extract_step_packed(
-                        jnp.asarray(packed), jnp.asarray(mask), self.k, rb
+                        packed, mask, self.k, rb
                     )
                     self.compactor.add_raw(hi, lo)
                     self.total_bases += int(n_bases) - int(n_seqs)
@@ -293,17 +311,18 @@ class SortCountEngine:
                     if progress is not None:
                         progress(self)
             return
-        it = _iter_packed(paths, self.k, self.block_bases, self.capacity)
+        it = map(
+            _to_device_ascii,
+            _iter_packed(paths, self.k, self.block_bases, self.capacity),
+        )
         if self.prefetch:
             it = _prefetch(it)
         with _maybe_profile():
             for buf, n_bases, n_seqs, row_bytes in it:
                 if row_bytes and row_bytes > self.k:
-                    hi, lo, n_kmers = _extract_step_rows(
-                        jnp.asarray(buf), self.k, row_bytes
-                    )
+                    hi, lo, n_kmers = _extract_step_rows(buf, self.k, row_bytes)
                 else:
-                    hi, lo, n_kmers = _extract_step(jnp.asarray(buf), self.k)
+                    hi, lo, n_kmers = _extract_step(buf, self.k)
                 self.compactor.add_raw(hi, lo)
                 self.total_bases += int(n_bases) - int(n_seqs)
                 self.total_seqs += n_seqs

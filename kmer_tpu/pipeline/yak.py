@@ -122,30 +122,34 @@ class YakEngine:
             _use_packed_ingest,
         )
 
+        from .counter import _to_device_ascii, _to_device_packed
+
         packed_mode = _use_packed_ingest(paths)
         if packed_mode:
-            it = _iter_packed2(paths, self.k, self.chunk_size,
-                               self.capacity_block)
+            it = map(
+                _to_device_packed,
+                _iter_packed2(paths, self.k, self.chunk_size,
+                              self.capacity_block),
+            )
         else:
-            it = _iter_packed(paths, self.k, self.chunk_size,
-                              self.capacity_block)
+            it = map(
+                _to_device_ascii,
+                _iter_packed(paths, self.k, self.chunk_size,
+                             self.capacity_block),
+            )
         if self.prefetch:
             it = _prefetch(it)
         for item in it:
             if packed_mode:
                 packed, mask, _n_bases, n_seqs, row_bytes = item
                 rb = row_bytes if row_bytes and row_bytes > self.k else None
-                hi, lo, _nk = _extract_step_packed(
-                    jnp.asarray(packed), jnp.asarray(mask), self.k, rb
-                )
+                hi, lo, _nk = _extract_step_packed(packed, mask, self.k, rb)
             else:
                 buf, _n_bases, n_seqs, row_bytes = item
                 if row_bytes and row_bytes > self.k:
-                    hi, lo, _nk = _extract_step_rows(
-                        jnp.asarray(buf), self.k, row_bytes
-                    )
+                    hi, lo, _nk = _extract_step_rows(buf, self.k, row_bytes)
                 else:
-                    hi, lo, _nk = _extract_step(jnp.asarray(buf), self.k)
+                    hi, lo, _nk = _extract_step(buf, self.k)
             self.table, self.bits, n_new = _yak_ingest(
                 self.table, self.bits, hi, lo,
                 self.spec, create_new, self.use_bloom,

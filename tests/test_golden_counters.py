@@ -159,3 +159,49 @@ def test_counter_parity(refbin, capsys, tool, args):
     want = run_ref(refbin, tool, args)
     got = run_ours(tool, args, capsys)
     assert got == want
+
+
+def test_long_chromosome_split_parity(tmp_path):
+    """A sequence much longer than the block size must split into
+    (k-1)-overlap chunks with no window lost or duplicated — checked
+    against the reference on all three ingest paths (native ASCII,
+    native 2-bit packed, pure Python)."""
+    import gzip
+
+    import numpy as np
+
+    ref = os.path.join(REFBIN, "kc-c4")
+    if not os.path.exists(ref):
+        pytest.skip("reference kc-c4 not built")
+    rng = np.random.default_rng(11)
+    acgt = np.frombuffer(b"ACGTN", np.uint8)
+    seq = acgt[rng.choice(5, 300_000, p=[0.24, 0.24, 0.24, 0.24, 0.04])]
+    fa = str(tmp_path / "chrom.fa.gz")
+    with gzip.open(fa, "wb") as f:
+        f.write(b">chr1\n")
+        s = seq.tobytes()
+        for off in range(0, len(s), 70):
+            f.write(s[off : off + 70] + b"\n")
+        f.write(b">tiny\nACGTACGTACGTACGTACGTACGTACGTACGT\n")
+    want = subprocess.run(
+        [ref, "-k31", "-b50000", fa], capture_output=True, check=True
+    ).stdout
+    from kmer_tpu.tools.kc import main_kc_c4
+
+    for env in ({}, {"KMER_TPU_PACKED": "1"}, {"KMER_TPU_NO_NATIVE": "1"}):
+        old = {k: os.environ.get(k) for k in env}
+        os.environ.update(env)
+        try:
+            import contextlib
+            import io as _io
+
+            buf = _io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                assert not main_kc_c4(["-k31", "-b50000", fa])
+            assert buf.getvalue().encode() == want, env
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
