@@ -172,20 +172,30 @@ def sharded_hist_fn(mesh: Mesh, n_bins: int):
     return jax.jit(fn)
 
 
-def _bucketize_by_sort(keys: u.U64, valid, dest, n_dest: int, lanes: int):
+def _bucketize_by_sort(keys: u.U64, valid, dest, n_dest: int, lanes: int,
+                       one_plane: bool = False):
     """TPU-native routing: ONE sort by destination groups each device's
     k-mers, then n_dest fixed-size windows are sliced at the bucket
     boundaries (sentinel-padded so slices never clamp).  Replaces the
     per-destination cumsum/scatter loop for the sort engine — the same
     "partition is a sort" principle as the count engine itself.
+    one_plane (k <= 15: keys < 2^31): the hi plane is all-zero except
+    sentinels, so it is dropped from the sort and synthesized from lo.
     Returns ((n_dest, lanes) hi/lo with sentinel empties, n_dropped)."""
-    n = keys.hi.shape[0]
     d = jnp.where(valid, dest, n_dest).astype(jnp.uint32)
-    sd, s_hi, s_lo = jax.lax.sort(
-        (d, jnp.where(valid, keys.hi, jnp.uint32(0xFFFFFFFF)),
-         jnp.where(valid, keys.lo, jnp.uint32(0xFFFFFFFF))),
-        num_keys=1,
-    )
+    if one_plane:
+        sd, s_lo = jax.lax.sort(
+            (d, jnp.where(valid, keys.lo, jnp.uint32(0xFFFFFFFF))),
+            num_keys=1,
+        )
+        s_hi = jnp.where(s_lo == jnp.uint32(0xFFFFFFFF),
+                         jnp.uint32(0xFFFFFFFF), jnp.uint32(0))
+    else:
+        sd, s_hi, s_lo = jax.lax.sort(
+            (d, jnp.where(valid, keys.hi, jnp.uint32(0xFFFFFFFF)),
+             jnp.where(valid, keys.lo, jnp.uint32(0xFFFFFFFF))),
+            num_keys=1,
+        )
     # per-destination counts + exclusive boundaries
     one_hot = (sd[:, None] == jnp.arange(n_dest, dtype=jnp.uint32)[None, :])
     cnt = jnp.sum(one_hot.astype(jnp.int32), axis=0)  # (n_dest,)
@@ -215,8 +225,13 @@ def sharded_extract_step_fn(mesh: Mesh, k: int, lanes_per_dest: int):
     Returns (chunk_hi, chunk_lo) shaped (D, S, n_dev*lanes) — each
     device's newly OWNED k-mers (routed by the low bits of hash64 over
     both mesh axes, so every key has exactly one owner), sentinel-padded
-    — plus (n_kmers_total, n_dropped_total)."""
+    — plus (n_kmers_total, n_dropped_total).
+
+    For k <= 15 (keys < 2^31) the hi plane is all-zero except sentinels:
+    it is dropped from the routing sort AND from the all_to_all (half
+    the ICI bytes), then synthesized from lo on the receiving device."""
     n_dev = mesh.shape["data"] * mesh.shape["shard"]
+    one_plane = 2 * k <= 31
 
     def per_device(ascii_row):
         if jax.default_backend() == "tpu" and k < 32:
@@ -240,11 +255,15 @@ def sharded_extract_step_fn(mesh: Mesh, k: int, lanes_per_dest: int):
             kmer, valid = out.kmer, out.valid
         dest = (kmer.lo & jnp.uint32(n_dev - 1)).astype(jnp.int32)
         s_hi, s_lo, n_drop = _bucketize_by_sort(
-            kmer, valid, dest, n_dev, lanes_per_dest
+            kmer, valid, dest, n_dev, lanes_per_dest, one_plane
         )
         axes = ("data", "shard")
-        r_hi = jax.lax.all_to_all(s_hi, axes, 0, 0, tiled=True)
         r_lo = jax.lax.all_to_all(s_lo, axes, 0, 0, tiled=True)
+        if one_plane:
+            r_hi = jnp.where(r_lo == jnp.uint32(0xFFFFFFFF),
+                             jnp.uint32(0xFFFFFFFF), jnp.uint32(0))
+        else:
+            r_hi = jax.lax.all_to_all(s_hi, axes, 0, 0, tiled=True)
         n_k = jax.lax.psum(
             jax.lax.psum(jnp.sum(valid.astype(jnp.int32)), "shard"), "data"
         )
@@ -267,7 +286,8 @@ def sharded_extract_step_fn(mesh: Mesh, k: int, lanes_per_dest: int):
 
 
 def sharded_hist_from_chunks_fn(mesh: Mesh, n_bins: int, max_count=None,
-                                min_keep: int = 1, weighted: bool = False):
+                                min_keep: int = 1, weighted: bool = False,
+                                one_plane: bool = False):
     """Jitted global histogram over accumulated owned-key chunks:
     per-device sort + segment reduction (the single-chip engine's XLA
     core) + psum over both axes.  Keys are uniquely owned (see
@@ -277,7 +297,7 @@ def sharded_hist_from_chunks_fn(mesh: Mesh, n_bins: int, max_count=None,
     def per_device(hi, lo, cnt=None):
         h, nd = hist_core(hi[0, 0], lo[0, 0],
                           cnt[0, 0] if weighted else hi[0, 0],
-                          n_bins, max_count, min_keep, weighted)
+                          n_bins, max_count, min_keep, weighted, one_plane)
         h = jax.lax.psum(jax.lax.psum(h, "shard"), "data")
         nd = jax.lax.psum(jax.lax.psum(nd, "shard"), "data")
         return h, nd
@@ -293,7 +313,7 @@ def sharded_hist_from_chunks_fn(mesh: Mesh, n_bins: int, max_count=None,
     return jax.jit(fn)
 
 
-def sharded_compact_fn(mesh: Mesh):
+def sharded_compact_fn(mesh: Mesh, one_plane: bool = False):
     """Jitted per-device compaction: fold each device's (keys, counts)
     lanes into unique (key, count) pairs (sort + segment sums, the
     single-chip compactor's core) — the distributed analog of
@@ -304,7 +324,8 @@ def sharded_compact_fn(mesh: Mesh):
 
     def per_device(hi, lo, cnt):
         chi, clo, ccnt, nu = _compact_impl(
-            hi[0, 0], lo[0, 0], cnt[0, 0], has_counts=True
+            hi[0, 0], lo[0, 0], cnt[0, 0], has_counts=True,
+            one_plane=one_plane,
         )
         return (
             chi[None, None],
@@ -340,6 +361,9 @@ class ShardedSortEngine:
                  budget_bytes: int = 6 << 30):
         self.mesh = mesh
         self.k = k
+        # same trick as the single-chip compactor: k <= 15 keys fit one
+        # u32 plane, halving every per-device sort's comparator work
+        self.one_plane = 2 * k <= 31
         self.step = sharded_extract_step_fn(mesh, k, lanes_per_dest)
         self.budget_bytes = budget_bytes
         self.chunks = []
@@ -384,7 +408,7 @@ class ShardedSortEngine:
 
     def compact(self) -> None:
         hi, lo, cnt = self._merged_planes()
-        fn = sharded_compact_fn(self.mesh)
+        fn = sharded_compact_fn(self.mesh, self.one_plane)
         chi, clo, ccnt, nu = fn(hi, lo, cnt)
         # slice every device to the largest unique count (static shape),
         # rounded to a size class; tails are sentinel keys with count 0
@@ -405,13 +429,15 @@ class ShardedSortEngine:
             hi = jnp.concatenate([c[0] for c in self.chunks], axis=2)
             lo = jnp.concatenate([c[1] for c in self.chunks], axis=2)
             fn = sharded_hist_from_chunks_fn(
-                self.mesh, n_bins, max_count, min_keep
+                self.mesh, n_bins, max_count, min_keep,
+                one_plane=self.one_plane,
             )
             h, nd = fn(hi, lo)
         else:
             hi, lo, cnt = self._merged_planes()
             fn = sharded_hist_from_chunks_fn(
-                self.mesh, n_bins, max_count, min_keep, weighted=True
+                self.mesh, n_bins, max_count, min_keep, weighted=True,
+                one_plane=self.one_plane,
             )
             h, nd = fn(hi, lo, cnt)
         self._n_distinct = int(nd)

@@ -52,8 +52,8 @@ def test_sharded_matches_single_device(shape):
     assert int(n_new) == int(t.n_full)  # same distinct total
 
 
-@pytest.mark.parametrize("shape", [(2, 4), (1, 8)])
-def test_sharded_sort_engine_matches_single_device(shape):
+@pytest.mark.parametrize("shape,k", [((2, 4), 21), ((1, 8), 21), ((2, 4), 13)])
+def test_sharded_sort_engine_matches_single_device(shape, k):
     """The sort-based multi-chip engine (extract -> all_to_all routing ->
     per-device sort/segment hist -> psum) must equal the single-device
     sort engine, including k-mers duplicated across data rows."""
@@ -63,7 +63,7 @@ def test_sharded_sort_engine_matches_single_device(shape):
     from kmer_tpu.pipeline.counter import _extract_step
 
     mesh = sharded.make_mesh(jax.devices()[:8], data=shape[0], shard=shape[1])
-    k, block, lanes = 21, 4096, 2048
+    block, lanes = 4096, 2048  # k=13 exercises the one-plane routing/sort path
     rows = [_random_ascii(block) for _ in range(6)] + 2 * [_random_ascii(block)]
     ascii_rows = np.stack(rows)  # rows 6 and 7 identical (cross-row dups)
 
