@@ -34,3 +34,20 @@ _os.environ.setdefault(
 )
 _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
 _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+
+# The env vars only apply at jax import; when something imported jax
+# before us (the axon sitecustomize does, and so do bench.py/conftest),
+# apply the config directly — module access is free at that point.
+import sys as _sys
+
+if "jax" in _sys.modules:
+    try:
+        _jax = _sys.modules["jax"]
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ["JAX_COMPILATION_CACHE_DIR"],
+        )
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:  # older jax without these flags
+        pass

@@ -13,13 +13,54 @@ in behind the same Block interface (see kmer_tpu/io/native).
 
 from __future__ import annotations
 
-import gzip
 import io
 import os
+import zlib
 from dataclasses import dataclass
 from typing import Iterator, List, Optional, Sequence, Tuple
 
 _CHUNK = 1 << 20
+
+
+class _GzipStream:
+    """gzread-equivalent gzip reader: multi-member, and damaged or
+    truncated streams yield their readable prefix then EOF instead of
+    raising (the reference reads through zlib's gzread, which does the
+    same — gzip.GzipFile would discard the prefix and raise)."""
+
+    def __init__(self, fileobj):
+        self._f = fileobj
+        self._z = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        self._pending = b""
+        self._done = False
+
+    def _decompress(self, raw: bytes) -> bytes:
+        out = []
+        while raw:
+            try:
+                out.append(self._z.decompress(raw))
+            except zlib.error:
+                self._done = True
+                break
+            if self._z.eof:  # next gzip member (bgzf/pigz outputs)
+                raw = self._z.unused_data
+                self._z = zlib.decompressobj(16 + zlib.MAX_WBITS)
+            else:
+                raw = b""
+        return b"".join(out)
+
+    def read(self, n: int) -> bytes:
+        while len(self._pending) < n and not self._done:
+            raw = self._f.read(1 << 16)
+            if not raw:
+                self._done = True
+                break
+            self._pending += self._decompress(raw)
+        out, self._pending = self._pending[:n], self._pending[n:]
+        return out
+
+    def close(self):
+        self._f.close()
 
 
 def _open_maybe_gz(path: str):
@@ -34,13 +75,13 @@ def _open_maybe_gz(path: str):
             raw = os.fdopen(os.dup(0), "rb", closefd=True)
         f = raw if hasattr(raw, "peek") else io.BufferedReader(raw)
         if f.peek(2)[:2] == b"\x1f\x8b":
-            return gzip.GzipFile(fileobj=f)
+            return _GzipStream(f)
         return f
     f = open(path, "rb")
     magic = f.peek(2)[:2] if hasattr(f, "peek") else f.read(2)
     if magic == b"\x1f\x8b":
         f.seek(0)
-        return gzip.GzipFile(fileobj=f)
+        return _GzipStream(f)
     f.seek(0)
     return f
 
@@ -57,7 +98,13 @@ class FastxReader:
         self._fp.close()
 
     def _fill(self) -> bool:
-        chunk = self._fp.read(_CHUNK)
+        try:
+            chunk = self._fp.read(_CHUNK)
+        except EOFError:
+            # truncated gzip stream: zlib's gzread (the reference's
+            # reader, kseq over gzread) silently yields the readable
+            # prefix and stops; match that instead of raising
+            chunk = b""
         if not chunk:
             self._eof = True
             return False

@@ -158,8 +158,10 @@ def bam_count_native(path, tids, starts, refs, alts):
 
     tids/starts must be sorted by (tid, start); refs/alts are ASCII base
     codes (uint8).  Returns (ref_counts, alt_counts) int64 arrays, or
-    None when the native path is unavailable or the file is unreadable
-    as BAM (caller falls back to the Python reader)."""
+    None when the native path is unavailable or the file's header is
+    unreadable as BAM (caller falls back to the Python reader).  Body
+    corruption mid-stream yields counts up to the damage, matching
+    htslib's and the Python reader's stop-at-first-bad-record."""
     if not available():
         return None
     lib = _load()

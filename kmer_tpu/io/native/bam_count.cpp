@@ -144,8 +144,11 @@ extern "C" {
 // Sequentially scan a BAM, counting ref/alt bases at SNP positions.
 // ptid/pstart must be sorted by (tid, start); pref/palt are ASCII bases.
 // ref_counts/alt_counts are int64[n_pat], incremented in place.
-// Returns number of records processed, or -1 on open error, -2 on a
-// malformed stream (callers fall back to the Python reader).
+// Returns number of records processed, or -1 on open error, -2 when the
+// header is unreadable (callers fall back to the Python reader).
+// A stream that turns malformed mid-body yields the counts accumulated
+// up to the damage — the same stop-at-first-bad-record behavior as
+// htslib's sam_read1 loop and our Python BamReader.
 int64_t ktp_bam_count(const char* path, const int32_t* ptid,
                       const int32_t* pstart, const uint8_t* pref,
                       const uint8_t* palt, int64_t n_pat,

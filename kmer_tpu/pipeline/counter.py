@@ -95,12 +95,12 @@ def _use_packed_ingest(paths) -> bool:
     (e.g. to exercise the path in CPU tests)."""
     import os
 
-    env = os.environ.get("KMER_TPU_PACKED")
-    if env is not None:
-        if env == "0":
-            return False
-    elif jax.default_backend() != "tpu":
+    env = os.environ.get("KMER_TPU_PACKED", "").strip().lower()
+    if env in ("0", "false", "off", "no"):
         return False
+    if env not in ("1", "true", "on", "yes"):
+        if jax.default_backend() != "tpu":
+            return False
     if any(p == "-" for p in paths):
         return False
     from ..io import native

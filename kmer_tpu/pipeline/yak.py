@@ -119,10 +119,10 @@ class YakEngine:
             _extract_step_packed,
             _extract_step_rows,
             _iter_packed2,
+            _to_device_ascii,
+            _to_device_packed,
             _use_packed_ingest,
         )
-
-        from .counter import _to_device_ascii, _to_device_packed
 
         packed_mode = _use_packed_ingest(paths)
         if packed_mode:

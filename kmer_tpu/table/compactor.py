@@ -312,6 +312,12 @@ class KmerCompactor:
         uniq, inverse = np.unique(packed, return_inverse=True)
         query_hi = (uniq >> np.uint64(32)).astype(np.uint32)
         query_lo = (uniq & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        if self.one_plane:
+            # one-plane sorts compare lo only; a query with a nonzero hi
+            # plane would silently join against the wrong key
+            assert not query_hi.any(), (
+                "counts_for: query keys exceed the declared key_bits <= 31"
+            )
         q = len(query_hi)
         qsize = _size_class(q, 1 << 12)
         qhi = np.full(qsize, 0xFFFFFFFF, np.uint32)

@@ -183,5 +183,7 @@ main_kc_cpp2 = main_kc_cpp1  # robin_hood variant: identical behavior
 def main_kc_py1(argv=None):
     """FASTA from stdin, fixed k=31 (kc-py1.py:45)."""
     eng = _run_counter(["-"], 31, max_count=None)
+    if eng is None:
+        return 1
     _print_hist(eng.hist(256))
     return 0

@@ -205,3 +205,40 @@ def test_long_chromosome_split_parity(tmp_path):
                     os.environ.pop(k, None)
                 else:
                     os.environ[k] = v
+
+
+def test_truncated_gzip_prefix_parity(tmp_path):
+    """A truncated .gz input must count its readable prefix exactly like
+    the reference (zlib gzread semantics), on both the native and the
+    pure-Python reader."""
+    ref = os.path.join(REFBIN, "kc-c1")
+    if not os.path.exists(ref):
+        pytest.skip("reference kc-c1 not built")
+    src = os.path.join(FIXTURES, "reads_small.fq.gz")
+    trunc = str(tmp_path / "trunc.fq.gz")
+    with open(src, "rb") as f:
+        data = f.read(2000)
+    with open(trunc, "wb") as f:
+        f.write(data)
+    want = subprocess.run(
+        [ref, "-k21", trunc], capture_output=True, check=True
+    ).stdout
+    import contextlib
+    import io as _io
+
+    from kmer_tpu.tools.kc import main_kc_c1
+
+    for env in ({}, {"KMER_TPU_NO_NATIVE": "1"}):
+        old = {k: os.environ.get(k) for k in env}
+        os.environ.update(env)
+        try:
+            buf = _io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                assert not main_kc_c1(["-k21", trunc])
+            assert buf.getvalue().encode() == want, env
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
