@@ -335,7 +335,97 @@ def fuzz_sam(rounds=10, seed=0, bam=False):
     return fails
 
 
+def fuzz_vcf(rounds=10, seed=0):
+    """Randomized VCF parity for vcf-vaf-counter: exercises the
+    GT/AD/DP depth branches (AD present/missing/partial, DP-with-GT
+    estimation, het split, missing genotypes, multi-allelic and indel
+    records, duplicate positions with assign-not-accumulate semantics,
+    min-depth filter) against the htslib-based reference."""
+    rng = np.random.default_rng(seed)
+    import contextlib
+    from kmer_tpu.tools import get_tool
+
+    fails = 0
+    for t in range(rounds):
+        with tempfile.TemporaryDirectory() as d:
+            _gen_sam_case(rng, d)  # builds {d}/p.txt patterns on chr1
+            pats = []
+            with open(f"{d}/p.txt") as f:
+                for line in f:
+                    c = line.split("\t")
+                    pats.append((int(c[1]), c[3], c[4]))
+            glen = 8000
+            with open(f"{d}/a.vcf", "w") as f:
+                f.write("##fileformat=VCFv4.2\n")
+                f.write(f"##contig=<ID=chr1,length={glen}>\n")
+                f.write('##FORMAT=<ID=GT,Number=1,Type=String,Description="G">\n')
+                f.write('##FORMAT=<ID=AD,Number=R,Type=Integer,Description="A">\n')
+                f.write('##FORMAT=<ID=DP,Number=1,Type=Integer,Description="D">\n')
+                f.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\n")
+                rows = []
+                for ri in range(int(rng.integers(20, 120))):
+                    if pats and rng.random() < 0.7:
+                        pos, ref, alt = pats[int(rng.integers(0, len(pats)))]
+                    else:
+                        pos = int(rng.integers(0, glen))
+                        ref = str(rng.choice(list("ACGT")))
+                        alt = str(rng.choice([c for c in "ACGT" if c != ref]))
+                    r = rng.random()
+                    if r < 0.1:
+                        alt = alt + "," + str(rng.choice(list("ACGT")))
+                    elif r < 0.18:
+                        ref = ref + "C"  # indel-like
+                    gt = str(rng.choice(
+                        ["0/0", "0/1", "1/1", "1|0", "./.", ".", "0", "1/2"],
+                        p=[.2, .3, .2, .1, .08, .04, .04, .04]))
+                    fmt_kind = int(rng.integers(0, 4))
+                    ad_r, ad_a = int(rng.integers(0, 40)), int(rng.integers(0, 40))
+                    dp = int(rng.integers(0, 80))
+                    if fmt_kind == 0:
+                        fmt, sample = "GT", gt
+                    elif fmt_kind == 1:
+                        ad = f"{ad_r},{ad_a}" if rng.random() < 0.8 else "."
+                        fmt, sample = "GT:AD", f"{gt}:{ad}"
+                    elif fmt_kind == 2:
+                        dps = str(dp) if rng.random() < 0.8 else "."
+                        fmt, sample = "GT:DP", f"{gt}:{dps}"
+                    else:
+                        ad = f"{ad_r},{ad_a}" if rng.random() < 0.7 else "."
+                        dps = str(dp) if rng.random() < 0.8 else "."
+                        fmt, sample = "GT:AD:DP", f"{gt}:{ad}:{dps}"
+                    rows.append((pos, f"chr1\t{pos+1}\trs\t{ref}\t{alt}\t50\tPASS\t.\t{fmt}\t{sample}\n"))
+                rows.sort(key=lambda x: x[0])  # htslib wants sorted-ish
+                for _, line in rows:
+                    f.write(line)
+            min_d = int(rng.choice([1, 1, 5, 10]))
+            subprocess.run(
+                [os.path.join(REFBIN, "vcf-vaf-counter"), "-p", f"{d}/p.txt",
+                 "-v", f"{d}/a.vcf", "-o", f"{d}/ref.vaf", "-d", str(min_d)],
+                capture_output=True, check=True)
+            with contextlib.redirect_stdout(io.StringIO()):
+                rc = get_tool("vcf-vaf-counter")(
+                    ["-p", f"{d}/p.txt", "-v", f"{d}/a.vcf",
+                     "-o", f"{d}/tpu.vaf", "-d", str(min_d)])
+            assert not rc
+            if open(f"{d}/tpu.vaf").read() != open(f"{d}/ref.vaf").read():
+                fails += 1
+                sub = subprocess.run(["diff", f"{d}/tpu.vaf", f"{d}/ref.vaf"],
+                                     capture_output=True)
+                print(f"[FAIL] vcf round {t} -d{min_d}\n" + sub.stdout.decode()[:500])
+                os.system(f"cp {d}/a.vcf /tmp/fuzz_vcf_fail_{t}.vcf; "
+                          f"cp {d}/p.txt /tmp/fuzz_vcf_fail_{t}.pat")
+            else:
+                print(f"[ok] vcf round {t} -d{min_d}")
+    print(f"vcf done: {rounds - fails}/{rounds} clean")
+    return fails
+
+
 if __name__ == "__main__":
+    if "--vcf" in sys.argv:
+        sys.argv.remove("--vcf")
+        rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+        seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+        sys.exit(1 if fuzz_vcf(rounds, seed) else 0)
     if "--pipeline" in sys.argv:
         sys.argv.remove("--pipeline")
         rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 5
