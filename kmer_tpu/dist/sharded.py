@@ -421,6 +421,38 @@ class ShardedSortEngine:
         self.chunks = []
         self._bytes = size * 12
 
+    def counts_for(self, query_hi, query_lo):
+        """Total multiplicity of each query key (0 if absent), in query
+        order — the distributed analog of KmerCompactor.counts_for."""
+        if not self.chunks and self.weighted is None:
+            return np.zeros(len(query_hi), np.int64)
+        packed = (np.asarray(query_hi, np.uint64) << np.uint64(32)) | (
+            np.asarray(query_lo, np.uint64)
+        )
+        uniq, inverse = np.unique(packed, return_inverse=True)
+        qhi = (uniq >> np.uint64(32)).astype(np.uint32)
+        qlo = (uniq & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        if self.one_plane:
+            assert not qhi.any(), "counts_for: query keys exceed k <= 15"
+        q = len(qhi)
+        qsize = max(1 << 12, 1 << (max(q - 1, 1)).bit_length())
+        pad_hi = np.full(qsize, 0xFFFFFFFF, np.uint32)
+        pad_lo = np.full(qsize, 0xFFFFFFFF, np.uint32)
+        pad_hi[:q] = qhi
+        pad_lo[:q] = qlo
+        if self.weighted is None:
+            hi = jnp.concatenate([c[0] for c in self.chunks], axis=2)
+            lo = jnp.concatenate([c[1] for c in self.chunks], axis=2)
+            fn = sharded_counts_for_fn(self.mesh, weighted=False,
+                                       one_plane=self.one_plane)
+            out = fn(hi, lo, jnp.asarray(pad_hi), jnp.asarray(pad_lo))
+        else:
+            hi, lo, cnt = self._merged_planes()
+            fn = sharded_counts_for_fn(self.mesh, weighted=True,
+                                       one_plane=self.one_plane)
+            out = fn(hi, lo, jnp.asarray(pad_hi), jnp.asarray(pad_lo), cnt)
+        return np.asarray(out)[:q].astype(np.int64)[inverse]
+
     def hist(self, n_bins: int, max_count=None, min_keep: int = 1):
         if not self.chunks and self.weighted is None:
             self._n_distinct = 0  # no input: empty histogram, like the
@@ -442,6 +474,36 @@ class ShardedSortEngine:
             h, nd = fn(hi, lo, cnt)
         self._n_distinct = int(nd)
         return np.asarray(h)
+
+
+def sharded_counts_for_fn(mesh: Mesh, weighted: bool, one_plane: bool = False):
+    """Jitted distributed sort-join (the multi-chip form of vaf-counter's
+    global join).  Queries are REPLICATED to every device: each key's
+    data lanes live on exactly one device (routing invariant of
+    sharded_extract_step_fn), so non-owning devices report count 0 for
+    it and a psum of the per-device answers is the global answer — no
+    query routing collective needed.  Query keys must be unique
+    (callers dedup, as in KmerCompactor.counts_for)."""
+    from ..table.compactor import _counts_for_impl, _counts_for_raw_impl
+
+    def per_device(hi, lo, qhi, qlo, cnt=None):
+        if weighted:
+            out = _counts_for_impl(
+                hi[0, 0], lo[0, 0], cnt[0, 0], qhi, qlo, True, one_plane
+            )
+        else:
+            out = _counts_for_raw_impl(
+                hi[0, 0], lo[0, 0], qhi, qlo, one_plane
+            )
+        return jax.lax.psum(jax.lax.psum(out, "shard"), "data")
+
+    spec = P("data", "shard", None)
+    in_specs = (spec, spec, P(), P()) + ((spec,) if weighted else ())
+    fn = shard_map(
+        per_device, mesh=mesh, in_specs=in_specs, out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(fn)
 
 
 def make_sharded_tables(mesh: Mesh, cap_local: int):

@@ -166,3 +166,46 @@ def test_sharded_engine_compaction_preserves_hist():
     want, want_nd = comp.hist(256, max_count=1023)
     assert np.array_equal(got, want.astype(got.dtype))
     assert eng._n_distinct == want_nd
+
+
+@pytest.mark.parametrize("k", [21, 13])
+def test_sharded_counts_for_matches_single_device(k):
+    """The distributed sort-join (replicated queries + psum) must equal
+    the single-chip compactor's counts_for, before and after device-side
+    compaction, for both two-plane (k=21) and one-plane (k=13) keys."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from kmer_tpu.pipeline.counter import _extract_step
+    from kmer_tpu.table.compactor import KmerCompactor
+
+    mesh = sharded.make_mesh(jax.devices()[:8], data=2, shard=4)
+    block, lanes = 4096, 2048
+    rows = [_random_ascii(block) for _ in range(8)]
+    ascii_rows = np.stack(rows)
+
+    eng = sharded.ShardedSortEngine(mesh, k, lanes_per_dest=lanes)
+    eng.add_batch(jnp.asarray(ascii_rows))
+    comp = KmerCompactor(key_bits=2 * k)
+    all_keys = []
+    for row in rows:
+        hi, lo, _nk = _extract_step(jnp.asarray(row), k)
+        comp.add_raw(hi, lo)
+        all_keys.append(
+            (np.asarray(hi).astype(np.uint64) << np.uint64(32))
+            | np.asarray(lo).astype(np.uint64)
+        )
+    # queries: some present keys + some absent ones
+    keys = np.unique(np.concatenate(all_keys))
+    present = keys[keys != np.uint64(0xFFFFFFFFFFFFFFFF)][:50]
+    rng = np.random.default_rng(3)
+    absent = rng.integers(0, 1 << (2 * k), 20).astype(np.uint64)
+    qk = np.concatenate([present, absent])
+    qhi = (qk >> np.uint64(32)).astype(np.uint32)
+    qlo = (qk & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    want = comp.counts_for(qhi, qlo)
+    got = eng.counts_for(qhi, qlo)
+    assert np.array_equal(got, want)
+    assert want[: len(present)].sum() > 0
+    eng.compact()
+    comp.compact()
+    assert np.array_equal(eng.counts_for(qhi, qlo), comp.counts_for(qhi, qlo))
