@@ -21,6 +21,14 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# KMER_TPU_PLATFORM=cpu runs the fuzz in-process tools on the CPU
+# backend (hermetic, no tunnel compiles), same as the ktc launcher
+_plat = os.environ.get("KMER_TPU_PLATFORM")
+if _plat:
+    import jax
+
+    jax.config.update("jax_platforms", _plat)
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REFBIN = os.path.join(REPO, "tests", "refbin")
 
