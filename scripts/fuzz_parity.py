@@ -363,13 +363,17 @@ def fuzz_vcf(rounds=10, seed=0):
                     c = line.split("\t")
                     pats.append((int(c[1]), c[3], c[4]))
             glen = 8000
+            n_samples = int(rng.integers(1, 4))
             with open(f"{d}/a.vcf", "w") as f:
                 f.write("##fileformat=VCFv4.2\n")
                 f.write(f"##contig=<ID=chr1,length={glen}>\n")
                 f.write('##FORMAT=<ID=GT,Number=1,Type=String,Description="G">\n')
                 f.write('##FORMAT=<ID=AD,Number=R,Type=Integer,Description="A">\n')
                 f.write('##FORMAT=<ID=DP,Number=1,Type=Integer,Description="D">\n')
-                f.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\n")
+                samples = "\t".join(f"S{i+1}" for i in range(n_samples))
+                f.write(
+                    f"#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t{samples}\n"
+                )
                 rows = []
                 for ri in range(int(rng.integers(20, 120))):
                     if pats and rng.random() < 0.7:
@@ -383,47 +387,54 @@ def fuzz_vcf(rounds=10, seed=0):
                         alt = alt + "," + str(rng.choice(list("ACGT")))
                     elif r < 0.18:
                         ref = ref + "C"  # indel-like
-                    gt = str(rng.choice(
-                        ["0/0", "0/1", "1/1", "1|0", "./.", ".", "0", "1/2"],
-                        p=[.2, .3, .2, .1, .08, .04, .04, .04]))
                     fmt_kind = int(rng.integers(0, 4))
-                    ad_r, ad_a = int(rng.integers(0, 40)), int(rng.integers(0, 40))
-                    dp = int(rng.integers(0, 80))
-                    if fmt_kind == 0:
-                        fmt, sample = "GT", gt
-                    elif fmt_kind == 1:
-                        ad = f"{ad_r},{ad_a}" if rng.random() < 0.8 else "."
-                        fmt, sample = "GT:AD", f"{gt}:{ad}"
-                    elif fmt_kind == 2:
-                        dps = str(dp) if rng.random() < 0.8 else "."
-                        fmt, sample = "GT:DP", f"{gt}:{dps}"
-                    else:
-                        ad = f"{ad_r},{ad_a}" if rng.random() < 0.7 else "."
-                        dps = str(dp) if rng.random() < 0.8 else "."
-                        fmt, sample = "GT:AD:DP", f"{gt}:{ad}:{dps}"
+                    fmt = ["GT", "GT:AD", "GT:DP", "GT:AD:DP"][fmt_kind]
+                    cols = []
+                    for _s in range(n_samples):
+                        gt = str(rng.choice(
+                            ["0/0", "0/1", "1/1", "1|0", "./.", ".", "0", "1/2"],
+                            p=[.2, .3, .2, .1, .08, .04, .04, .04]))
+                        ad_r, ad_a = int(rng.integers(0, 40)), int(rng.integers(0, 40))
+                        dp = int(rng.integers(0, 80))
+                        if fmt_kind == 0:
+                            cols.append(gt)
+                        elif fmt_kind == 1:
+                            ad = f"{ad_r},{ad_a}" if rng.random() < 0.8 else "."
+                            cols.append(f"{gt}:{ad}")
+                        elif fmt_kind == 2:
+                            dps = str(dp) if rng.random() < 0.8 else "."
+                            cols.append(f"{gt}:{dps}")
+                        else:
+                            ad = f"{ad_r},{ad_a}" if rng.random() < 0.7 else "."
+                            dps = str(dp) if rng.random() < 0.8 else "."
+                            cols.append(f"{gt}:{ad}:{dps}")
+                    sample = "\t".join(cols)
                     rows.append((pos, f"chr1\t{pos+1}\trs\t{ref}\t{alt}\t50\tPASS\t.\t{fmt}\t{sample}\n"))
                 rows.sort(key=lambda x: x[0])  # htslib wants sorted-ish
                 for _, line in rows:
                     f.write(line)
             min_d = int(rng.choice([1, 1, 5, 10]))
+            s_idx = int(rng.integers(0, n_samples + 1))  # may exceed
+            extra = ["-d", str(min_d), "-s", str(s_idx)]
             subprocess.run(
                 [os.path.join(REFBIN, "vcf-vaf-counter"), "-p", f"{d}/p.txt",
-                 "-v", f"{d}/a.vcf", "-o", f"{d}/ref.vaf", "-d", str(min_d)],
+                 "-v", f"{d}/a.vcf", "-o", f"{d}/ref.vaf"] + extra,
                 capture_output=True, check=True)
             with contextlib.redirect_stdout(io.StringIO()):
                 rc = get_tool("vcf-vaf-counter")(
                     ["-p", f"{d}/p.txt", "-v", f"{d}/a.vcf",
-                     "-o", f"{d}/tpu.vaf", "-d", str(min_d)])
+                     "-o", f"{d}/tpu.vaf"] + extra)
             assert not rc
             if open(f"{d}/tpu.vaf").read() != open(f"{d}/ref.vaf").read():
                 fails += 1
                 sub = subprocess.run(["diff", f"{d}/tpu.vaf", f"{d}/ref.vaf"],
                                      capture_output=True)
-                print(f"[FAIL] vcf round {t} -d{min_d}\n" + sub.stdout.decode()[:500])
+                print(f"[FAIL] vcf round {t} -d{min_d} -s{s_idx} "
+                      f"ns={n_samples}\n" + sub.stdout.decode()[:500])
                 os.system(f"cp {d}/a.vcf /tmp/fuzz_vcf_fail_{t}.vcf; "
                           f"cp {d}/p.txt /tmp/fuzz_vcf_fail_{t}.pat")
             else:
-                print(f"[ok] vcf round {t} -d{min_d}")
+                print(f"[ok] vcf round {t} -d{min_d} -s{s_idx} ns={n_samples}")
     print(f"vcf done: {rounds - fails}/{rounds} clean")
     return fails
 
