@@ -3,15 +3,19 @@
 Replaces the reference's kt_pipeline 3-step flow (read block -> extract
 k-mers -> insert; /root/reference/kc-c4.c:130-179) with:
 
-  host thread:  read + pack blocks into fixed-shape uint8 buffers
-                (overlaps device compute, the P1 pipeline analog)
-  device step:  one fused jit program: encode -> canonical k-mer
-                extraction -> hash64 -> batched table insert
+  host thread:  read + pack blocks into fixed-shape buffers (ASCII, or
+                2-bit packed + validity bitmask over slow host->device
+                links) and upload them — overlapping the device's work
+                on the previous block (the P1 pipeline analog)
+  device step:  one jit program per block: encode -> canonical k-mer
+                extraction -> hash64 -> sentinelized key planes,
+                appended to the sort-based compactor
+                (kmer_tpu.table.compactor), which folds runs into
+                (key, count) state under a memory budget
 
-The count table lives in HBM and is donated through the jit step, so
-XLA updates it in place.  Growth (khashl's incremental rehash,
-khashl.h:152-195) becomes an occasional 2x rebuild when load > 0.65.
-"""
+GROW_LOAD is the load factor at which the bloom-gated yak path's device
+hash table rebuilds 2x (khashl's incremental rehash, khashl.h:152-195,
+turned into occasional whole-table rebuilds)."""
 
 from __future__ import annotations
 
@@ -28,7 +32,6 @@ from ..io import fastx, packing
 from ..kernels import u64 as u
 from ..kernels.encode import encode_bases
 from ..kernels.kmer import extract_canonical
-from ..table import count_table as ct
 
 GROW_LOAD = 0.65
 
@@ -338,84 +341,3 @@ class SortCountEngine:
         return self.compactor.counts_for(query_hi, query_lo)
 
 
-@partial(jax.jit, static_argnames=("k", "max_count", "apply_hash64", "create_new"),
-         donate_argnums=(0,))
-def _count_step(
-    table: ct.CountTable,
-    ascii_u8: jnp.ndarray,
-    k: int,
-    max_count: Optional[int],
-    apply_hash64: bool = True,
-    create_new: bool = True,
-):
-    codes = encode_bases(ascii_u8)
-    out = extract_canonical(codes, k, apply_hash64=apply_hash64)
-    if create_new:
-        table, n_new = ct.insert(table, out.kmer, out.valid, max_count)
-    else:
-        table = ct.add_existing(table, out.kmer, out.valid, max_count)
-        n_new = jnp.zeros((), jnp.int32)
-    n_kmers = jnp.sum(out.valid.astype(jnp.int32))
-    return table, n_new, n_kmers
-
-
-class CountEngine:
-    """Streaming canonical k-mer counter (kc-c1..c4 / yak pass engine)."""
-
-    def __init__(
-        self,
-        k: int,
-        max_count: Optional[int] = None,
-        init_capacity: int = 1 << 20,
-        block_bases: int = 10_000_000,
-        apply_hash64: bool = True,
-        prefetch: bool = True,
-    ):
-        self.k = k
-        self.max_count = max_count
-        self.block_bases = block_bases
-        # device buffer is a little larger than the host block target so a
-        # block rarely splits; +4096 slack for the last read's spillover.
-        self.capacity = int(block_bases) + 4096
-        self.apply_hash64 = apply_hash64
-        self.prefetch = prefetch
-        self.table = ct.make(init_capacity)
-        self.total_bases = 0
-        self.total_seqs = 0
-        self.total_kmers = 0
-
-    def _maybe_grow(self):
-        n_full = int(self.table.n_full)
-        cap = self.table.capacity
-        while n_full > GROW_LOAD * cap:
-            cap *= 2
-        if cap != self.table.capacity:
-            self.table = ct.rebuild(self.table, cap)
-
-    def count_paths(self, paths: Sequence[str], create_new: bool = True,
-                    progress=None) -> None:
-        it = _iter_packed(paths, self.k, self.block_bases, self.capacity)
-        if self.prefetch:
-            it = _prefetch(it)
-        for buf, n_bases, n_seqs, _rb in it:
-            self.table, n_new, n_kmers = _count_step(
-                self.table,
-                jnp.asarray(buf),
-                self.k,
-                self.max_count,
-                self.apply_hash64,
-                create_new,
-            )
-            self.total_bases += int(n_bases) - int(n_seqs)  # separators
-            self.total_seqs += n_seqs
-            self.total_kmers += int(n_kmers)
-            if create_new:
-                self._maybe_grow()
-            if progress is not None:
-                progress(self)
-
-    def hist(self, n_bins: int) -> np.ndarray:
-        return np.asarray(ct.hist(self.table, n_bins))
-
-    def n_distinct(self) -> int:
-        return int(self.table.n_full)
