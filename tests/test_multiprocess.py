@@ -1,0 +1,82 @@
+"""True multi-process distributed counting: two jax.distributed
+processes (Gloo CPU collectives, 4 virtual devices each) run
+kmer_tpu.dist.multihost.count_multihost over sharded FASTQ files and
+must produce the single-engine histogram exactly.
+
+This is the closest a single machine gets to the multi-host pod path
+(SURVEY.md §5 last row): real cross-process init, file sharding,
+uneven-drain coordination, and psum merges."""
+
+import gzip
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_WORKER = """
+import os, sys, json
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 4)
+pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+jax.distributed.initialize(coordinator_address="127.0.0.1:" + port,
+                           num_processes=nproc, process_id=pid)
+from kmer_tpu.dist import multihost
+h, nd = multihost.count_multihost(sys.argv[4:], k=21, block=65536,
+                                  n_bins=256, max_count=1023)
+if jax.process_index() == 0:
+    print(json.dumps({{"nd": int(nd), "hist": [int(x) for x in h]}}))
+""".format(repo=REPO)
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_count_matches_single_engine(tmp_path):
+    rng = np.random.default_rng(5)
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"mh{i}.fq.gz")
+        with gzip.open(p, "wb") as f:
+            for r in range(300):
+                s = "".join(rng.choice(list("ACGT"), 120))
+                f.write(f"@r{r}\n{s}\n+\n{'I' * 120}\n".encode())
+        paths.append(p)
+
+    port = str(_free_port())
+    worker = str(tmp_path / "worker.py")
+    with open(worker, "w") as f:
+        f.write(_WORKER)
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith(("JAX_", "XLA_"))}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", port] + paths,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=300) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, err.decode()[-2000:]
+    got = json.loads(outs[0][0].decode().strip().splitlines()[-1])
+
+    from kmer_tpu.pipeline.counter import SortCountEngine
+
+    eng = SortCountEngine(k=21)
+    eng.count_paths(paths)
+    want = eng.hist(256, max_count=1023)
+    assert got["nd"] == eng._n_distinct
+    assert np.array_equal(np.asarray(got["hist"]), want.astype(np.int64))
