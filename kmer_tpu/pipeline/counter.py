@@ -29,7 +29,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..io import fastx, packing
-from ..kernels import u64 as u
 from ..kernels.encode import encode_bases
 from ..kernels.kmer import extract_canonical
 

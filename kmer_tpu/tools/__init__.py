@@ -6,7 +6,7 @@ reference binary (SURVEY.md §2.1)."""
 from __future__ import annotations
 
 import importlib
-from typing import Callable, Dict
+from typing import Callable
 
 # tool name -> (module, function)
 _TOOLS = {

@@ -7,7 +7,7 @@ by every reference tool), "-k31" and "-k 31" forms, and "--" to stop.
 
 from __future__ import annotations
 
-from typing import Iterator, List, Tuple
+from typing import List, Tuple
 
 
 def ketopt(argv: List[str], ostr: str) -> Tuple[List[Tuple[str, str]], List[str]]:
