@@ -87,12 +87,38 @@ def _open_maybe_gz(path: str):
 
 
 class FastxReader:
-    """Iterates (name, seq_bytes) records from FASTA or FASTQ."""
+    """Iterates (name, seq_bytes) records from FASTA or FASTQ.
 
-    def __init__(self, path: str):
+    qual_policy controls what a malformed quality section (kseq's -2:
+    quality length != sequence length, or EOF inside quality) does —
+    the reference tools genuinely differ here:
+
+      None                  stop the stream for good, dropping the bad
+                            record (kc-c1/c2, ed-vaf-counter,
+                            snp-pattern-gen: `while (kseq_read >= 0)`)
+      ("resume", min_len, workers)
+                            drop the bad record and keep reading.  A -2
+                            arriving while the reference's current read
+                            block is still empty makes its step 0 return
+                            NULL — which retires ONE kt_pipeline worker
+                            (kthread.c:120: only that worker exits) —
+                            so the stream survives `workers` such events
+                            before stopping (kc-c3: 2, kc-c4/yak/vaf:
+                            3).  The virtual block fills with len(seq)
+                            per record of length >= min_len (kc-c3
+                            counts all reads: min_len 0; kc-c4/yak/vaf
+                            skip reads < k first) and resets at
+                            ref_block bases (the tool's -b/-K value).
+    """
+
+    def __init__(self, path: str, qual_policy=None, ref_block: int = 0):
         self._fp = _open_maybe_gz(path)
         self._buf = b""
         self._eof = False
+        self._qual_policy = qual_policy
+        self._ref_block = ref_block
+        self._ref_sum = 0
+        self._nulls = 0
 
     def close(self):
         self._fp.close()
@@ -132,7 +158,6 @@ class FastxReader:
         while line is not None and not line.startswith((b">", b"@")):
             line = self._readline()
         while line is not None:
-            is_fastq = line.startswith(b"@")
             name = line[1:].split(b" ", 1)[0].split(b"\t", 1)[0]
             seq_parts: List[bytes] = []
             line = self._readline()
@@ -141,16 +166,48 @@ class FastxReader:
                     seq_parts.append(line)
                 line = self._readline()
             seq = b"".join(seq_parts)
-            if is_fastq and line is not None and line.startswith(b"+"):
-                # consume quality bytes equal to sequence length
+            if line is not None and line.startswith(b"+"):
+                # a '+' line starts the quality section REGARDLESS of the
+                # record's header char — kseq checks only c == '+'
+                # (kseq.h:222 `if (c != '+') return`), even for '>' FASTA.
+                # Quality lines are consumed blindly until their length
+                # reaches the sequence's; a mismatch (overshoot or EOF)
+                # is kseq's -2 — handled per qual_policy (see __init__).
                 need = len(seq)
                 got = 0
+                bad = False
                 while got < need:
                     ql = self._readline()
                     if ql is None:
+                        bad = True  # no/short quality at EOF
                         break
                     got += len(ql)
+                if got != need:
+                    bad = True  # quality longer than sequence
+                if bad:
+                    if self._qual_policy is None:
+                        return
+                    if self._ref_sum == 0:
+                        # empty reference block: its step 0 returns NULL,
+                        # retiring one pipeline worker
+                        self._nulls += 1
+                        if self._nulls >= self._qual_policy[2]:
+                            return
+                    # flush-and-resume: the reference's partial block was
+                    # processed; reading restarts with an empty block
+                    self._ref_sum = 0
+                    line = self._readline()
+                    while line is not None and not line.startswith(
+                        (b">", b"@")
+                    ):
+                        line = self._readline()
+                    continue
                 line = self._readline()
+            if self._qual_policy is not None:
+                if len(seq) >= self._qual_policy[1]:
+                    self._ref_sum += len(seq)
+                if self._ref_block and self._ref_sum >= self._ref_block:
+                    self._ref_sum = 0
             yield name, seq
 
 
@@ -165,12 +222,15 @@ class Block:
 
 
 def read_blocks(
-    paths: Sequence[str], k: int, block_len: int, min_len_filter: bool = True
+    paths: Sequence[str], k: int, block_len: int, min_len_filter: bool = True,
+    qual_policy=None,
 ) -> Iterator[Block]:
     """Yield blocks of ~block_len total bases (reads shorter than k are
-    skipped when min_len_filter, matching kc-c4.c:140)."""
+    skipped when min_len_filter, matching kc-c4.c:140).  qual_policy is
+    the malformed-quality behavior, see FastxReader."""
     for path in paths:
-        reader = FastxReader(path)
+        reader = FastxReader(path, qual_policy=qual_policy,
+                             ref_block=block_len)
         blk = Block([], 0, 0)
         for _, seq in reader:
             if min_len_filter and len(seq) < k:

@@ -73,6 +73,13 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.ktp_set_policy.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int32,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+        ]
         lib.ktp_read_block_packed.restype = ctypes.c_int64
         lib.ktp_read_block_packed.argtypes = [
             ctypes.c_void_p,
@@ -106,7 +113,8 @@ def available() -> bool:
     return _load() is not None
 
 
-def iter_packed2bit_native(paths, k: int, block_bases: int, capacity: int):
+def iter_packed2bit_native(paths, k: int, block_bases: int, capacity: int,
+                           qual_policy=None):
     """Bit-packed variant of iter_packed_native for bandwidth-limited
     host->device links: yields (packed_u8[cap/4], mask_u8[cap/8],
     n_bytes_packed, n_seqs, row_bytes).  capacity is rounded up to a
@@ -121,6 +129,8 @@ def iter_packed2bit_native(paths, k: int, block_bases: int, capacity: int):
             import errno
 
             raise OSError(errno.ENOENT, "cannot open", path)
+        if qual_policy is not None:
+            lib.ktp_set_policy(h, 1, block_bases, qual_policy[1], qual_policy[2])
         try:
             while True:
                 packed = np.zeros(capacity // 4, np.uint8)
@@ -191,12 +201,12 @@ def bam_count_native(path, tids, starts, refs, alts):
 
 
 def iter_packed_native(
-    paths, k: int, block_bases: int, capacity: int
+    paths, k: int, block_bases: int, capacity: int, qual_policy=None
 ) -> Iterator[Tuple[np.ndarray, int, int, Optional[int]]]:
     """Native equivalent of pipeline.counter._iter_packed: yields
     (ascii_u8[capacity], n_bytes_packed, n_seqs, row_bytes) buffers;
     row_bytes is L+1 when every packed read had length L (uniform-read
-    fast path), else None."""
+    fast path), else None.  qual_policy as in io.fastx.FastxReader."""
     lib = _load()
     assert lib is not None
     for path in paths:
@@ -205,6 +215,8 @@ def iter_packed_native(
             import errno
 
             raise OSError(errno.ENOENT, "cannot open", path)
+        if qual_policy is not None:
+            lib.ktp_set_policy(h, 1, block_bases, qual_policy[1], qual_policy[2])
         try:
             while True:
                 buf = np.zeros(capacity, np.uint8)

@@ -32,6 +32,18 @@ struct Reader {
   std::string carry;
   size_t carry_off = 0;
 
+  bool stopped = false;  // kseq -2 (malformed quality): latch EOF
+
+  // malformed-quality policy (see kmer_tpu/io/fastx.py FastxReader):
+  // stop (kc-c1/c2-style) vs flush-and-resume with empty-virtual-block
+  // stop (kc-c3/c4/yak/vaf pipelines)
+  bool qual_resume = false;
+  int64_t ref_block = 0;    // the reference tool's block/chunk bases
+  int64_t sum_min_len = 0;  // reads shorter than this skip the sum
+  int64_t ref_sum = 0;
+  int64_t workers = 0;      // kt_pipeline workers: NULL budget
+  int64_t nulls = 0;
+
   bool fill() {
     if (eof) return false;
     char tmp[kChunk];
@@ -82,29 +94,55 @@ struct Reader {
 
   // read the next record's sequence into *seq; false at EOF
   bool next_seq(std::string* seq) {
-    std::string line;
-    char c;
-    // find header
-    for (;;) {
-      if (!peek_char(&c)) return false;
-      if (c == '>' || c == '@') break;
-      if (!getline(&line)) return false;  // skip junk line
+    while (!stopped) {
+      std::string line;
+      char c;
+      // find header
+      for (;;) {
+        if (!peek_char(&c)) return false;
+        if (c == '>' || c == '@') break;
+        if (!getline(&line)) return false;  // skip junk line
+      }
+      if (!getline(&line)) return false;  // header line
+      seq->clear();
+      bool at_eof = false;
+      for (;;) {
+        if (!peek_char(&c)) { at_eof = true; break; }
+        if (c == '>' || c == '@' || c == '+') break;
+        if (!getline(&line)) { at_eof = true; break; }
+        seq->append(line);
+      }
+      if (!at_eof && c == '+') {
+        // '+' starts the quality section regardless of the header char
+        // (kseq.h:222); a length mismatch or EOF is kseq's -2: the
+        // record is dropped, then the stream stops (single-loop tools)
+        // or resumes unless the reference's virtual block was empty
+        // (pipelined tools; see fastx.py FastxReader for the mapping)
+        getline(&line);  // '+' line
+        size_t need = seq->size(), got = 0;
+        while (got < need && getline(&line)) got += line.size();
+        if (got != need) {  // -2
+          if (!qual_resume) {
+            stopped = true;
+            return false;
+          }
+          if (ref_sum == 0 && ++nulls >= workers) {
+            // empty reference block: step 0 NULL retires one pipeline
+            // worker (kthread.c:120); the last one ends the stream
+            stopped = true;
+            return false;
+          }
+          ref_sum = 0;
+          continue;  // drop record, read the next one
+        }
+      }
+      if (qual_resume) {
+        if ((int64_t)seq->size() >= sum_min_len) ref_sum += seq->size();
+        if (ref_block > 0 && ref_sum >= ref_block) ref_sum = 0;
+      }
+      return true;
     }
-    bool fastq = (c == '@');
-    if (!getline(&line)) return false;  // header line
-    seq->clear();
-    for (;;) {
-      if (!peek_char(&c)) return true;  // EOF ends the record
-      if (c == '>' || c == '@' || c == '+') break;
-      if (!getline(&line)) return true;
-      seq->append(line);
-    }
-    if (fastq && peek_char(&c) && c == '+') {
-      getline(&line);  // '+' line
-      size_t need = seq->size(), got = 0;
-      while (got < need && getline(&line)) got += line.size();
-    }
-    return true;
+    return false;
   }
 };
 
@@ -119,6 +157,16 @@ void* ktp_open(const char* path) {
   auto* r = new Reader();
   r->fp = fp;
   return r;
+}
+
+// Configure the malformed-quality policy (must precede reads).
+void ktp_set_policy(void* h, int32_t qual_resume, int64_t ref_block,
+                    int64_t sum_min_len, int64_t workers) {
+  auto* r = static_cast<Reader*>(h);
+  r->qual_resume = qual_resume != 0;
+  r->ref_block = ref_block;
+  r->sum_min_len = sum_min_len;
+  r->workers = workers;
 }
 
 void ktp_close(void* h) {
@@ -223,11 +271,13 @@ int64_t ktp_read_block_packed(void* h, uint8_t* packed, uint8_t* mask,
   static uint8_t nt4[256];
   static bool init = false;
   if (!init) {
+    // seq_nt4_table semantics (kc-c1.c:12-29): T and U both map to 3
     memset(nt4, 4, sizeof(nt4));
     nt4['A'] = nt4['a'] = 0;
     nt4['C'] = nt4['c'] = 1;
     nt4['G'] = nt4['g'] = 2;
     nt4['T'] = nt4['t'] = 3;
+    nt4['U'] = nt4['u'] = 3;
     init = true;
   }
   const uint8_t* s = r->scratch.data();

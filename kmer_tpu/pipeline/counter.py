@@ -48,7 +48,8 @@ def _trim_to_class(buf: np.ndarray, n: int) -> np.ndarray:
 
 
 def _iter_packed(
-    paths: Sequence[str], k: int, block_bases: int, capacity: int
+    paths: Sequence[str], k: int, block_bases: int, capacity: int,
+    qual_policy=None,
 ) -> Iterator[Tuple[np.ndarray, int, int, Optional[int]]]:
     """Yield (ascii_u8[<=capacity], n_bytes_packed, n_seqs, row_bytes).
 
@@ -65,13 +66,14 @@ def _iter_packed(
 
         if native.available():
             for buf, n, n_seqs, rb in native.iter_packed_native(
-                paths, k, block_bases, capacity
+                paths, k, block_bases, capacity, qual_policy
             ):
                 yield _trim_to_class(buf, n), n, n_seqs, rb
             return
     max_len = capacity - 1
     step = max_len - (k - 1)
-    for blk in fastx.read_blocks(paths, k, block_bases):
+    for blk in fastx.read_blocks(paths, k, block_bases,
+                                 qual_policy=qual_policy):
         # split over-long sequences (chromosomes) into (k-1)-overlap chunks;
         # consecutive chunks tile the window sequence exactly once.
         seqs = []
@@ -110,7 +112,8 @@ def _use_packed_ingest(paths) -> bool:
     return native.available()
 
 
-def _iter_packed2(paths, k: int, block_bases: int, capacity: int):
+def _iter_packed2(paths, k: int, block_bases: int, capacity: int,
+                  qual_policy=None):
     """Packed-ingest analog of _iter_packed: yields (packed, mask,
     n_bytes, n_seqs, row_bytes) with buffers trimmed to the smallest
     size class (slots past the packed region are mask-invalid, so
@@ -118,7 +121,7 @@ def _iter_packed2(paths, k: int, block_bases: int, capacity: int):
     from ..io import native
 
     for packed, mask, n, n_seqs, rb in native.iter_packed2bit_native(
-        paths, k, block_bases, capacity
+        paths, k, block_bases, capacity, qual_policy
     ):
         for cls in (1 << 16, 1 << 20, 1 << 23):
             if n <= cls < 4 * packed.shape[0]:
@@ -276,6 +279,7 @@ class SortCountEngine:
         block_bases: int = 10_000_000,
         budget_bytes: int = 6 << 30,
         prefetch: bool = True,
+        qual_policy=None,
     ):
         from ..table.compactor import KmerCompactor
 
@@ -283,6 +287,7 @@ class SortCountEngine:
         self.block_bases = block_bases
         self.capacity = int(block_bases) + 4096
         self.prefetch = prefetch
+        self.qual_policy = qual_policy  # see io.fastx.FastxReader
         # hash64 output is < 2^(2k): for k <= 15 the compactor's sorts
         # can run single-plane (half the comparator work)
         self.compactor = KmerCompactor(
@@ -296,7 +301,8 @@ class SortCountEngine:
         if _use_packed_ingest(paths):
             it = map(
                 _to_device_packed,
-                _iter_packed2(paths, self.k, self.block_bases, self.capacity),
+                _iter_packed2(paths, self.k, self.block_bases, self.capacity,
+                              self.qual_policy),
             )
             if self.prefetch:
                 it = _prefetch(it)
@@ -315,7 +321,8 @@ class SortCountEngine:
             return
         it = map(
             _to_device_ascii,
-            _iter_packed(paths, self.k, self.block_bases, self.capacity),
+            _iter_packed(paths, self.k, self.block_bases, self.capacity,
+                         self.qual_policy),
         )
         if self.prefetch:
             it = _prefetch(it)

@@ -125,17 +125,20 @@ class YakEngine:
         )
 
         packed_mode = _use_packed_ingest(paths)
+        # yak's pipelined reader resumes after a malformed-quality
+        # record unless its chunk was empty (see io.fastx.FastxReader)
+        policy = ("resume", self.k, 3)
         if packed_mode:
             it = map(
                 _to_device_packed,
                 _iter_packed2(paths, self.k, self.chunk_size,
-                              self.capacity_block),
+                              self.capacity_block, policy),
             )
         else:
             it = map(
                 _to_device_ascii,
                 _iter_packed(paths, self.k, self.chunk_size,
-                             self.capacity_block),
+                             self.capacity_block, policy),
             )
         if self.prefetch:
             it = _prefetch(it)

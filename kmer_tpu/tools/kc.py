@@ -42,20 +42,25 @@ class _HistEngine:
     count >= 255 lands in bin 255 either way — so all kc frontends
     share the unsaturated engine."""
 
-    def __init__(self, paths, k, block_bases=10_000_000):
-        self.eng = SortCountEngine(k=k, block_bases=block_bases)
+    def __init__(self, paths, k, block_bases=10_000_000, qual_policy=None):
+        self.eng = SortCountEngine(k=k, block_bases=block_bases,
+                                   qual_policy=qual_policy)
         self.eng.count_paths(paths)
 
     def hist(self, n_bins):
         return self.eng.hist(n_bins, max_count=None)
 
 
-def _run_counter(paths, k, max_count, block_bases=10_000_000):
+def _run_counter(paths, k, max_count, block_bases=10_000_000,
+                 qual_policy=None):
     """Count, or return None after a clean error message.  (The C
     originals segfault on an unopenable input — kseq_init on a NULL
-    gzFile; failing cleanly is a deliberate divergence, PARITY.md.)"""
+    gzFile; failing cleanly is a deliberate divergence, PARITY.md.)
+    qual_policy: malformed-quality behavior — kc-c1/c2's single read
+    loop stops at kseq's -2, kc-c3/c4's pipeline flushes and resumes
+    (io.fastx.FastxReader)."""
     try:
-        return _HistEngine(paths, k, block_bases)
+        return _HistEngine(paths, k, block_bases, qual_policy)
     except OSError:
         sys.stderr.write(f"Error: failed to open {paths[0]}\n")
         return None
@@ -121,7 +126,8 @@ def main_kc_c3(argv=None):
     if p < KC_BITS:
         sys.stderr.write(f"ERROR: -p should be at least {KC_BITS}\n")
         return 1
-    eng = _run_counter([pos[0]], k, max_count=255, block_bases=block_size)
+    eng = _run_counter([pos[0]], k, max_count=255, block_bases=block_size,
+                       qual_policy=("resume", 0, 2))  # kc-c3: 2 workers, sums ALL reads
     if eng is None:
         return 1
     _print_hist(eng.hist(256))
@@ -152,7 +158,8 @@ def main_kc_c4(argv=None):
     if p < KC_BITS:
         sys.stderr.write(f"ERROR: -p should be at least {KC_BITS}\n")
         return 1
-    eng = _run_counter([pos[0]], k, max_count=1023, block_bases=block_size)
+    eng = _run_counter([pos[0]], k, max_count=1023, block_bases=block_size,
+                       qual_policy=("resume", k, 3))
     if eng is None:
         return 1
     _print_hist(eng.hist(256))

@@ -131,7 +131,8 @@ def main(argv=None):
     # with ONE global sort-join (counts_for).  Joining once at the end
     # beats a per-block join ~3x: the per-block sort pays 4 planes per
     # lane per block, the global engine 2 planes once.
-    eng = SortCountEngine(k=k, block_bases=block_size)
+    eng = SortCountEngine(k=k, block_bases=block_size,
+                          qual_policy=("resume", k, 3))
     for fn in pos:
         minfo("main", f"Processing {fn}...")
         t_file = time.time()

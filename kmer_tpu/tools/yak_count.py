@@ -59,7 +59,8 @@ def main(argv=None):
         # bit-identically — and reads the input once instead of twice.
         from ..pipeline.counter import SortCountEngine
 
-        eng_s = SortCountEngine(k=k, block_bases=chunk)
+        eng_s = SortCountEngine(k=k, block_bases=chunk,
+                                qual_policy=("resume", k, 3))
         try:
             eng_s.count_paths([pos[0]])
         except OSError:

@@ -34,8 +34,9 @@ REFBIN = os.path.join(REPO, "tests", "refbin")
 
 
 def random_fastx(rng, fastq=True):
-    alpha = "ACGTacgtNnRYx"
-    probs = np.array([12, 12, 12, 12, 2, 2, 2, 2, 3, 1, 0.5, 0.5, 0.5], float)
+    alpha = "ACGTacgtNnRYxUu"
+    probs = np.array([12, 12, 12, 12, 2, 2, 2, 2, 3, 1, .5, .5, .5, .5, .5],
+                     float)
     probs /= probs.sum()
     n_reads = int(rng.integers(1, 300))
     uniform = rng.random() < 0.4
@@ -45,13 +46,22 @@ def random_fastx(rng, fastq=True):
         ln = ulen if uniform else int(rng.integers(0, 260))
         seq = "".join(rng.choice(list(alpha), size=ln, p=probs))
         if fastq:
-            out.write(f"@r{i} comment here\n{seq}\n+\n{'I' * ln}\n")
+            qlen = ln
+            if rng.random() < 0.03:
+                # malformed quality length: kseq returns -2, dropping
+                # the record and STOPPING the file (kc-c*'s read loop)
+                qlen = int(rng.integers(0, ln + 40))
+            out.write(f"@r{i} comment here\n{seq}\n+\n{'I' * qlen}\n")
         else:
             out.write(f">r{i}\n")
             # multi-line FASTA with random wrap
             w = int(rng.integers(1, 80))
             for off in range(0, max(ln, 1), w):
                 out.write(seq[off : off + w] + "\n")
+            if rng.random() < 0.04:
+                # '+' line inside FASTA: kseq switches to quality
+                # consumption even for '>' records (kseq.h:222)
+                out.write(f"+oops\n{'J' * int(rng.integers(0, ln + 20))}\n")
     return out.getvalue().encode()
 
 
