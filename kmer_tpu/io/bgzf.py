@@ -71,9 +71,10 @@ class BgzfReader:
         out = bytearray()
         while n > 0:
             if self._block_coffset < 0:
-                if self._read_block_at(0) is None:
+                blk = self._read_block_at(0)
+                if blk is None:
                     break
-                self._block = self._read_block_at(0) or b""
+                self._block = blk
                 self._within = 0
             avail = len(self._block) - self._within
             if avail <= 0:

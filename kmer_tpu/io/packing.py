@@ -42,21 +42,3 @@ def pack_block(block: Block, capacity: int) -> List[Tuple[np.ndarray, int]]:
     if pos:
         out.append((buf, pos))
     return out
-
-
-def pack_long_sequence(seq: bytes, capacity: int, k: int):
-    """Chunk one long sequence (a chromosome) into capacity-sized buffers
-    with (k-1)-base overlap so no window is lost at chunk joins."""
-    n = len(seq)
-    step = capacity - (k - 1)
-    pos = 0
-    while pos < n:
-        chunk = seq[pos : pos + capacity]
-        buf = np.zeros(capacity, np.uint8)
-        buf[: len(chunk)] = np.frombuffer(chunk, np.uint8)
-        # mask out the first k-1 positions' windows on continuation chunks:
-        # they were already emitted by the previous chunk's tail.
-        yield buf, len(chunk), (pos > 0)
-        if pos + capacity >= n:
-            break
-        pos += step

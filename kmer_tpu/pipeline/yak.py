@@ -105,10 +105,16 @@ class YakEngine:
             self.bits = jnp.zeros((8,), jnp.uint8)  # dummy carry
         self.tot = 0  # cumulative distinct insertions (yak's h->tot)
 
-    def _maybe_grow(self):
+    def _maybe_grow(self, incoming: int = 0):
+        """Grow the table so n_full plus a worst case of `incoming` new
+        keys stays under the load factor.  Pre-sizing BEFORE a batch is
+        required for liveness: the jitted insert's probe loop never
+        terminates if a batch holds more distinct keys than free slots
+        (the device analog of khashl growing before the insert,
+        khashl.h:200-202)."""
         n_full = int(self.table.n_full)
         cap = self.table.capacity
-        while n_full > GROW_LOAD * cap:
+        while n_full + incoming > GROW_LOAD * cap:
             cap *= 2
         if cap != self.table.capacity:
             self.table = ct.rebuild(self.table, cap)
@@ -153,13 +159,16 @@ class YakEngine:
                     hi, lo, _nk = _extract_step_rows(buf, self.k, row_bytes)
                 else:
                     hi, lo, _nk = _extract_step(buf, self.k)
+            if create_new:
+                # worst case every lane is a distinct new key; insert
+                # claims a slot per distinct key even when bloom-gated
+                self._maybe_grow(incoming=int(hi.shape[0]))
             self.table, self.bits, n_new = _yak_ingest(
                 self.table, self.bits, hi, lo,
                 self.spec, create_new, self.use_bloom,
             )
             if create_new:
                 self.tot += int(n_new)
-                self._maybe_grow()
             if self.log is not None:
                 self.log(n_seqs, self.tot)
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 import sys
 
 from ..io.formats import read_corr_matrix, read_vaf_avg_depth
-from ..utils.cli import ketopt
+from ..utils.cli import c_atof, ketopt
 from ..utils.log import minfo
 
 # (depth_gt, mean_matched, std_matched, mean_unmatched, std_unmatched)
@@ -167,7 +167,7 @@ def main(argv=None):
         elif c == "o":
             out_fn = a
         elif c == "t":
-            threshold = float(a)
+            threshold = c_atof(a)
         elif c == "T":
             train_fn = a
         elif c == "v":

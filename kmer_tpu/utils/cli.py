@@ -54,6 +54,34 @@ def ketopt(argv: List[str], ostr: str) -> Tuple[List[Tuple[str, str]], List[str]
     return opts, pos
 
 
+def c_atof(s: str) -> float:
+    """C atof semantics: parse the leading float, 0.0 when none (the
+    reference's match-classifier parses -t this way)."""
+    s = s.strip()
+    j = 0
+    if j < len(s) and s[j] in "+-":
+        j += 1
+    while j < len(s) and s[j].isdigit():
+        j += 1
+    if j < len(s) and s[j] == ".":
+        j += 1
+        while j < len(s) and s[j].isdigit():
+            j += 1
+    if j < len(s) and s[j] in "eE":
+        e = j + 1
+        if e < len(s) and s[e] in "+-":
+            e += 1
+        d = e
+        while d < len(s) and s[d].isdigit():
+            d += 1
+        if d > e:
+            j = d
+    try:
+        return float(s[:j])
+    except ValueError:
+        return 0.0
+
+
 def c_atoi(s: str) -> int:
     """C atoi/atol semantics for numeric flags: parse the leading
     decimal integer (optional sign), ignore trailing characters, 0 when
