@@ -102,3 +102,48 @@ def myers_hw_counts(peq, pat_len, reads_codes, read_len, max_e: int):
         step, (pv0, mv0, score0, best0, cnt0), (cs, valids)
     )
     return jnp.where(best <= max_e, cnt, 0)
+
+
+def hw_counts_long_pattern(pat_codes, reads_codes, read_len, max_e: int):
+    """Host fallback for patterns longer than 32 bases (the u32-lane
+    kernel's word limit; edlib handles any length via multi-word
+    vectors, edlib.cpp:412).  Python arbitrary-precision ints stand in
+    for the multi-word bit vectors — the same recurrence as
+    myers_hw_counts, exercised only for the rare long patterns.
+
+    pat_codes: iterable of 2-bit codes (>=4 never matches).
+    reads_codes: (R, L) uint8; read_len: (R,) lengths.
+    Returns a list of R counts (numLocations if best <= max_e else 0).
+    """
+    m = len(pat_codes)
+    full = (1 << m) - 1
+    hibit = 1 << (m - 1)
+    peq = [0, 0, 0, 0]
+    for i, c in enumerate(pat_codes):
+        if c < 4:
+            peq[c] |= 1 << i
+    out = []
+    for r in range(reads_codes.shape[0]):
+        codes = reads_codes[r, : int(read_len[r])]
+        pv, mv, score = full, 0, m
+        best, cnt = None, 0
+        for c in codes.tolist():
+            eq = peq[c] if c < 4 else 0
+            xv = eq | mv
+            xh = (((eq & pv) + pv) ^ pv) | eq
+            ph = mv | (~(xh | pv) & full)
+            mh = pv & xh
+            if ph & hibit:
+                score += 1
+            elif mh & hibit:
+                score -= 1
+            ph2 = (ph << 1) & full
+            mh2 = (mh << 1) & full
+            pv = (mh2 | (~(xv | ph2) & full)) & full
+            mv = ph2 & xv
+            if best is None or score < best:
+                best, cnt = score, 1
+            elif score == best:
+                cnt += 1
+        out.append(cnt if best is not None and best <= max_e else 0)
+    return out

@@ -25,8 +25,19 @@ from ..kernels.myers import build_peq, myers_hw_counts
 from ..utils.cli import c_atoi, ketopt
 from ..utils.log import minfo
 
-READ_BATCH = 256
-MAX_LEN = 1024  # reads longer than this are processed in slabs
+# reads are batched by length bucket (powers of 4 from 1 KiB); each
+# bucket compiles one kernel instance, so arbitrary read lengths
+# (nanopore/PacBio) process exactly like the reference's edlib
+_MIN_BUCKET = 1024
+_BATCH_BYTES = 1 << 21  # rows per bucket = _BATCH_BYTES // bucket
+_KERNEL_MAX_PAT = 32  # u32-lane word limit; longer patterns -> host path
+
+
+def _bucket_for(length: int) -> int:
+    b = _MIN_BUCKET
+    while b < length:
+        b *= 4
+    return b
 
 
 def _encode(seq: bytes) -> np.ndarray:
@@ -49,15 +60,23 @@ def count_fastq(fn, patterns, max_e, totals):
         # ed-vaf-counter.c:130
         sys.stderr.write(f"Warning: failed to open {fn}\n")
         return
-    # pattern kmers -> code matrix (2P, Lp)
+    # pattern kmers -> code matrix (2P, Lp); patterns longer than the
+    # kernel's 32-base word go through the host multi-word path
     kmers = []
     for p in patterns:
         kmers.append(p.ref_kmer.encode())
         kmers.append(p.alt_kmer.encode())
-    lp = max((len(x) for x in kmers), default=1)
+    long_idx = [i for i, x in enumerate(kmers) if len(x) > _KERNEL_MAX_PAT]
+    long_codes = {i: _encode(kmers[i]).tolist() for i in long_idx}
+    lp = max(
+        (len(x) for x in kmers if len(x) <= _KERNEL_MAX_PAT), default=1
+    )
     pc = np.full((len(kmers), lp), 255, np.uint8)
     plen = np.zeros(len(kmers), np.int32)
     for i, x in enumerate(kmers):
+        if len(x) > _KERNEL_MAX_PAT:
+            plen[i] = lp  # kernel lane is a dummy; host path counts it
+            continue
         pc[i, : len(x)] = _encode(x)
         plen[i] = len(x)
     # pad pattern axis to a lane multiple
@@ -68,41 +87,57 @@ def count_fastq(fn, patterns, max_e, totals):
     peq = build_peq(jnp.asarray(pc), jnp.asarray(plen_pad))
     plen_j = jnp.asarray(plen_pad)
 
-    acc = jnp.zeros((Ppad,), jnp.int32)
-    batch = np.zeros((READ_BATCH, MAX_LEN), np.uint8)
-    batch[:] = 255
-    lens = np.zeros(READ_BATCH, np.int32)
-    nb = 0
+    acc = np.zeros((Ppad,), np.int64)
+    batches = {}  # bucket -> [codes2d, lens, fill]
 
-    def flush(nb, acc):
+    def flush(bucket):
+        codes, lens, nb = batches.pop(bucket)
         if nb == 0:
-            return acc
-        # .copy(): the CPU backend may zero-copy alias numpy buffers into
-        # device arrays, and `batch`/`lens` are mutated in place for the
-        # next reads while this flush is still in flight
+            return
+        # .copy() would be needed if buffers were reused; they are
+        # freshly allocated per batch, but slice to the filled rows
         counts = myers_hw_counts(
-            peq, plen_j, jnp.asarray(batch.copy()), jnp.asarray(lens.copy()), max_e
+            peq, plen_j, jnp.asarray(codes[:nb]), jnp.asarray(lens[:nb]),
+            max_e,
         )
-        return acc + jnp.sum(counts, axis=0, dtype=jnp.int32)
+        ksum = np.asarray(jnp.sum(counts, axis=0, dtype=jnp.int32)).astype(
+            np.int64
+        )
+        for i in long_idx:
+            ksum[i] = 0  # dummy kernel lane; the host path owns it
+        acc[:] += ksum
+        if long_idx:
+            from ..kernels.myers import hw_counts_long_pattern
+
+            for i in long_idx:
+                acc[i] += sum(
+                    hw_counts_long_pattern(
+                        long_codes[i], codes[:nb], lens[:nb], max_e
+                    )
+                )
 
     for _name, seq in FastxReader(fn):
         L = len(seq)
-        if L > MAX_LEN:
-            seq = seq[:MAX_LEN]  # extremely long reads truncated (see docstring)
-            L = MAX_LEN
-        batch[nb, :L] = _encode(seq)
-        batch[nb, L:] = 255
+        bucket = _bucket_for(max(L, 1))
+        if bucket not in batches:
+            rows = max(4, _BATCH_BYTES // bucket)
+            batches[bucket] = [
+                np.full((rows, bucket), 255, np.uint8),
+                np.zeros(rows, np.int32),
+                0,
+            ]
+        codes, lens, nb = batches[bucket]
+        codes[nb, :L] = _encode(seq)
+        codes[nb, L:] = 255
         lens[nb] = L
-        nb += 1
-        if nb == READ_BATCH:
-            acc = flush(nb, acc)
-            nb = 0
-            lens[:] = 0
-    acc = flush(nb, acc)
-    acc_np = np.asarray(acc)
+        batches[bucket][2] = nb + 1
+        if batches[bucket][2] == codes.shape[0]:
+            flush(bucket)
+    for bucket in list(batches):
+        flush(bucket)
     for i in range(len(patterns)):
-        totals[i][0] += int(acc_np[2 * i])
-        totals[i][1] += int(acc_np[2 * i + 1])
+        totals[i][0] += int(acc[2 * i])
+        totals[i][1] += int(acc[2 * i + 1])
 
 
 def main(argv=None):

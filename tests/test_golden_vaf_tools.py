@@ -204,3 +204,45 @@ def test_vcf_vaf_parity(patterns, tmp_path, ext):
     )
     assert not main(["-p", patterns, "-v", vcf, "-o", str(tmp_path / "tpu.vaf")])
     assert _read(tmp_path / "tpu.vaf") == _read(tmp_path / "ref.vaf")
+
+
+def test_ed_long_reads_and_patterns(tmp_path):
+    """Reads beyond the old 1024 cap (length-bucketed batching) and
+    patterns beyond the kernel's 32-base word (host multi-word Myers)
+    must match reference edlib byte-for-byte."""
+    ref = _need("ed-vaf-counter")
+    import numpy as np
+
+    rng = np.random.default_rng(4)
+    acgt = np.frombuffer(b"ACGT", np.uint8)
+    g = acgt[rng.integers(0, 4, 30000)].tobytes().decode()
+    pats = []
+    for i, k in [(0, 21), (1, 41), (2, 33)]:
+        pos = 3000 + i * 5000
+        ref_km = g[pos - k // 2 : pos + k // 2 + 1]
+        alt = "A" if g[pos] != "A" else "C"
+        alt_km = ref_km[: k // 2] + alt + ref_km[k // 2 + 1 :]
+        pats.append(
+            f"chr1\t{pos}\t{pos + 1}\trs{i}\t{g[pos]}\t{alt}\t{ref_km}\t{alt_km}"
+        )
+    pat = str(tmp_path / "p.txt")
+    with open(pat, "w") as f:
+        f.write("\n".join(pats) + "\n")
+    fq = str(tmp_path / "r.fq")
+    with open(fq, "w") as f:
+        for r in range(40):
+            L = int(rng.integers(100, 5000))
+            st = int(rng.integers(0, len(g) - L))
+            f.write(f"@r{r}\n{g[st:st + L]}\n+\n{'I' * L}\n")
+    from kmer_tpu.tools.ed_vaf_counter import main
+
+    for e in (0, 2):
+        subprocess.run(
+            [ref, "-p", pat, "-o", str(tmp_path / "ref.vaf"), "-e", str(e), fq],
+            capture_output=True,
+            check=True,
+        )
+        assert not main(
+            ["-p", pat, "-o", str(tmp_path / "tpu.vaf"), "-e", str(e), fq]
+        )
+        assert _read(tmp_path / "tpu.vaf") == _read(tmp_path / "ref.vaf"), e
