@@ -167,36 +167,50 @@ def _hist_impl(hi, lo, counts, n_bins, max_count, min_keep, has_counts,
 
 def _hist_xla_core(hi, lo, counts, n_bins, max_count, min_keep, has_counts,
                    one_plane=False):
-    """Sort everything, reduce counts per key segment, histogram."""
+    """Sort everything, reduce counts per key segment, histogram.
+
+    Weighted runs use modular u32 ends-diff arithmetic (see
+    _compact_impl): segment count = csum[this end] - csum[previous end],
+    exact regardless of global-total wraps — the ends are compacted by a
+    1-key sort first so the diff is between adjacent lanes."""
+    n = hi.shape[0]
+    pos = jnp.arange(n, dtype=I32)
     if has_counts:
         s_hi, s_lo, (cnt,) = _sort_kl(hi, lo, (counts,), one_plane=one_plane)
         keys = u.U64(s_hi, s_lo)
         csum = jnp.cumsum(cnt.astype(jnp.uint32), dtype=jnp.uint32)
+        starts = segops.segment_starts(keys)
+        is_end = jnp.concatenate([starts[1:], jnp.ones((1,), jnp.bool_)])
+        is_sent = (keys.hi == SENT) & (keys.lo == SENT)
+        rank = jnp.where(is_end, pos, I32(0x7FFFFFFF))
+        sent_flag = is_sent.astype(U32)
+        _, e_csum, e_sent = jax.lax.sort(
+            (rank, csum, sent_flag), num_keys=1
+        )
+        prev = jnp.concatenate([jnp.zeros((1,), U32), e_csum[:-1]])
+        n_ends = jnp.sum(is_end.astype(I32))
+        seg_count_u = e_csum - prev  # modular, exact per segment
+        mask = (
+            (pos < n_ends) & (e_sent == 0) & (seg_count_u >= U32(min_keep))
+        )
+        if max_count is not None:
+            seg_count_u = jnp.minimum(seg_count_u, U32(max_count))
+        seg_count = jnp.minimum(seg_count_u, U32(n_bins - 1)).astype(I32)
     else:
         s_hi, s_lo, _ = _sort_kl(hi, lo, one_plane=one_plane)
         keys = u.U64(s_hi, s_lo)
-        csum = None
-    starts = segops.segment_starts(keys)
-    n = hi.shape[0]
-    pos = jnp.arange(n, dtype=I32)
-    start_pos = jax.lax.cummax(jnp.where(starts, pos, I32(0)))
-    is_end = jnp.concatenate([starts[1:], jnp.ones((1,), jnp.bool_)])
-    if has_counts:
-        # segment count = csum[end] - csum[start] + cnt[start]
-        start_csum = jax.lax.cummax(
-            jnp.where(starts, csum - cnt.astype(jnp.uint32), jnp.uint32(0))
-        )
-        seg_count = (csum - start_csum).astype(I32)
-    else:
+        starts = segops.segment_starts(keys)
+        start_pos = jax.lax.cummax(jnp.where(starts, pos, I32(0)))
+        is_end = jnp.concatenate([starts[1:], jnp.ones((1,), jnp.bool_)])
         seg_count = pos - start_pos + 1
-    # remove the sentinel tail: it is exactly the lanes whose key is
-    # all-ones *minus* any true all-ones keys, which callers guarantee
-    # cannot occur (hash64 output < 2^(2k) <= 2^62 for k <= 31; the
-    # k == 32 path subtracts n_invalid upstream).
-    is_sent = (keys.hi == SENT) & (keys.lo == SENT)
-    mask = is_end & ~is_sent & (seg_count >= min_keep)
-    if max_count is not None:
-        seg_count = jnp.minimum(seg_count, I32(max_count))
+        # remove the sentinel tail: it is exactly the lanes whose key is
+        # all-ones *minus* any true all-ones keys, which callers
+        # guarantee cannot occur (hash64 output < 2^(2k) <= 2^62 for
+        # k <= 31; the k == 32 path collapses keys to 0 instead).
+        is_sent = (keys.hi == SENT) & (keys.lo == SENT)
+        mask = is_end & ~is_sent & (seg_count >= min_keep)
+        if max_count is not None:
+            seg_count = jnp.minimum(seg_count, I32(max_count))
     # chunked one-hot histogram (exact f32 sums need < 2^24 lanes/chunk);
     # lax.map keeps the compiled program size independent of n
     chunk = min(1 << 23, n)
@@ -353,6 +367,11 @@ def _compact_impl(hi, lo, cnt, has_counts, one_plane=False):
     if has_counts:
         s_hi, s_lo, (c,) = _sort_kl(hi, lo, (cnt,), one_plane=one_plane)
         keys = u.U64(s_hi, s_lo)
+        # modular u32 running sum: a segment's count is the DIFFERENCE of
+        # csum at consecutive segment ends, exact mod 2^32 no matter how
+        # often the global total wraps (totals beyond 2^32 k-mers are
+        # routine at scale; only a single key with >= 2^32 multiplicity
+        # would alias, matching the reference's own u32 counters)
         csum = jnp.cumsum(c.astype(jnp.uint32), dtype=jnp.uint32)
     else:
         s_hi, s_lo, _ = _sort_kl(hi, lo, one_plane=one_plane)
@@ -361,28 +380,31 @@ def _compact_impl(hi, lo, cnt, has_counts, one_plane=False):
     starts = segops.segment_starts(keys)
     start_pos = jax.lax.cummax(jnp.where(starts, pos, I32(0)))
     is_end = jnp.concatenate([starts[1:], jnp.ones((1,), jnp.bool_)])
-    if has_counts:
-        start_csum = jax.lax.cummax(
-            jnp.where(starts, csum - c.astype(jnp.uint32), jnp.uint32(0))
-        )
-        seg_count = csum - start_csum
-    else:
-        seg_count = (pos - start_pos + 1).astype(U32)
     is_sent = (keys.hi == SENT) & (keys.lo == SENT)
     keep = is_end & ~is_sent
     # compact by sort: keep-lanes get rank = their order, others go last
     rank = jnp.where(keep, pos, I32(0x7FFFFFFF))
-    seg_count = jnp.where(keep, seg_count, U32(0))
     klo = jnp.where(keep, keys.lo, SENT)
+    if has_counts:
+        pay = csum  # diff adjacent compacted ends below
+    else:
+        pay = (pos - start_pos + 1).astype(U32)
+        pay = jnp.where(keep, pay, U32(0))
     if one_plane:
-        _, clo, ccnt = jax.lax.sort((rank, klo, seg_count), num_keys=1)
+        _, clo, cpay = jax.lax.sort((rank, klo, pay), num_keys=1)
         chi = jnp.where(clo == SENT, SENT, jnp.uint32(0))
     else:
         khi = jnp.where(keep, keys.hi, SENT)
-        _, chi, clo, ccnt = jax.lax.sort(
-            (rank, khi, klo, seg_count), num_keys=1
+        _, chi, clo, cpay = jax.lax.sort(
+            (rank, khi, klo, pay), num_keys=1
         )
-    return chi, clo, ccnt, jnp.sum(keep.astype(I32))
+    n_unique = jnp.sum(keep.astype(I32))
+    if has_counts:
+        prev = jnp.concatenate([jnp.zeros((1,), U32), cpay[:-1]])
+        ccnt = jnp.where(pos < n_unique, cpay - prev, U32(0))
+    else:
+        ccnt = cpay
+    return chi, clo, ccnt, n_unique
 
 
 @partial(jax.jit, static_argnames=("one_plane",))
@@ -445,13 +467,18 @@ def _counts_for_impl(hi, lo, cnt, qhi, qlo, has_counts, one_plane=False):
     keys = u.U64(s_hi, s_lo)
     starts = segops.segment_starts(keys)
     csum = jnp.cumsum(s_c, dtype=jnp.uint32)
-    start_csum = jax.lax.cummax(jnp.where(starts, csum - s_c, jnp.uint32(0)))
-    # at a query lane, data count of its key = csum so far - csum before
-    # the segment (query lanes contribute 0 to csum)
+    # modular ends-diff (see _compact_impl): a query lane is always its
+    # segment's last lane (queries are unique and sort after their data),
+    # so its key's total = csum[this end] - csum[previous segment's end],
+    # exact mod 2^32 regardless of how often the global csum wraps
+    pos = jnp.arange(n + q, dtype=I32)
+    is_end = jnp.concatenate([starts[1:], jnp.ones((1,), jnp.bool_)])
     at_query = s_orig == 1
-    data_count = (csum - start_csum).astype(I32)
+    rank = jnp.where(is_end, pos, I32(0x7FFFFFFF))
+    eq_idx = jnp.where(at_query & is_end, s_qidx, I32(0x7FFFFFFF))
+    _, e_csum, e_qidx = jax.lax.sort((rank, csum, eq_idx), num_keys=1)
+    prev = jnp.concatenate([jnp.zeros((1,), jnp.uint32), e_csum[:-1]])
+    seg_count = (e_csum - prev).astype(I32)
     # return to query order: sort by query index, take the first q lanes
-    _, out = jax.lax.sort(
-        (jnp.where(at_query, s_qidx, I32(0x7FFFFFFF)), data_count), num_keys=1
-    )
+    _, out = jax.lax.sort((e_qidx, seg_count), num_keys=1)
     return out[:q]

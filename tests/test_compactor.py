@@ -163,3 +163,43 @@ class TestOnePlane:
         assert np.array_equal(
             two[2], np.array([want.get(int(x), 0) for x in queries])
         )
+
+
+class TestModularTotals:
+    """Weighted totals beyond 2^32 must not corrupt segment sums: the
+    ends-diff arithmetic is exact mod 2^32 even when the global running
+    sum wraps (a ~4.3 Gbp input wraps it once; production inputs many
+    times)."""
+
+    def test_wrapping_totals(self):
+        big = np.uint32(1 << 30)
+        keys_np = np.arange(1, 9, dtype=np.uint64) * 1000
+        hi = jnp.asarray((keys_np >> np.uint64(32)).astype(np.uint32))
+        lo = jnp.asarray((keys_np & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+        c = KmerCompactor()
+        c.add_counted(u.U64(hi, lo), jnp.full(8, big, jnp.uint32))
+        # total = 8 * 2^30 = 2^33: the running u32 csum wraps twice
+        h, nd = c.hist(64, max_count=None)
+        assert nd == 8 and h[63] == 8 and h[:63].sum() == 0
+        q_hi = np.asarray(hi)
+        q_lo = np.asarray(lo)
+        got = c.counts_for(q_hi, q_lo)
+        assert np.all(got == 1 << 30)
+        # a raw run on top (mixed weighted+raw), then compaction
+        raw = np.array([1000, 77777], np.uint64)
+        c.add_batch(
+            u.U64(
+                jnp.asarray((raw >> np.uint64(32)).astype(np.uint32)),
+                jnp.asarray((raw & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+            ),
+            jnp.ones(2, jnp.bool_),
+        )
+        c.compact()
+        h, nd = c.hist(64, max_count=None)
+        assert nd == 9
+        got = c.counts_for(
+            np.concatenate([q_hi, np.zeros(1, np.uint32)]),
+            np.concatenate([q_lo, np.asarray([77777], np.uint32)]),
+        )
+        assert got[0] == (1 << 30) + 1 and np.all(got[1:8] == 1 << 30)
+        assert got[8] == 1
