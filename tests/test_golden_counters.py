@@ -242,3 +242,44 @@ def test_truncated_gzip_prefix_parity(tmp_path):
                     os.environ.pop(k, None)
                 else:
                     os.environ[k] = v
+
+
+def test_malformed_quality_policies(tmp_path):
+    """kseq -2 behavior differs per reference tool (stop vs pipeline
+    resume with a worker-retirement budget; PARITY.md) — pin one fixed
+    input against kc-c1, kc-c3, kc-c4, and yak-count."""
+    import numpy as np
+
+    rng = np.random.default_rng(123)
+    fq = str(tmp_path / "bad.fq")
+    with open(fq, "w") as f:
+        for i in range(60):
+            L = 60
+            s = "".join(rng.choice(list("ACGT"), L))
+            if i in (7, 23, 24, 41):  # malformed: quality too short
+                f.write(f"@r{i}\n{s}\n+\n{'I' * 10}\n")
+            else:
+                f.write(f"@r{i}\n{s}\n+\n{'I' * L}\n")
+    from kmer_tpu.tools.kc import main_kc_c1, main_kc_c3, main_kc_c4
+    from kmer_tpu.tools.yak_count import main as yak_main
+
+    import contextlib
+    import io as _io
+
+    cases = [
+        ("kc-c1", main_kc_c1, ["-k21", fq]),
+        ("kc-c3", main_kc_c3, ["-k21", fq]),
+        ("kc-c4", main_kc_c4, ["-k21", fq]),
+        ("yak-count", yak_main, ["-k21", "-b14", fq]),
+    ]
+    for tool, fn, args in cases:
+        ref = os.path.join(REFBIN, tool)
+        if not os.path.exists(ref):
+            pytest.skip(f"reference {tool} not built")
+        want = subprocess.run(
+            [ref] + args[:-1] + [fq], capture_output=True, check=True
+        ).stdout
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            assert not fn(args)
+        assert buf.getvalue().encode() == want, tool
