@@ -76,6 +76,9 @@ def main_kc_c1(argv=None):
     if len(pos) < 1:
         sys.stderr.write(f"Usage: kc-c1 [-k {k}] <in.fa>\n")
         return 1
+    if k < 1 or k > 32:
+        sys.stderr.write("ERROR: -k must be between 1 and 32\n")
+        return 1
     eng = _run_counter([pos[0]], k, max_count=None)
     if eng is None:
         return 1
@@ -97,6 +100,9 @@ def main_kc_c2(argv=None):
         return 1
     if p < KC_BITS:
         sys.stderr.write(f"ERROR: -p should be at least {KC_BITS}\n")
+        return 1
+    if k < 1 or k > 32:
+        sys.stderr.write("ERROR: -k must be between 1 and 32\n")
         return 1
     eng = _run_counter([pos[0]], k, max_count=255)
     if eng is None:
@@ -125,6 +131,9 @@ def main_kc_c3(argv=None):
         return 1
     if p < KC_BITS:
         sys.stderr.write(f"ERROR: -p should be at least {KC_BITS}\n")
+        return 1
+    if k < 1 or k > 32:
+        sys.stderr.write("ERROR: -k must be between 1 and 32\n")
         return 1
     eng = _run_counter([pos[0]], k, max_count=255, block_bases=block_size,
                        qual_policy=("resume", 0, 2))  # kc-c3: 2 workers, sums ALL reads
@@ -158,6 +167,9 @@ def main_kc_c4(argv=None):
     if p < KC_BITS:
         sys.stderr.write(f"ERROR: -p should be at least {KC_BITS}\n")
         return 1
+    if k < 1 or k > 32:
+        sys.stderr.write("ERROR: -k must be between 1 and 32\n")
+        return 1
     eng = _run_counter([pos[0]], k, max_count=1023, block_bases=block_size,
                        qual_policy=("resume", k, 3))
     if eng is None:
@@ -176,6 +188,9 @@ def main_kc_cpp1(argv=None):
             k = c_atoi(a)
     if len(pos) < 1:
         sys.stderr.write(f"Usage: kc-cpp1 [-k {k}] <in.fa>\n")
+        return 1
+    if k < 1 or k > 32:
+        sys.stderr.write("ERROR: -k must be between 1 and 32\n")
         return 1
     eng = _run_counter([pos[0]], k, max_count=None)
     if eng is None:

@@ -57,6 +57,9 @@ def main(argv=None):
     if k % 2 == 0:
         sys.stderr.write("Error: k must be odd\n")
         return 1
+    if k < 1 or k > 32:
+        sys.stderr.write("ERROR: -k must be between 1 and 32\n")
+        return 1
     if not bed_fn or not fasta_fn or not out_fn:
         e = sys.stderr
         e.write(

@@ -102,6 +102,10 @@ def main(argv=None):
         e.write("  -v        verbose mode (report performance statistics)\n")
         return 1
 
+    if k < 1 or k > 32:
+        sys.stderr.write("ERROR: -k must be between 1 and 32\n")
+        return 1
+
     t_start = time.time()
     minfo("main", "Loading patterns...")
     t0 = time.time()

@@ -45,6 +45,9 @@ def main(argv=None):
         e.write("  -K INT     chunk size [100m]\n")
         e.write("Note: -b37 is recommended for human reads\n")
         return 1
+    if k < 1 or k > 32:
+        sys.stderr.write("ERROR: -k must be between 1 and 32\n")
+        return 1
     if pre < YAK_COUNTER_BITS:
         sys.stderr.write(f"ERROR: -p should be at least {YAK_COUNTER_BITS}\n")
         return 1
