@@ -96,7 +96,8 @@ def main():
             tf.write(gzip.compress(data) if gz else data)
             path = tf.name
         k = int(rng.choice([1, 2, 5, 15, 16, 17, 21, 31, 32]))
-        cases = [("kc-c1", [f"-k{k}", path]), ("kc-c4", [f"-k{k}", path]),
+        cases = [("kc-c1", [f"-k{k}", path]), ("kc-c3", [f"-k{k}", path]),
+                 ("kc-c4", [f"-k{k}", path]),
                  ("yak-count", [f"-k{k}", "-b14", path])]
         try:
             for tool, args in cases:
