@@ -426,20 +426,10 @@ class ShardedSortEngine:
         order — the distributed analog of KmerCompactor.counts_for."""
         if not self.chunks and self.weighted is None:
             return np.zeros(len(query_hi), np.int64)
-        packed = (np.asarray(query_hi, np.uint64) << np.uint64(32)) | (
-            np.asarray(query_lo, np.uint64)
-        )
-        uniq, inverse = np.unique(packed, return_inverse=True)
-        qhi = (uniq >> np.uint64(32)).astype(np.uint32)
-        qlo = (uniq & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-        if self.one_plane:
-            assert not qhi.any(), "counts_for: query keys exceed k <= 15"
-        q = len(qhi)
-        qsize = max(1 << 12, 1 << (max(q - 1, 1)).bit_length())
-        pad_hi = np.full(qsize, 0xFFFFFFFF, np.uint32)
-        pad_lo = np.full(qsize, 0xFFFFFFFF, np.uint32)
-        pad_hi[:q] = qhi
-        pad_lo[:q] = qlo
+        from ..table.compactor import prep_queries
+
+        pad_hi, pad_lo, q, inverse = prep_queries(query_hi, query_lo,
+                                                  self.one_plane)
         if self.weighted is None:
             hi = jnp.concatenate([c[0] for c in self.chunks], axis=2)
             lo = jnp.concatenate([c[1] for c in self.chunks], axis=2)

@@ -154,10 +154,13 @@ class FastxReader:
 
     def __iter__(self) -> Iterator[Tuple[bytes, bytes]]:
         line = self._readline()
-        # skip any leading junk until a header, like kseq does
-        while line is not None and not line.startswith((b">", b"@")):
-            line = self._readline()
-        while line is not None:
+        while True:
+            # skip junk until a header — kseq does this before EVERY
+            # record (kseq.h:198), not just at file start
+            while line is not None and not line.startswith((b">", b"@")):
+                line = self._readline()
+            if line is None:
+                return
             name = line[1:].split(b" ", 1)[0].split(b"\t", 1)[0]
             seq_parts: List[bytes] = []
             line = self._readline()
@@ -174,16 +177,24 @@ class FastxReader:
                 # reaches the sequence's; a mismatch (overshoot or EOF)
                 # is kseq's -2 — handled per qual_policy (see __init__).
                 need = len(seq)
-                got = 0
                 bad = False
-                while got < need:
-                    ql = self._readline()
-                    if ql is None:
-                        bad = True  # no/short quality at EOF
-                        break
-                    got += len(ql)
+                # kseq ALWAYS consumes at least one quality line (the
+                # getuntil2 call executes before the length check,
+                # kseq.h:229) — so an empty sequence with a non-empty
+                # quality line is still a -2
+                ql = self._readline()
+                if ql is None:
+                    got = 0  # EOF: kseq's loop exits with qual.l = 0
+                else:
+                    got = len(ql)
+                    while got < need:
+                        ql = self._readline()
+                        if ql is None:
+                            bad = True  # no/short quality at EOF
+                            break
+                        got += len(ql)
                 if got != need:
-                    bad = True  # quality longer than sequence
+                    bad = True  # quality length mismatch
                 if bad:
                     if self._qual_policy is None:
                         return

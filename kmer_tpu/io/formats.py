@@ -161,8 +161,8 @@ def read_vaf_file(path: str, max_snps: int = 100000) -> VafSample:
             if line.startswith("#") or line.startswith("CHR"):
                 continue
             t = line.split("\t")
-            if len(t) != 9:
-                continue
+            if len(t) < 9:  # sscanf parses the first 9 fields and
+                continue    # ignores trailing ones (correlation-matrix.c:63)
             if len(s.vaf) >= max_snps:
                 sys.stderr.write(
                     f"Warning: too many SNPs (max {max_snps}), truncating\n"

@@ -120,7 +120,13 @@ struct Reader {
         // (pipelined tools; see fastx.py FastxReader for the mapping)
         getline(&line);  // '+' line
         size_t need = seq->size(), got = 0;
-        while (got < need && getline(&line)) got += line.size();
+        // kseq always attempts one quality line before the length
+        // check (kseq.h:229): an empty sequence with a non-empty
+        // quality line is still a -2
+        if (getline(&line)) {
+          got = line.size();
+          while (got < need && getline(&line)) got += line.size();
+        }
         if (got != need) {  // -2
           if (!qual_resume) {
             stopped = true;

@@ -270,8 +270,8 @@ def _extract_step_rows(ascii_u8: jnp.ndarray, k: int, row_bytes: int):
 
 class SortCountEngine:
     """Streaming counter on the sort-based compactor (the TPU-native
-    path; see kmer_tpu.table.compactor).  Histogram-equivalent to
-    CountEngine but with zero random access in the hot loop."""
+    path; see kmer_tpu.table.compactor) — zero random access in the
+    hot loop."""
 
     def __init__(
         self,

@@ -160,9 +160,10 @@ class YakEngine:
                 else:
                     hi, lo, _nk = _extract_step(buf, self.k)
             if create_new:
-                # worst case every lane is a distinct new key; insert
-                # claims a slot per distinct key even when bloom-gated
-                self._maybe_grow(incoming=int(hi.shape[0]))
+                # worst case every VALID k-mer is a distinct new key;
+                # insert claims a slot per distinct key even when
+                # bloom-gated (padded/invalid lanes claim nothing)
+                self._maybe_grow(incoming=int(_nk))
             self.table, self.bits, n_new = _yak_ingest(
                 self.table, self.bits, hi, lo,
                 self.spec, create_new, self.use_bloom,

@@ -61,6 +61,31 @@ def _size_class(n: int, quantum: int = 1 << 20) -> int:
     return max(quantum, ((n + quantum - 1) // quantum) * quantum)
 
 
+def prep_queries(query_hi, query_lo, one_plane: bool):
+    """Host-side query prep shared by counts_for implementations
+    (single-chip and sharded): dedup (the device sort-joins require
+    unique query keys), split to u32 planes, sentinel-pad to a size
+    class.  Returns (qhi, qlo, q, inverse) — slice the device result to
+    q and index with inverse to restore caller order/duplicates."""
+    packed = (np.asarray(query_hi, np.uint64) << np.uint64(32)) | np.asarray(
+        query_lo, np.uint64
+    )
+    uniq, inverse = np.unique(packed, return_inverse=True)
+    qhi = (uniq >> np.uint64(32)).astype(np.uint32)
+    qlo = (uniq & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    if one_plane:
+        assert not qhi.any(), (
+            "counts_for: query keys exceed the declared key_bits <= 31"
+        )
+    q = len(qhi)
+    qsize = _size_class(q, 1 << 12)
+    pad_hi = np.full(qsize, 0xFFFFFFFF, np.uint32)
+    pad_lo = np.full(qsize, 0xFFFFFFFF, np.uint32)
+    pad_hi[:q] = qhi
+    pad_lo[:q] = qlo
+    return pad_hi, pad_lo, q, inverse
+
+
 @partial(jax.jit, donate_argnums=())
 def _sentinelize(keys_hi, keys_lo, valid):
     return (
@@ -318,26 +343,10 @@ class KmerCompactor:
             return np.zeros(len(query_hi), np.int64)
         hi, lo, cnt = _concat_runs(self.runs)
         has_counts = cnt is not None
-        # the raw device path requires unique query keys (a duplicate
-        # would count its twin as data); dedup host-side and expand back
-        packed = (np.asarray(query_hi, np.uint64) << np.uint64(32)) | np.asarray(
-            query_lo, np.uint64
-        )
-        uniq, inverse = np.unique(packed, return_inverse=True)
-        query_hi = (uniq >> np.uint64(32)).astype(np.uint32)
-        query_lo = (uniq & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-        if self.one_plane:
-            # one-plane sorts compare lo only; a query with a nonzero hi
-            # plane would silently join against the wrong key
-            assert not query_hi.any(), (
-                "counts_for: query keys exceed the declared key_bits <= 31"
-            )
-        q = len(query_hi)
-        qsize = _size_class(q, 1 << 12)
-        qhi = np.full(qsize, 0xFFFFFFFF, np.uint32)
-        qlo = np.full(qsize, 0xFFFFFFFF, np.uint32)
-        qhi[:q] = query_hi
-        qlo[:q] = query_lo
+        # the device paths require unique query keys (a duplicate would
+        # count its twin as data); dedup host-side and expand back
+        qhi, qlo, q, inverse = prep_queries(query_hi, query_lo,
+                                            self.one_plane)
         if has_counts:
             out = _counts_for_impl(
                 hi, lo, cnt, jnp.asarray(qhi), jnp.asarray(qlo), True,

@@ -94,11 +94,13 @@ def count_fastq(fn, patterns, max_e, totals):
         codes, lens, nb = batches.pop(bucket)
         if nb == 0:
             return
-        # .copy() would be needed if buffers were reused; they are
-        # freshly allocated per batch, but slice to the filled rows
+        # keep shapes static per bucket (one XLA compile each): flush
+        # the full buffer with lens zeroed past the fill — zero-length
+        # rows contribute count 0.  Buffers are freshly allocated per
+        # batch and discarded after this call (no alias hazard).
+        lens[nb:] = 0
         counts = myers_hw_counts(
-            peq, plen_j, jnp.asarray(codes[:nb]), jnp.asarray(lens[:nb]),
-            max_e,
+            peq, plen_j, jnp.asarray(codes), jnp.asarray(lens), max_e
         )
         ksum = np.asarray(jnp.sum(counts, axis=0, dtype=jnp.int32)).astype(
             np.int64
@@ -114,7 +116,7 @@ def count_fastq(fn, patterns, max_e, totals):
                     hw_counts_long_pattern(
                         long_codes[i], codes[:nb], lens[:nb], max_e
                     )
-                )
+                )  # host path: only the filled rows
 
     for _name, seq in FastxReader(fn):
         L = len(seq)

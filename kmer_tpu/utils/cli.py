@@ -55,12 +55,28 @@ def ketopt(argv: List[str], ostr: str) -> Tuple[List[Tuple[str, str]], List[str]
 
 
 def c_atof(s: str) -> float:
-    """C atof semantics: parse the leading float, 0.0 when none (the
-    reference's match-classifier parses -t this way)."""
+    """C atof (strtod) semantics: parse the leading float, 0.0 when
+    none (the reference's match-classifier parses -t this way).
+    Handles inf/infinity/nan and hex floats like strtod."""
     s = s.strip()
     j = 0
+    sign = 1.0
     if j < len(s) and s[j] in "+-":
+        if s[j] == "-":
+            sign = -1.0
         j += 1
+    low = s[j:].lower()
+    if low.startswith("infinity") or low.startswith("inf"):
+        return sign * float("inf")
+    if low.startswith("nan"):
+        return sign * float("nan")
+    if low.startswith("0x"):
+        # strtod hex float: longest valid prefix (sign is part of s)
+        for end in range(len(s), j + 1, -1):
+            try:
+                return float.fromhex(s[:end])
+            except ValueError:
+                continue
     while j < len(s) and s[j].isdigit():
         j += 1
     if j < len(s) and s[j] == ".":

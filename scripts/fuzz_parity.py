@@ -44,14 +44,18 @@ def random_fastx(rng, fastq=True):
     out = io.StringIO()
     for i in range(n_reads):
         ln = ulen if uniform else int(rng.integers(0, 260))
+        if rng.random() < 0.01:
+            ln = 0  # empty sequence (with quality in FASTQ: kseq -2)
         seq = "".join(rng.choice(list(alpha), size=ln, p=probs))
         if fastq:
             qlen = ln
             if rng.random() < 0.03:
-                # malformed quality length: kseq returns -2, dropping
-                # the record and STOPPING the file (kc-c*'s read loop)
+                # malformed quality length: kseq returns -2 (per-tool
+                # stop/resume policies)
                 qlen = int(rng.integers(0, ln + 40))
             out.write(f"@r{i} comment here\n{seq}\n+\n{'I' * qlen}\n")
+            if rng.random() < 0.02:
+                out.write("junk between records\n")
         else:
             out.write(f">r{i}\n")
             # multi-line FASTA with random wrap
