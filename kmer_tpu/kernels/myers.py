@@ -107,43 +107,85 @@ def myers_hw_counts(peq, pat_len, reads_codes, read_len, max_e: int):
 def hw_counts_long_pattern(pat_codes, reads_codes, read_len, max_e: int):
     """Host fallback for patterns longer than 32 bases (the u32-lane
     kernel's word limit; edlib handles any length via multi-word
-    vectors, edlib.cpp:412).  Python arbitrary-precision ints stand in
-    for the multi-word bit vectors — the same recurrence as
-    myers_hw_counts, exercised only for the rare long patterns.
+    vectors, edlib.cpp:412).  The same recurrence as myers_hw_counts
+    over W = ceil(m/64) uint64 words with ripple carries, vectorized
+    over reads with numpy — the per-text-position loop stays in Python
+    but each step is a handful of (R,)-wide numpy ops.
 
     pat_codes: iterable of 2-bit codes (>=4 never matches).
     reads_codes: (R, L) uint8; read_len: (R,) lengths.
     Returns a list of R counts (numLocations if best <= max_e else 0).
     """
+    import numpy as np
+
     m = len(pat_codes)
-    full = (1 << m) - 1
-    hibit = 1 << (m - 1)
-    peq = [0, 0, 0, 0]
+    W = (m + 63) // 64
+    ONE = np.uint64(1)
+    # peq per word: (W, 4) uint64
+    peq = np.zeros((W, 4), np.uint64)
     for i, c in enumerate(pat_codes):
         if c < 4:
-            peq[c] |= 1 << i
-    out = []
-    for r in range(reads_codes.shape[0]):
-        codes = reads_codes[r, : int(read_len[r])]
-        pv, mv, score = full, 0, m
-        best, cnt = None, 0
-        for c in codes.tolist():
-            eq = peq[c] if c < 4 else 0
-            xv = eq | mv
-            xh = (((eq & pv) + pv) ^ pv) | eq
-            ph = mv | (~(xh | pv) & full)
-            mh = pv & xh
-            if ph & hibit:
-                score += 1
-            elif mh & hibit:
-                score -= 1
-            ph2 = (ph << 1) & full
-            mh2 = (mh << 1) & full
-            pv = (mh2 | (~(xv | ph2) & full)) & full
-            mv = ph2 & xv
-            if best is None or score < best:
-                best, cnt = score, 1
-            elif score == best:
-                cnt += 1
-        out.append(cnt if best is not None and best <= max_e else 0)
-    return out
+            peq[i // 64, c] |= ONE << np.uint64(i % 64)
+    last_bits = m - 64 * (W - 1)
+    full_last = (
+        np.uint64(0xFFFFFFFFFFFFFFFF)
+        if last_bits == 64
+        else (ONE << np.uint64(last_bits)) - ONE
+    )
+    hw, hb = (m - 1) // 64, np.uint64((m - 1) % 64)
+
+    reads_codes = np.asarray(reads_codes, np.uint8)
+    read_len = np.asarray(read_len, np.int64)
+    R, L = reads_codes.shape
+    pv = np.zeros((W, R), np.uint64)
+    pv[:-1] = np.uint64(0xFFFFFFFFFFFFFFFF)
+    pv[-1] = full_last
+    mv = np.zeros((W, R), np.uint64)
+    score = np.full(R, m, np.int64)
+    best = np.full(R, 1 << 30, np.int64)
+    cnt = np.zeros(R, np.int64)
+    c63 = np.uint64(63)
+
+    for t in range(int(read_len.max()) if R else 0):
+        c = reads_codes[:, t]
+        valid = t < read_len
+        cc = np.minimum(c, 3)
+        eq = np.where(c < 4, peq[:, cc], np.uint64(0))  # (W, R)
+        xv = eq | mv
+        # (eq & pv) + pv with ripple carry across words
+        xh = np.empty_like(pv)
+        carry = np.zeros(R, np.uint64)
+        for w in range(W):
+            a = eq[w] & pv[w]
+            s1 = a + pv[w]
+            c1 = s1 < a
+            s = s1 + carry
+            c2 = s < s1
+            carry = (c1 | c2).astype(np.uint64)
+            xh[w] = (s ^ pv[w]) | eq[w]
+        ph = mv | ~(xh | pv)
+        mh = pv & xh
+        inc = ((ph[hw] >> hb) & ONE).astype(np.int64)
+        dec = ((mh[hw] >> hb) & ONE).astype(np.int64)
+        new_score = score + inc - dec
+        # shift left by one with cross-word carry (low bit of word 0 = 0,
+        # as in the single-word kernel)
+        ph2 = np.empty_like(ph)
+        mh2 = np.empty_like(mh)
+        ph2[0] = ph[0] << ONE
+        mh2[0] = mh[0] << ONE
+        for w in range(1, W):
+            ph2[w] = (ph[w] << ONE) | (ph[w - 1] >> c63)
+            mh2[w] = (mh[w] << ONE) | (mh[w - 1] >> c63)
+        new_pv = mh2 | ~(xv | ph2)
+        new_pv[-1] &= full_last
+        new_mv = ph2 & xv
+        v = valid
+        pv = np.where(v, new_pv, pv)
+        mv = np.where(v, new_mv, mv)
+        score = np.where(v, new_score, score)
+        better = v & (score < best)
+        same = v & (score == best)
+        cnt = np.where(better, 1, np.where(same, cnt + 1, cnt))
+        best = np.where(better, score, best)
+    return np.where(best <= max_e, cnt, 0).tolist()
