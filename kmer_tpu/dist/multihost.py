@@ -73,12 +73,16 @@ def count_multihost(paths: Sequence[str], k: int,
                     lanes_per_dest: Optional[int] = None,
                     n_bins: int = 256,
                     max_count: Optional[int] = 1023,
-                    min_keep: int = 1):
+                    min_keep: int = 1,
+                    queries=None):
     """Count canonical k-mers across every device of every host.
 
-    Returns (hist, n_distinct) replicated on all hosts; callers print
-    from process 0 only.  Single-process invocations degrade to the
-    plain sharded engine over the local devices."""
+    Returns (hist, n_distinct) replicated on all hosts — plus, when
+    `queries` = (query_hi, query_lo) numpy arrays IDENTICAL on every
+    host, the distributed sort-join counts for those keys (the
+    multi-host vaf path).  Callers print from process 0 only.
+    Single-process invocations degrade to the plain sharded engine over
+    the local devices."""
     mesh = sharded.make_mesh(jax.devices())
     n_dev = len(jax.devices())
     n_local = len(jax.local_devices())
@@ -118,4 +122,7 @@ def count_multihost(paths: Sequence[str], k: int,
             "input's key skew — rerun with a larger lanes_per_dest)"
         )
     h = eng.hist(n_bins, max_count=max_count, min_keep=min_keep)
+    if queries is not None:
+        qc = eng.counts_for(queries[0], queries[1])
+        return h, eng._n_distinct, qc
     return h, eng._n_distinct

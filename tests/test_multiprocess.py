@@ -29,10 +29,34 @@ pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
 jax.distributed.initialize(coordinator_address="127.0.0.1:" + port,
                            num_processes=nproc, process_id=pid)
 from kmer_tpu.dist import multihost
-h, nd = multihost.count_multihost(sys.argv[4:], k=21, block=65536,
-                                  n_bins=256, max_count=1023)
+import numpy as np
+# deterministic queries, identical on every process: k-mers of the
+# first reads of the first file (+ two absent keys)
+from kmer_tpu.pipeline.counter import _extract_step
+from kmer_tpu.io.fastx import FastxReader
+import jax.numpy as jnp
+reads = []
+for _n, sq in FastxReader(sys.argv[4]):
+    reads.append(sq)
+    if len(reads) >= 3:
+        break
+buf = np.frombuffer(b"\\x00".join(reads) + b"\\x00", np.uint8)
+ehi, elo, _nk = _extract_step(jnp.asarray(buf), 21)
+keys = (np.asarray(ehi).astype(np.uint64) << np.uint64(32)) | np.asarray(
+    elo
+).astype(np.uint64)
+uniq = np.unique(keys)
+uniq = uniq[uniq != np.uint64(0xFFFFFFFFFFFFFFFF)][:16]
+uniq = np.concatenate([uniq, np.asarray([12345, 67890], np.uint64)])
+qhi = (uniq >> np.uint64(32)).astype(np.uint32)
+qlo = (uniq & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+h, nd, qc = multihost.count_multihost(sys.argv[4:], k=21, block=65536,
+                                      n_bins=256, max_count=1023,
+                                      queries=(qhi, qlo))
 if jax.process_index() == 0:
-    print(json.dumps({{"nd": int(nd), "hist": [int(x) for x in h]}}))
+    print(json.dumps({{"nd": int(nd), "hist": [int(x) for x in h],
+                       "qk": [int(x) for x in uniq],
+                       "qc": [int(x) for x in qc]}}))
 """.format(repo=REPO)
 
 
@@ -80,3 +104,12 @@ def test_two_process_count_matches_single_engine(tmp_path):
     want = eng.hist(256, max_count=1023)
     assert got["nd"] == eng._n_distinct
     assert np.array_equal(np.asarray(got["hist"]), want.astype(np.int64))
+    # the distributed sort-join must agree with the single engine
+    qk = np.asarray(got["qk"], np.uint64)
+    want_qc = eng.counts_for(
+        (qk >> np.uint64(32)).astype(np.uint32),
+        (qk & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+    )
+    assert np.array_equal(np.asarray(got["qc"]), want_qc)
+    assert np.asarray(got["qc"])[:-2].sum() > 0  # present keys counted
+    assert got["qc"][-1] == 0 and got["qc"][-2] == 0  # absent keys
