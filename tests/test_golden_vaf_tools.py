@@ -230,8 +230,9 @@ def test_ed_long_reads_and_patterns(tmp_path):
         f.write("\n".join(pats) + "\n")
     fq = str(tmp_path / "r.fq")
     with open(fq, "w") as f:
-        for r in range(40):
-            L = int(rng.integers(100, 5000))
+        for r in range(20):
+            # spans the 1024 and 4096 length buckets
+            L = int(rng.integers(100, 3000))
             st = int(rng.integers(0, len(g) - L))
             f.write(f"@r{r}\n{g[st:st + L]}\n+\n{'I' * L}\n")
     from kmer_tpu.tools.ed_vaf_counter import main
