@@ -69,23 +69,17 @@ def make_mesh(devices=None, data: Optional[int] = None, shard: Optional[int] = N
 
 
 def _bucketize(keys: u.U64, valid, dest, n_dest: int, lanes: int):
-    """Scatter lanes into (n_dest, lanes) fixed send buffers, preserving
-    lane order within each destination (the linear per-prefix buffers of
-    kc-c4.c:69-83 with static shapes).  Returns buffers + overflow count."""
-    send_hi = jnp.zeros((n_dest, lanes), jnp.uint32)
-    send_lo = jnp.zeros((n_dest, lanes), jnp.uint32)
-    send_ok = jnp.zeros((n_dest, lanes), jnp.bool_)
-    n_drop = jnp.zeros((), jnp.int32)
-    for d in range(n_dest):
-        m = valid & (dest == d)
-        pos = jnp.cumsum(m.astype(jnp.int32)) - 1
-        total = jnp.sum(m.astype(jnp.int32))
-        idx = jnp.where(m & (pos < lanes), pos, lanes)
-        send_hi = send_hi.at[d, idx].set(keys.hi, mode="drop")
-        send_lo = send_lo.at[d, idx].set(keys.lo, mode="drop")
-        send_ok = send_ok.at[d, idx].set(True, mode="drop")
-        n_drop = n_drop + jnp.maximum(total - lanes, 0)
-    return send_hi, send_lo, send_ok, n_drop
+    """(n_dest, lanes) send buffers grouped by destination (the linear
+    per-prefix buffers of kc-c4.c:69-83 with static shapes).  Built on
+    the sort-based router, so the compiled program size is O(1) in
+    n_dest; within-destination lane order becomes key order, which no
+    consumer depends on (counts and histograms commute).  Returns
+    (hi, lo, ok, n_dropped)."""
+    s_hi, s_lo, n_drop = _bucketize_by_sort(keys, valid, dest, n_dest, lanes)
+    # a real key is never all-ones: hash64 output < 2^(2k) <= 2^62 for
+    # k < 32, and the k = 32 path collapses keys to 0 (kernels/kmer.py)
+    ok = ~((s_hi == jnp.uint32(0xFFFFFFFF)) & (s_lo == jnp.uint32(0xFFFFFFFF)))
+    return s_hi, s_lo, ok, n_drop
 
 
 def sharded_count_step_fn(mesh: Mesh, k: int, max_count: Optional[int],
@@ -196,25 +190,28 @@ def _bucketize_by_sort(keys: u.U64, valid, dest, n_dest: int, lanes: int,
              jnp.where(valid, keys.lo, jnp.uint32(0xFFFFFFFF))),
             num_keys=1,
         )
-    # per-destination counts + exclusive boundaries
-    one_hot = (sd[:, None] == jnp.arange(n_dest, dtype=jnp.uint32)[None, :])
-    cnt = jnp.sum(one_hot.astype(jnp.int32), axis=0)  # (n_dest,)
-    starts = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(cnt)[:-1]]
-    )
+    # per-destination boundaries by binary search on the sorted dest ids:
+    # O(n_dest log n) work and O(1) compiled program size in n_dest
+    bounds = jnp.searchsorted(
+        sd, jnp.arange(n_dest + 1, dtype=jnp.uint32)
+    ).astype(jnp.int32)
+    starts, cnt = bounds[:-1], bounds[1:] - bounds[:-1]
     pad = jnp.full((lanes,), jnp.uint32(0xFFFFFFFF))
     s_hi = jnp.concatenate([s_hi, pad])
     s_lo = jnp.concatenate([s_lo, pad])
-    rows_hi, rows_lo = [], []
     j = jnp.arange(lanes, dtype=jnp.int32)
-    for dd in range(n_dest):
-        h = jax.lax.dynamic_slice(s_hi, (starts[dd],), (lanes,))
-        l = jax.lax.dynamic_slice(s_lo, (starts[dd],), (lanes,))
-        m = j < cnt[dd]
-        rows_hi.append(jnp.where(m, h, jnp.uint32(0xFFFFFFFF)))
-        rows_lo.append(jnp.where(m, l, jnp.uint32(0xFFFFFFFF)))
+
+    def _row(start, c):
+        h = jax.lax.dynamic_slice(s_hi, (start,), (lanes,))
+        l = jax.lax.dynamic_slice(s_lo, (start,), (lanes,))
+        m = j < c
+        return (jnp.where(m, h, jnp.uint32(0xFFFFFFFF)),
+                jnp.where(m, l, jnp.uint32(0xFFFFFFFF)))
+
+    # vmapped dynamic_slice lowers to one gather: still one op at n_dest=64
+    rows_hi, rows_lo = jax.vmap(_row)(starts, cnt)
     n_drop = jnp.sum(jnp.maximum(cnt - lanes, 0))
-    return jnp.stack(rows_hi), jnp.stack(rows_lo), n_drop
+    return rows_hi, rows_lo, n_drop
 
 
 def sharded_extract_step_fn(mesh: Mesh, k: int, lanes_per_dest: int):
@@ -364,13 +361,15 @@ class ShardedSortEngine:
         # same trick as the single-chip compactor: k <= 15 keys fit one
         # u32 plane, halving every per-device sort's comparator work
         self.one_plane = 2 * k <= 31
+        self.lanes_per_dest = lanes_per_dest
         self.step = sharded_extract_step_fn(mesh, k, lanes_per_dest)
         self.budget_bytes = budget_bytes
         self.chunks = []
         self.weighted = None  # (hi, lo, cnt) compacted (D, S, L) planes
         self._bytes = 0  # per-device run bytes
         self.total_kmers = 0
-        self.total_dropped = 0
+        self.total_dropped = 0  # always 0 after add_batch (auto-retry)
+        self.total_retries = 0
 
     def reset(self) -> None:
         """Drop accumulated state, keeping compiled steps (for reuse
@@ -383,10 +382,18 @@ class ShardedSortEngine:
 
     def add_batch(self, ascii_rows) -> None:
         hi, lo, nk, nd = self.step(ascii_rows)
+        while int(nd) > 0:
+            # key skew overflowed a destination's send buffer (the
+            # reference's linear buffers realloc, kc-c4.c:78-80): double
+            # lanes_per_dest and replay this batch — routing never drops.
+            self.lanes_per_dest *= 2
+            self.total_retries += 1
+            self.step = sharded_extract_step_fn(self.mesh, self.k,
+                                                self.lanes_per_dest)
+            hi, lo, nk, nd = self.step(ascii_rows)
         self.chunks.append((hi, lo))
         self._bytes += hi.shape[2] * 8
         self.total_kmers += int(nk)
-        self.total_dropped += int(nd)
         if self._bytes > self.budget_bytes:
             self.compact()
 

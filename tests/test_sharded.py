@@ -168,6 +168,39 @@ def test_sharded_engine_compaction_preserves_hist():
     assert eng._n_distinct == want_nd
 
 
+def test_sharded_engine_overflow_auto_retries():
+    """Pathological key skew (poly-A reads: every window is the same
+    k-mer, all routed to one device) must not drop k-mers: the engine
+    doubles lanes_per_dest and replays the batch (the static-shape form
+    of the reference's buffer realloc, kc-c4.c:78-80)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from kmer_tpu.table.compactor import KmerCompactor
+    from kmer_tpu.pipeline.counter import _extract_step
+
+    mesh = sharded.make_mesh(jax.devices()[:8], data=2, shard=4)
+    k, block = 21, 2048
+    rows = [np.full(block, ord("A"), np.uint8) for _ in range(4)] + \
+           [_random_ascii(block) for _ in range(4)]
+    ascii_rows = np.stack(rows)
+
+    # 8 rows x ~2028 windows / 8 devices = ~2028 avg, but the poly-A rows
+    # concentrate ~8k identical keys on one device: 1024 lanes overflows
+    eng = sharded.ShardedSortEngine(mesh, k, lanes_per_dest=1024)
+    eng.add_batch(jnp.asarray(ascii_rows))
+    assert eng.total_retries > 0
+    assert eng.total_dropped == 0
+    got = eng.hist(256, max_count=1023)
+
+    comp = KmerCompactor()
+    for row in rows:
+        hi, lo, _nk = _extract_step(jnp.asarray(row), k)
+        comp.add_raw(hi, lo)
+    want, want_nd = comp.hist(256, max_count=1023)
+    assert np.array_equal(got, want.astype(got.dtype))
+    assert eng._n_distinct == want_nd
+
+
 @pytest.mark.parametrize("k", [21, 13])
 def test_sharded_counts_for_matches_single_device(k):
     """The distributed sort-join (replicated queries + psum) must equal
