@@ -120,8 +120,8 @@ def count_multihost(paths: Sequence[str], k: int,
 
         sys.stderr.write(
             f"[W::count_multihost] key skew overflowed the routing "
-            f"buffers {eng.total_retries}x; auto-doubled lanes_per_dest "
-            f"to {eng.lanes_per_dest} and replayed (no k-mers dropped)\n"
+            f"buffers {eng.total_retries}x; auto-doubled the send lanes "
+            f"and replayed (no k-mers dropped)\n"
         )
     h = eng.hist(n_bins, max_count=max_count, min_keep=min_keep)
     if queries is not None:

@@ -354,15 +354,19 @@ class ShardedSortEngine:
     the state device-side and reduces.  This is the distributed form of
     kmer_tpu.pipeline.counter.SortCountEngine."""
 
-    def __init__(self, mesh: Mesh, k: int, lanes_per_dest: int,
+    def __init__(self, mesh: Mesh, k: int, lanes_per_dest: Optional[int] = None,
                  budget_bytes: int = 6 << 30):
         self.mesh = mesh
         self.k = k
         # same trick as the single-chip compactor: k <= 15 keys fit one
         # u32 plane, halving every per-device sort's comparator work
         self.one_plane = 2 * k <= 31
+        self.n_dev = mesh.shape["data"] * mesh.shape["shard"]
+        # None = auto-size send buffers per batch row length; an explicit
+        # value fixes them for every shape (tests, fixed-block callers)
         self.lanes_per_dest = lanes_per_dest
-        self.step = sharded_extract_step_fn(mesh, k, lanes_per_dest)
+        self._lane_mult = {}  # row_len -> overflow-doubling multiplier
+        self._steps = {}  # lanes -> compiled extract+route step
         self.budget_bytes = budget_bytes
         self.chunks = []
         self.weighted = None  # (hi, lo, cnt) compacted (D, S, L) planes
@@ -370,6 +374,17 @@ class ShardedSortEngine:
         self.total_kmers = 0
         self.total_dropped = 0  # always 0 after add_batch (auto-retry)
         self.total_retries = 0
+
+    def _lanes_for(self, row_len: int) -> int:
+        base = self.lanes_per_dest or default_lanes_per_dest(row_len,
+                                                             self.n_dev)
+        return base * self._lane_mult.get(row_len, 1)
+
+    def _step_for(self, lanes: int):
+        if lanes not in self._steps:
+            self._steps[lanes] = sharded_extract_step_fn(self.mesh, self.k,
+                                                         lanes)
+        return self._steps[lanes]
 
     def reset(self) -> None:
         """Drop accumulated state, keeping compiled steps (for reuse
@@ -381,16 +396,16 @@ class ShardedSortEngine:
         self.total_dropped = 0
 
     def add_batch(self, ascii_rows) -> None:
-        hi, lo, nk, nd = self.step(ascii_rows)
+        row_len = ascii_rows.shape[1]
+        hi, lo, nk, nd = self._step_for(self._lanes_for(row_len))(ascii_rows)
         while int(nd) > 0:
             # key skew overflowed a destination's send buffer (the
             # reference's linear buffers realloc, kc-c4.c:78-80): double
-            # lanes_per_dest and replay this batch — routing never drops.
-            self.lanes_per_dest *= 2
+            # the lanes and replay this batch — routing never drops.
+            self._lane_mult[row_len] = 2 * self._lane_mult.get(row_len, 1)
             self.total_retries += 1
-            self.step = sharded_extract_step_fn(self.mesh, self.k,
-                                                self.lanes_per_dest)
-            hi, lo, nk, nd = self.step(ascii_rows)
+            hi, lo, nk, nd = self._step_for(
+                self._lanes_for(row_len))(ascii_rows)
         self.chunks.append((hi, lo))
         self._bytes += hi.shape[2] * 8
         self.total_kmers += int(nk)

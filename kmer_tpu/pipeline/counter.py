@@ -347,3 +347,116 @@ class SortCountEngine:
         return self.compactor.counts_for(query_hi, query_lo)
 
 
+def use_mesh() -> bool:
+    """Whether the CLI tools should count on the multi-device sharded
+    engine.  Mirrors the reference flagship engaging its parallel
+    runtime by default (/root/reference/kc-c4.c:181-191): on TPU with
+    more than one chip the mesh path is automatic.  KMER_TPU_FORCE_MESH=1
+    forces it (e.g. the 8-virtual-device CPU test mesh), =0 disables."""
+    import os
+
+    env = os.environ.get("KMER_TPU_FORCE_MESH", "").strip().lower()
+    if env in ("1", "true", "on", "yes"):
+        return True
+    if env in ("0", "false", "off", "no"):
+        return False
+    return jax.default_backend() == "tpu" and len(jax.devices()) > 1
+
+
+class MeshSortCountEngine:
+    """SortCountEngine's interface on the multi-chip sharded engine
+    (dist.sharded.ShardedSortEngine): the host reader splits each block
+    across the mesh's devices as rows of a (n_dev, row_bases) batch; the
+    device step extracts, routes every k-mer to its owning chip
+    (all_to_all over ICI), and accumulates per-device sorted state.
+
+    This is what makes the reference's default-on parallel runtime
+    (kc-c4.c:181-191, 2 pipeline + 4 worker threads) reachable from the
+    CLI tools on a multi-chip system: kc-c4's -b block splits across
+    chips the way it splits across insert workers."""
+
+    def __init__(
+        self,
+        k: int,
+        block_bases: int = 10_000_000,
+        budget_bytes: int = 6 << 30,
+        prefetch: bool = True,
+        qual_policy=None,
+    ):
+        from ..dist import sharded
+
+        self.k = k
+        self.mesh = sharded.make_mesh()
+        self.n_dev = len(self.mesh.devices.reshape(-1))
+        # the reference's -b is bases per pipeline block; one mesh batch
+        # consumes a whole block, one row per device
+        self.row_bases = max(int(block_bases) // self.n_dev, 1 << 16)
+        self.capacity = self.row_bases + 4096
+        self.prefetch = prefetch
+        self.qual_policy = qual_policy
+        self.eng = sharded.ShardedSortEngine(
+            self.mesh, k, lanes_per_dest=None, budget_bytes=budget_bytes
+        )
+        self.total_bases = 0
+        self.total_seqs = 0
+
+    @property
+    def total_kmers(self):
+        return self.eng.total_kmers
+
+    def _flush_rows(self, rows) -> None:
+        width = max(r.shape[0] for r in rows)
+        batch = np.zeros((self.n_dev, width), np.uint8)
+        for i, r in enumerate(rows):
+            batch[i, : r.shape[0]] = r
+        # zero rows (fewer blocks than devices) are all-invalid bases;
+        # jit shards the batch per the step's in_specs
+        self.eng.add_batch(jnp.asarray(batch))
+
+    def count_paths(self, paths: Sequence[str], progress=None) -> None:
+        it = _iter_packed(paths, self.k, self.row_bases, self.capacity,
+                          self.qual_policy)
+        if self.prefetch:
+            it = _prefetch(it)
+        rows = []
+        with _maybe_profile():
+            for buf, n_bases, n_seqs, _rb in it:
+                rows.append(np.asarray(buf))
+                self.total_bases += int(n_bases) - int(n_seqs)
+                self.total_seqs += int(n_seqs)
+                if len(rows) == self.n_dev:
+                    self._flush_rows(rows)
+                    rows = []
+                    if progress is not None:
+                        progress(self)
+            if rows:
+                self._flush_rows(rows)
+                if progress is not None:
+                    progress(self)
+
+    def hist(self, n_bins: int, max_count=None, min_keep: int = 1):
+        h = self.eng.hist(n_bins, max_count, min_keep)
+        self._n_distinct = self.eng._n_distinct
+        return h
+
+    def counts_for(self, query_hi, query_lo):
+        return self.eng.counts_for(query_hi, query_lo)
+
+
+def make_count_engine(
+    k: int,
+    block_bases: int = 10_000_000,
+    budget_bytes: int = 6 << 30,
+    prefetch: bool = True,
+    qual_policy=None,
+):
+    """The CLI tools' engine factory: multi-device mesh engine when the
+    system has one (see use_mesh), single-device sort engine otherwise.
+    Both produce identical histograms/counts (tests/test_tools_mesh.py)."""
+    if use_mesh():
+        return MeshSortCountEngine(k, block_bases, budget_bytes, prefetch,
+                                   qual_policy)
+    return SortCountEngine(k, block_bases, budget_bytes, prefetch,
+                           qual_policy)
+
+

@@ -13,15 +13,17 @@ usage text, and stdout format as the C/C++/Python originals):
 
 All of them print `count\tnum_distinct` rows (1..255).  The -p/-t flags
 are accepted for CLI parity; prefix-sharding and threading are handled
-by the TPU engine itself (p maps to the device mesh sharding instead of
-subtable count, t is ignored — the device is the parallelism).
+by the engine the factory picks (pipeline.counter.make_count_engine):
+on a multi-chip system k-mers route to their owning chip by hash prefix
+(the -p subtable sharding made physical, dist/sharded.py) and -t is
+moot — the mesh is the parallelism.
 """
 
 from __future__ import annotations
 
 import sys
 
-from ..pipeline.counter import SortCountEngine
+from ..pipeline.counter import make_count_engine
 from ..utils.cli import c_atoi, ketopt
 
 KC_BITS = 10  # kc-c2.c:10 / kc-c4.c:11
@@ -43,8 +45,8 @@ class _HistEngine:
     share the unsaturated engine."""
 
     def __init__(self, paths, k, block_bases=10_000_000, qual_policy=None):
-        self.eng = SortCountEngine(k=k, block_bases=block_bases,
-                                   qual_policy=qual_policy)
+        self.eng = make_count_engine(k=k, block_bases=block_bases,
+                                     qual_policy=qual_policy)
         self.eng.count_paths(paths)
 
     def hist(self, n_bins):

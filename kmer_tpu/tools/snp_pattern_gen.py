@@ -19,7 +19,7 @@ import numpy as np
 
 from ..io.fastx import FastxReader
 from ..io.formats import read_bed_snps, write_pattern_row
-from ..pipeline.counter import SortCountEngine
+from ..pipeline.counter import make_count_engine
 from ..utils.cli import c_atoi, ketopt
 from ..utils.log import minfo
 from ..utils.seq import canonical_kmer, encode_kmer, hash64_np
@@ -120,7 +120,7 @@ def main(argv=None):
     # the accumulated k-mer runs (the "count only candidates" filter of
     # snp-pattern-gen.c:162-190 falls out of querying only candidates)
     minfo("main", "Counting candidate k-mers in genome...")
-    eng = SortCountEngine(k=k)
+    eng = make_count_engine(k=k)
     eng.count_paths([fasta_fn])
     minfo("main", "Finished counting k-mers")
 

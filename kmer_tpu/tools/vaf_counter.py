@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..io.formats import read_patterns, write_vaf_file
-from ..pipeline.counter import SortCountEngine
+from ..pipeline.counter import make_count_engine
 from ..utils.cli import c_atoi, ketopt
 from ..utils.log import minfo, verbose, warn
 from ..utils.seq import canonical_kmer, encode_kmer, hash64_np
@@ -135,8 +135,8 @@ def main(argv=None):
     # with ONE global sort-join (counts_for).  Joining once at the end
     # beats a per-block join ~3x: the per-block sort pays 4 planes per
     # lane per block, the global engine 2 planes once.
-    eng = SortCountEngine(k=k, block_bases=block_size,
-                          qual_policy=("resume", k, 3))
+    eng = make_count_engine(k=k, block_bases=block_size,
+                            qual_policy=("resume", k, 3))
     for fn in pos:
         minfo("main", f"Processing {fn}...")
         t_file = time.time()

@@ -60,10 +60,10 @@ def main(argv=None):
         # bloom-FP singletons, yak-count.c:453-464), so a single
         # counting pass with a min-count filter reproduces it
         # bit-identically — and reads the input once instead of twice.
-        from ..pipeline.counter import SortCountEngine
+        from ..pipeline.counter import make_count_engine
 
-        eng_s = SortCountEngine(k=k, block_bases=chunk,
-                                qual_policy=("resume", k, 3))
+        eng_s = make_count_engine(k=k, block_bases=chunk,
+                                  qual_policy=("resume", k, 3))
         try:
             eng_s.count_paths([pos[0]])
         except OSError:

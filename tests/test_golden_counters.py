@@ -129,6 +129,17 @@ def test_py1_counter_parity(capsys):
     assert capsys.readouterr().out == want
 
 
+# every golden case runs twice: single-device engine and the 8-virtual-
+# device mesh engine through the same CLI entry point (the reference's
+# parallel runtime is on by default, kc-c4.c:181-191 — ours must be
+# reachable and bit-identical from the product surface too)
+@pytest.fixture(params=["single", "mesh"])
+def engine_mode(request, monkeypatch):
+    monkeypatch.setenv("KMER_TPU_FORCE_MESH",
+                       "1" if request.param == "mesh" else "0")
+    return request.param
+
+
 @pytest.mark.parametrize(
     "tool,args",
     [
@@ -155,7 +166,7 @@ def test_py1_counter_parity(capsys):
         ]),
     ],
 )
-def test_counter_parity(refbin, capsys, tool, args):
+def test_counter_parity(refbin, capsys, engine_mode, tool, args):
     want = run_ref(refbin, tool, args)
     got = run_ours(tool, args, capsys)
     assert got == want

@@ -57,7 +57,17 @@ def _read(path):
         return f.read()
 
 
-def test_full_pipeline_parity(refbin, tmp_path):
+# the pipeline's count-engine consumers (snp-pattern-gen's genome scan,
+# vaf-counter's read counting) run on both the single-device engine and
+# the 8-virtual-device mesh through the CLI entry points
+@pytest.fixture(params=["single", "mesh"])
+def engine_mode(request, monkeypatch):
+    monkeypatch.setenv("KMER_TPU_FORCE_MESH",
+                       "1" if request.param == "mesh" else "0")
+    return request.param
+
+
+def test_full_pipeline_parity(refbin, tmp_path, engine_mode):
     d = str(tmp_path)
 
     # step 1: snp-pattern-gen
