@@ -1,20 +1,24 @@
 #!/usr/bin/env python3
-"""Headline benchmark: canonical 31-mer counting throughput (kc-c4 config).
+"""Benchmarks.  Prints one JSON line per metric, headline first:
+{"metric", "value", "unit", "vs_baseline"}.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+1. Headline: canonical 31-mer counting, device path (kc-c4 config) —
+   pre-staged device blocks, excludes host ingest and jit compile.
+   Baseline: kc-c4 counts ~500 Mbases in 7.5 s elapsed on 2x EPYC 7301
+   (/root/reference/README.md:258) ~= 66.7 Mbases/s.
+2. End-to-end: the same counting job from a gzipped FASTQ file on disk
+   through the native reader + 2-bit packed host->device ingest — the
+   honest comparison against the reference's elapsed time, which also
+   includes disk + gzip (only jit compile excluded; the warm run's file
+   IO is re-done in the timed run).  Same baseline.
+3. vaf-counter: ~21k-SNP pattern file against the same reads
+   (/root/reference/EXAMPLE.md:314 gives 30-50 Mbases/s and 20-30
+   M k-mers/s "depending on CPU"; baselines = the top of each range).
 
-Baseline: kc-c4 counts 2.5M read pairs (~500 Mbases) in 7.5 s elapsed on
-2x EPYC 7301 (README.md:258) ~= 66.7 Mbases/s.  vs_baseline is our
-Mbases/s divided by that.
-
-Method: synthetic 150bp reads (~10x coverage of a 24 Mbase genome with
-0.5% errors, mirroring the baseline dataset's k-mer spectrum shape) are
-pre-packed into fixed device blocks; we time the full device path —
-encode -> canonical k-mer extraction -> hash64 -> sort-based count
-compaction -> 256-bin count histogram — end to end, excluding only
-synthetic-data generation and jit compilation (the reference's elapsed
-time similarly excludes compiler time; its gzip ingest overlaps compute
-via kt_pipeline just as our prefetch thread does).
+Inputs are generated once into bench_data/ (host-side numpy, cached
+across runs) so driver wall time is not gated by setup; the device
+block staging for metric 1 happens on device (uploading ~400 MB through
+this box's TPU tunnel is slow and wildly variable).
 
 Primitive measurements that shaped the design (TPU v5e, 8M elements):
   2-key sort 28ms, cumsum 9ms, one-hot-matmul hist 10ms — vs gather
@@ -22,6 +26,7 @@ Primitive measurements that shaped the design (TPU v5e, 8M elements):
 """
 
 import json
+import os
 import sys
 import time
 
@@ -37,17 +42,31 @@ K = 31
 BLOCK = 8 * 1024 * 1024  # bases per device block
 N_BLOCKS = 48  # ~384 Mbases
 BASELINE_MBASES_S = 500.0 / 7.5  # kc-c4, README.md:258
+VAF_BASELINE_MBASES_S = 50.0  # EXAMPLE.md:314 upper end
+VAF_BASELINE_MKMERS_S = 30.0
 READ_LEN = 150
 GENOME_MB = 24
+FILE_MBASES = 256  # end-to-end FASTQ size
+N_SNPS = 21_000  # matches the NGSCheckMate panel scale (SNP/*.bed)
+DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "bench_data")
 
 
-def make_blocks(rng):
+def emit(metric, value, baseline, unit="Mbases/s"):
+    print(json.dumps({
+        "metric": metric,
+        "value": round(value, 2),
+        "unit": unit,
+        "vs_baseline": round(value / baseline, 2),
+    }), flush=True)
+
+
+def make_blocks():
     """Reads sampled from a synthetic genome so counts have structure.
 
     Generated ON DEVICE (jax PRNG + gather) — uploading ~400 MB of host
     blocks through this box's TPU tunnel is slow and its bandwidth
     varies wildly, which must not gate the measured section's setup."""
-    del rng
     reads_per_block = BLOCK // (READ_LEN + 1)
     genome = jax.random.randint(
         jax.random.key(1), (GENOME_MB * 1 << 20,), 0, 4, dtype=jnp.uint8
@@ -75,9 +94,82 @@ def make_blocks(rng):
     return [gen_block(k) for k in keys]
 
 
-def main():
+def _host_genome():
+    rng = np.random.default_rng(1)
+    return rng.integers(0, 4, GENOME_MB * 1 << 20, dtype=np.uint8)
+
+
+def ensure_reads_file():
+    """Synthetic gzipped FASTQ on disk (cached): FILE_MBASES of 150bp
+    reads sampled with 0.5% errors from the host-side synthetic genome."""
+    path = os.path.join(DATA_DIR, f"reads_{FILE_MBASES}M_{READ_LEN}bp.fq.gz")
+    if os.path.exists(path):
+        return path
+    os.makedirs(DATA_DIR, exist_ok=True)
     t0 = time.time()
-    blocks = make_blocks(None)
+    import zlib
+
+    genome = _host_genome()
+    acgt = np.frombuffer(b"ACGT", np.uint8)
+    n_reads = FILE_MBASES * 1_000_000 // READ_LEN
+    rng = np.random.default_rng(7)
+    qual = b"I" * READ_LEN
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        comp = zlib.compressobj(1, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+        chunk = 100_000
+        for off in range(0, n_reads, chunk):
+            n = min(chunk, n_reads - off)
+            starts = rng.integers(0, genome.shape[0] - READ_LEN, n)
+            idx = starts[:, None] + np.arange(READ_LEN)[None, :]
+            codes = genome[idx]
+            err = rng.random(codes.shape) < 0.005
+            codes = np.where(err, rng.integers(0, 4, codes.shape), codes)
+            seqs = acgt[codes]
+            parts = []
+            for i in range(n):
+                parts.append(b"@r%d\n%s\n+\n%s\n"
+                             % (off + i, seqs[i].tobytes(), qual))
+            f.write(comp.compress(b"".join(parts)))
+        f.write(comp.flush())
+    os.replace(tmp, path)
+    sys.stderr.write(f"[bench] wrote {path} in {time.time() - t0:.1f}s\n")
+    return path
+
+
+def ensure_pattern_file(k=21):
+    """Synthetic 8-column SNP pattern file (cached): N_SNPS sites on the
+    synthetic genome, ref k-mer from the genome, alt = center substituted
+    (the snp-pattern-gen output format, snp-pattern-gen.c:351-353)."""
+    path = os.path.join(DATA_DIR, f"patterns_{N_SNPS}_k{k}.txt")
+    if os.path.exists(path):
+        return path
+    os.makedirs(DATA_DIR, exist_ok=True)
+    genome = _host_genome()
+    acgt = "ACGT"
+    flank = k // 2
+    rng = np.random.default_rng(13)
+    pos = np.sort(rng.choice(
+        np.arange(flank + 1, genome.shape[0] - flank - 1, 64), N_SNPS,
+        replace=False,
+    ))
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        for i, p in enumerate(pos):
+            window = genome[p - flank : p + flank + 1]
+            ref = acgt[window[flank]]
+            alt = acgt[(window[flank] + 1 + rng.integers(0, 3)) % 4]
+            ref_kmer = "".join(acgt[c] for c in window)
+            alt_kmer = ref_kmer[:flank] + alt + ref_kmer[flank + 1:]
+            f.write(f"chr1\t{p}\t{p + 1}\trs{i}\t{ref}\t{alt}\t"
+                    f"{ref_kmer}\t{alt_kmer}\n")
+    os.replace(tmp, path)
+    return path
+
+
+def bench_device_path():
+    t0 = time.time()
+    blocks = make_blocks()
     _ = np.asarray(blocks[-1][:1])  # real sync (block_until_ready is a
     gen_s = time.time() - t0        # no-op through the tunnel)
 
@@ -103,19 +195,91 @@ def main():
 
     mbases = N_BLOCKS * BLOCK / 1e6
     value = mbases / elapsed
-    result = {
-        "metric": "kc-c4 canonical 31-mer counting throughput (1 chip)",
-        "value": round(value, 2),
-        "unit": "Mbases/s",
-        "vs_baseline": round(value / BASELINE_MBASES_S, 2),
-    }
-    print(json.dumps(result))
+    emit("kc-c4 canonical 31-mer counting throughput (1 chip)",
+         value, BASELINE_MBASES_S)
     sys.stderr.write(
-        f"[bench] {mbases:.0f} Mbases in {elapsed:.2f}s "
+        f"[bench] device path: {mbases:.0f} Mbases in {elapsed:.2f}s "
         f"({value:.1f} Mb/s); {n_distinct} distinct k-mers; "
         f"warmup/compile {warm_s:.1f}s; gen {gen_s:.1f}s; "
         f"device={jax.devices()[0].device_kind}\n"
     )
+
+
+def bench_end_to_end(reads_path):
+    """The full kc-c4 job from the gzipped file on disk: native reader,
+    2-bit packed upload, device counting, histogram.  Run twice; the
+    first run compiles, the second is timed (its file IO is re-done)."""
+    from kmer_tpu.pipeline.counter import SortCountEngine
+
+    def run_once():
+        eng = SortCountEngine(k=K, block_bases=10_000_000,
+                              qual_policy=("resume", K, 3))
+        eng.count_paths([reads_path])
+        h = eng.hist(256, max_count=1023)
+        return eng, h
+
+    t0 = time.time()
+    eng, _ = run_once()
+    warm_s = time.time() - t0
+    t0 = time.time()
+    eng, h = run_once()
+    elapsed = time.time() - t0
+    mbases = eng.total_bases / 1e6
+    value = mbases / elapsed
+    emit("kc-c4 end-to-end throughput from gzipped FASTQ (1 chip)",
+         value, BASELINE_MBASES_S)
+    sys.stderr.write(
+        f"[bench] end-to-end: {mbases:.0f} Mbases in {elapsed:.2f}s "
+        f"({value:.1f} Mb/s); warm run {warm_s:.1f}s; "
+        f"{eng._n_distinct} distinct\n"
+    )
+
+
+def bench_vaf(reads_path, k=21):
+    """The vaf-counter counting section (BASELINE config 4): stream the
+    reads, then resolve every pattern k-mer with the global sort-join —
+    the reference's own -v "K-mer counting" stage timing
+    (vaf-counter.c:686-732), compile excluded via a warm run."""
+    from kmer_tpu.io.formats import read_patterns
+    from kmer_tpu.pipeline.counter import SortCountEngine
+    from kmer_tpu.tools.vaf_counter import create_combined_kmer_map
+
+    patterns = read_patterns(ensure_pattern_file(k))
+    phi, plo, _pval, n_entries = create_combined_kmer_map(patterns, k)
+    qhi, qlo = np.asarray(phi)[:n_entries], np.asarray(plo)[:n_entries]
+
+    def run_once():
+        eng = SortCountEngine(k=k, block_bases=10_000_000,
+                              qual_policy=("resume", k, 3))
+        eng.count_paths([reads_path])
+        qc = eng.counts_for(qhi, qlo)
+        return eng, qc
+
+    t0 = time.time()
+    run_once()
+    warm_s = time.time() - t0
+    t0 = time.time()
+    eng, qc = run_once()
+    elapsed = time.time() - t0
+    mbases = eng.total_bases / 1e6
+    value = mbases / elapsed
+    mkmers = eng.total_kmers / 1e6 / elapsed
+    emit("vaf-counter counting throughput (1 chip)", value,
+         VAF_BASELINE_MBASES_S)
+    emit("vaf-counter k-mer throughput (1 chip)", mkmers,
+         VAF_BASELINE_MKMERS_S, unit="M k-mers/s")
+    sys.stderr.write(
+        f"[bench] vaf: {mbases:.0f} Mbases in {elapsed:.2f}s "
+        f"({value:.1f} Mb/s, {mkmers:.1f} Mk/s); warm {warm_s:.1f}s; "
+        f"{int((qc > 0).sum())}/{len(qc)} pattern k-mers hit\n"
+    )
+
+
+def main():
+    bench_device_path()
+    reads = ensure_reads_file()
+    bench_end_to_end(reads)
+    bench_vaf(reads)
 
 
 if __name__ == "__main__":

@@ -124,6 +124,106 @@ def main():
 
 
 
+def _ensure_cpp_oracles():
+    for name in ("kc-cpp1", "kc-cpp2"):
+        out = os.path.join(REFBIN, name)
+        if not os.path.exists(out):
+            subprocess.run(
+                ["g++", "-O2", "-std=c++11", "-include", "limits", "-o", out,
+                 f"/root/reference/{name}.cpp", "-I/root/reference", "-lz"],
+                check=True,
+            )
+
+
+def _dirty_fastx(rng, fastq: bool, min_len: int) -> bytes:
+    """Adversarial input for the raw-string baselines: lowercase and
+    junk characters stay in keys, FASTQ parses as line-FASTA.  Records
+    are either empty or >= min_len bases so the C++ originals' short-seq
+    size_t-underflow abort (kc-cpp1.cpp:14) never triggers — that path
+    is a reproduced-crash divergence, not a comparable output."""
+    alpha = list("ACGTacgtNnRYxUu-")
+    probs = np.array([12, 12, 12, 12, 4, 4, 4, 4, 3, 2, 1, 1, 1, 1, 1, 1],
+                     float)
+    probs /= probs.sum()
+    out = io.StringIO()
+    for i in range(int(rng.integers(1, 40))):
+        ln = 0 if rng.random() < 0.05 else int(rng.integers(min_len, 300))
+        seq = "".join(rng.choice(alpha, size=ln, p=probs))
+        if fastq:
+            # quality bytes avoid '>' (a quality line starting '>' is a
+            # legal header to these line-based parsers — both sides
+            # agree, but it can split off a short record -> C++ abort)
+            qual = "".join(
+                chr(c) for c in rng.integers(63, 74, ln)
+            )
+            out.write(f"@r{i} c\n{seq}\n+\n{qual}\n")
+        else:
+            out.write(f">r{i} desc\n")
+            w = int(rng.integers(1, 80))
+            for off in range(0, max(ln, 1), w):
+                out.write(seq[off : off + w] + "\n")
+    data = out.getvalue()
+    if rng.random() < 0.3 and data.endswith("\n"):
+        data = data[:-1]  # kc-py1 drops the last char of the final line
+    return data.encode()
+
+
+def fuzz_raw(rounds=10, seed=0):
+    """Parity fuzz for the raw-string-keyed baselines (kc-py1, kc-cpp1,
+    kc-cpp2) on dirty input vs the originals."""
+    _ensure_cpp_oracles()
+    import contextlib
+
+    from kmer_tpu.tools import get_tool
+
+    fails = 0
+    for t in range(rounds):
+        rng = np.random.default_rng(seed + 1000 * t)
+        fastq = bool(rng.integers(0, 2))
+        data = _dirty_fastx(rng, fastq, min_len=31)
+        with tempfile.NamedTemporaryFile(suffix=".fa", delete=False) as tf:
+            tf.write(data)
+            path = tf.name
+        k = int(rng.choice([1, 5, 21, 31]))
+        bad = None
+        try:
+            for tool in ("kc-cpp1", "kc-cpp2"):
+                want = run_ref(tool, [f"-k{k}", path])
+                got = run_ours(tool, [f"-k{k}", path])
+                if got != want:
+                    bad = tool
+                    break
+            if bad is None:
+                want = subprocess.run(
+                    [sys.executable, "/root/reference/kc-py1.py"],
+                    input=data, capture_output=True, check=True,
+                ).stdout
+                old = sys.stdin
+                sys.stdin = io.TextIOWrapper(io.BytesIO(data))
+                try:
+                    buf = io.StringIO()
+                    with contextlib.redirect_stdout(buf):
+                        rc = get_tool("kc-py1")([])
+                    assert not rc
+                finally:
+                    sys.stdin = old
+                if buf.getvalue().encode() != want:
+                    bad = "kc-py1"
+            if bad is not None:
+                fails += 1
+                keep = f"/tmp/fuzz_raw_fail_{t}.fa"
+                os.replace(path, keep)
+                print(f"[FAIL] raw round {t} {bad} k={k}; input at {keep}")
+            else:
+                print(f"[ok] raw round {t} k={k} fastq={fastq} "
+                      f"({len(data)} bytes)")
+        finally:
+            if os.path.exists(path):
+                os.unlink(path)
+    print(f"raw done: {rounds - fails}/{rounds} clean")
+    return fails
+
+
 def fuzz_pipeline(rounds=5, seed=0):
     """Randomized full-pipeline parity: genome+BED -> snp-pattern-gen ->
     vaf-counter -> correlation-matrix -> match-classifier, diffed
@@ -460,6 +560,11 @@ if __name__ == "__main__":
         rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 10
         seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
         sys.exit(1 if fuzz_vcf(rounds, seed) else 0)
+    if "--raw" in sys.argv:
+        sys.argv.remove("--raw")
+        rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+        seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+        sys.exit(1 if fuzz_raw(rounds, seed) else 0)
     if "--pipeline" in sys.argv:
         sys.argv.remove("--pipeline")
         rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 5

@@ -103,6 +103,57 @@ def test_cpp_counter_parity(refbin_cpp, capsys, tool):
         os.unlink(path)
 
 
+_DIRTY = (
+    b">r1 desc\nacgtACGTnNxRy-acgtACGTacgtACGTacgtACGT\nACGTacgt\n"
+    b">empty\n"
+    b">r2\n" + b"CGTAcgtaNNNNcgtaCGTAcgtaCGTAcgtaCGTA" * 3 + b"\n"
+    b"@fastq_as_fasta\nACGTACGTACGTACGTACGTACGTACGTACGTACGT\n"
+    b"+\nIIIIIIIIIIIIIIIIIIIIIIIIIIIIIIIIIIII"  # no trailing newline
+)
+
+
+@pytest.mark.parametrize("tool", ["kc-cpp1", "kc-cpp2"])
+@pytest.mark.parametrize("k", [5, 31])
+def test_cpp_counter_dirty_input_parity(refbin_cpp, capsys, tool, k):
+    """Raw-string semantics on non-clean input: lowercase-as-distinct
+    keys, junk characters in keys, FASTQ-as-line-FASTA, missing final
+    newline — byte-identical to the C++ originals (kc-cpp1.cpp:11-43)."""
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".fa", delete=False) as tf:
+        tf.write(_DIRTY)
+        path = tf.name
+    try:
+        want = run_ref(refbin_cpp, tool, [f"-k{k}", path])
+        got = run_ours(tool, [f"-k{k}", path], capsys)
+        assert got == want
+    finally:
+        os.unlink(path)
+
+
+def test_py1_counter_dirty_input_parity(capsys):
+    """kc-py1 quirks on non-clean stdin: only the FINAL record is
+    uppercased, the last char of the final line is dropped when the
+    newline is missing (kc-py1.py:27-34)."""
+    import io
+
+    r = subprocess.run(
+        [sys.executable, "/root/reference/kc-py1.py"],
+        input=_DIRTY, capture_output=True, check=True,
+    )
+    want = r.stdout.decode()
+    from kmer_tpu.tools import get_tool
+
+    old = sys.stdin
+    sys.stdin = io.TextIOWrapper(io.BytesIO(_DIRTY))
+    try:
+        rc = get_tool("kc-py1")([])
+    finally:
+        sys.stdin = old
+    assert not rc
+    assert capsys.readouterr().out == want
+
+
 def test_py1_counter_parity(capsys):
     """kc-py1: fixed k=31, FASTA from stdin (kc-py1.py:45)."""
     import gzip
