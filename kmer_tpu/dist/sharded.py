@@ -518,6 +518,116 @@ def sharded_counts_for_fn(mesh: Mesh, weighted: bool, one_plane: bool = False):
     return jax.jit(fn)
 
 
+_TABLE_SPEC = (
+    P("data", "shard", None),
+    P("data", "shard", None),
+    P("data", "shard", None),
+    P("data", "shard", None),
+    P("data", "shard"),
+)
+
+
+def _local_table(table_planes):
+    state, key_hi, key_lo, cnt, n_full = table_planes
+    return ct.CountTable(state[0, 0], key_hi[0, 0], key_lo[0, 0],
+                         cnt[0, 0], n_full[0, 0])
+
+
+def _pack_table(local: ct.CountTable):
+    return (
+        local.state[None, None],
+        local.key_hi[None, None],
+        local.key_lo[None, None],
+        local.cnt[None, None],
+        local.n_full[None, None],
+    )
+
+
+def sharded_yak_ingest_fn(mesh: Mesh, spec, create_new: bool,
+                          use_bloom: bool, max_count: int):
+    """Jitted per-device bloom-gate + table-insert over routed owned
+    chunks — the distributed yak_ch_insert_list (yak-count.c:150-177).
+    Each device holds the bloom subtables and hash slots of the key
+    prefixes it owns (spec.owner_bits partitioning), so gating and
+    insertion are chip-local and conflict-free; only n_new is summed."""
+    from ..kernels import bloom as bl
+
+    def per_device(table_planes, bits, hi, lo):
+        local = _local_table(table_planes)
+        h, l = hi[0, 0], lo[0, 0]
+        valid = ~((h == jnp.uint32(0xFFFFFFFF))
+                  & (l == jnp.uint32(0xFFFFFFFF)))
+        kmer = u.U64(h, l)
+        b = bits[0, 0]
+        if create_new:
+            if use_bloom:
+                b, preset = bl.insert(b, kmer, valid, spec)
+                local, n_new = ct.insert_gated(local, kmer, valid, preset,
+                                               max_count)
+            else:
+                local, n_new = ct.insert(local, kmer, valid, max_count)
+        else:
+            local = ct.add_existing(local, kmer, valid, max_count)
+            n_new = jnp.zeros((), jnp.int32)
+        n_new_tot = jax.lax.psum(jax.lax.psum(n_new, "shard"), "data")
+        return _pack_table(local), b[None, None], n_new_tot
+
+    chunk_spec = P("data", "shard", None)
+    fn = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(_TABLE_SPEC, chunk_spec, chunk_spec, chunk_spec),
+        out_specs=(_TABLE_SPEC, chunk_spec, P()),
+        check_vma=False,
+    )
+    return jax.jit(fn, donate_argnums=(0, 1))
+
+
+def sharded_clear_fn(mesh: Mesh):
+    """Per-device count zeroing (yak_ch_clear, yak-count.c:190-204)."""
+
+    def per_device(table_planes):
+        return _pack_table(ct.clear_counts(_local_table(table_planes)))
+
+    fn = shard_map(per_device, mesh=mesh, in_specs=(_TABLE_SPEC,),
+                   out_specs=_TABLE_SPEC, check_vma=False)
+    return jax.jit(fn, donate_argnums=(0,))
+
+
+def sharded_rebuild_fn(mesh: Mesh, new_capacity: int, min_count: int = 0,
+                       max_count=None):
+    """Per-device rebuild into fresh tables of new_capacity keeping
+    counts in [min_count, max_count] — the distributed yak_ch_shrink
+    (yak-count.c:243-277) and the growth rehash (khashl.h:152-195)."""
+
+    def per_device(table_planes):
+        return _pack_table(
+            ct.rebuild(_local_table(table_planes), new_capacity,
+                       min_count, max_count)
+        )
+
+    fn = shard_map(per_device, mesh=mesh, in_specs=(_TABLE_SPEC,),
+                   out_specs=_TABLE_SPEC, check_vma=False)
+    return jax.jit(fn, donate_argnums=(0,))
+
+
+def sharded_chunk_valid_counts_fn(mesh: Mesh):
+    """Per-device count of non-sentinel lanes in a routed chunk, shaped
+    (D, S) — the pre-insert sizing input (a batch can at worst create
+    one key per valid lane, so the table must have that much headroom
+    for the probe loop to terminate; see pipeline.yak._maybe_grow)."""
+
+    def per_device(hi, lo):
+        valid = ~((hi[0, 0] == jnp.uint32(0xFFFFFFFF))
+                  & (lo[0, 0] == jnp.uint32(0xFFFFFFFF)))
+        return jnp.sum(valid.astype(jnp.int32))[None, None]
+
+    spec = P("data", "shard", None)
+    fn = shard_map(per_device, mesh=mesh, in_specs=(spec, spec),
+                   out_specs=P("data", "shard"), check_vma=False)
+    return jax.jit(fn)
+
+
 def make_sharded_tables(mesh: Mesh, cap_local: int):
     """Allocate (D, S, cap_local) table planes with the mesh sharding."""
     d, s = mesh.shape["data"], mesh.shape["shard"]

@@ -39,13 +39,21 @@ class BloomSpec(NamedTuple):
     pre: int  # prefix bits (subtable count = 2^pre)
     n_shift: int  # total bloom size = 2^n_shift bits across all subtables
     n_hashes: int
+    # multi-chip partitioning: a device owning keys with
+    # lo & (n_dev - 1) == d holds only the 2^(pre - owner_bits) subtable
+    # blooms whose prefix is congruent to d; probe VALUES per key are
+    # identical to the owner_bits=0 layout (the low owner_bits of the
+    # prefix index are constant on a device and drop out of the base),
+    # so sharding never changes which keys a bloom admits.
+    owner_bits: int = 0
 
 
 def make_bits(spec: BloomSpec) -> jnp.ndarray:
-    total_bits = 1 << spec.n_shift
+    total_bits = 1 << (spec.n_shift - spec.owner_bits)
     assert spec.n_shift <= 31, "single-shard bloom limited to 2^31 bits"
     local_shift = spec.n_shift - spec.pre
     assert BLK_SHIFT <= local_shift, "bloom smaller than one block per subtable"
+    assert spec.owner_bits <= spec.pre
     return jnp.zeros((total_bits,), jnp.uint8)
 
 
@@ -53,7 +61,7 @@ def _probe_indices(keys: u.U64, spec: BloomSpec):
     """Global byte-per-bit indices of the n_hashes probes for each lane."""
     local_shift = spec.n_shift - spec.pre  # per-subtable bloom bits
     xs = local_shift - BLK_SHIFT  # block index bits
-    pre_idx = keys.lo & jnp.uint32((1 << spec.pre) - 1)
+    pre_idx = (keys.lo & jnp.uint32((1 << spec.pre) - 1)) >> spec.owner_bits
     x = u.shr(keys, spec.pre)
     blk = u.shr(x, 0).lo & jnp.uint32((1 << xs) - 1) if xs < 32 else x.lo
     h1 = (u.shr(x, xs).lo & jnp.uint32(BLK_MASK)).astype(jnp.int32)

@@ -130,6 +130,17 @@ def _iter_packed2(paths, k: int, block_bases: int, capacity: int,
         yield packed, mask, n, n_seqs, rb
 
 
+@jax.jit
+def _issue_transfer(x):
+    """Force a fresh host array's H2D transfer to issue NOW, in the
+    calling thread: on the tunneled TPU jnp.asarray uploads lazily at
+    first use, which would otherwise serialize the copy with the main
+    thread's dispatch (measured 63.9 -> ~90 Mb/s end to end on the
+    256 Mbase bench).  Dispatching any tiny op is enough; the result is
+    discarded asynchronously."""
+    return x[:8].astype(jnp.uint32).sum()
+
+
 def _to_device_ascii(item):
     """Upload a block inside the prefetch thread so the host->device
     transfer overlaps the previous block's dispatch/compute (the P1
@@ -137,12 +148,17 @@ def _to_device_ascii(item):
     allocated per block, so the zero-copy-alias hazard (CLAUDE.md) does
     not apply."""
     buf, n, ns, rb = item
-    return jnp.asarray(buf), n, ns, rb
+    buf = jnp.asarray(buf)
+    _issue_transfer(buf)
+    return buf, n, ns, rb
 
 
 def _to_device_packed(item):
     p, m, n, ns, rb = item
-    return jnp.asarray(p), jnp.asarray(m), n, ns, rb
+    p, m = jnp.asarray(p), jnp.asarray(m)
+    _issue_transfer(p)
+    _issue_transfer(m)
+    return p, m, n, ns, rb
 
 
 class _maybe_profile:

@@ -191,8 +191,174 @@ class YakEngine:
         return np.asarray(ct.hist(self.table, YAK_N_COUNTS))
 
 
+class MeshYakEngine:
+    """YakEngine on the device mesh: the bloom-gated two-pass flow with
+    every structure partitioned by key ownership (the same hash-prefix
+    routing as dist.sharded.ShardedSortEngine).  Each chip holds the
+    bloom subtables and hash slots of the prefixes it owns, so
+    yak_ch_insert_list's gate + insert (yak-count.c:150-177) runs
+    chip-local after one all_to_all; clear/shrink/hist are per-chip maps
+    with psum'd reductions (yak-count.c:190-277).  Bloom probe VALUES
+    are identical to the single-chip layout (BloomSpec.owner_bits), so
+    admission — observable in two-file mode — is unchanged."""
+
+    def __init__(
+        self,
+        k: int = 31,
+        pre: int = 10,
+        bf_shift: int = 0,
+        bf_n_hash: int = 4,
+        chunk_size: int = 10_000_000,
+        init_capacity: int = 1 << 16,
+        prefetch: bool = True,
+        log=None,
+    ):
+        from ..dist import sharded
+
+        self.k = k
+        self.pre = pre
+        self.bf_shift = bf_shift
+        self.bf_n_hash = bf_n_hash
+        self.prefetch = prefetch
+        self.log = log
+        self.mesh = sharded.make_mesh()
+        self.n_dev = int(np.prod(list(self.mesh.shape.values())))
+        self.owner_bits = self.n_dev.bit_length() - 1
+        self.row_bases = max(int(chunk_size) // self.n_dev, 1 << 16)
+        self.capacity_block = self.row_bases + 4096
+        self.cap_local = init_capacity
+        self.tables = sharded.make_sharded_tables(self.mesh, init_capacity)
+        self.use_bloom = (
+            bf_n_hash > 0
+            and bf_shift > pre
+            and (bf_shift - pre) >= BLK_SHIFT
+            and pre >= self.owner_bits
+        )
+        if self.use_bloom:
+            self.spec = bloom.BloomSpec(pre, bf_shift, bf_n_hash,
+                                        self.owner_bits)
+            local = bloom.make_bits(self.spec)
+            d, s = self.mesh.shape["data"], self.mesh.shape["shard"]
+            self.bits = jnp.zeros((d, s, local.shape[0]), jnp.uint8)
+        else:
+            self.spec = None
+            d, s = self.mesh.shape["data"], self.mesh.shape["shard"]
+            self.bits = jnp.zeros((d, s, 8), jnp.uint8)
+        self.tot = 0
+        self._route = sharded.ShardedSortEngine(self.mesh, k)  # routing only
+        self._valid_counts = sharded.sharded_chunk_valid_counts_fn(self.mesh)
+        self._ingest_cache = {}
+
+    def _ingest_fn(self, create_new: bool):
+        from ..dist import sharded
+
+        key = (create_new, self.use_bloom, self.cap_local,
+               self.bits.shape[2])
+        if key not in self._ingest_cache:
+            self._ingest_cache[key] = sharded.sharded_yak_ingest_fn(
+                self.mesh, self.spec, create_new, self.use_bloom,
+                YAK_MAX_COUNT,
+            )
+        return self._ingest_cache[key]
+
+    def _maybe_grow(self, incoming: int):
+        """Pre-size every device's table so the worst-case batch fits
+        (liveness: see YakEngine._maybe_grow).  All devices share one
+        static capacity = grown to the most loaded device's need."""
+        from ..dist import sharded
+
+        n_full = int(np.max(np.asarray(self.tables[4])))
+        cap = self.cap_local
+        while n_full + incoming > GROW_LOAD * cap:
+            cap *= 2
+        if cap != self.cap_local:
+            self.tables = sharded.sharded_rebuild_fn(self.mesh, cap)(
+                self.tables
+            )
+            self.cap_local = cap
+
+    def count(self, paths: Sequence[str], create_new: bool) -> None:
+        policy = ("resume", self.k, 3)
+        it = _iter_packed(paths, self.k, self.row_bases,
+                          self.capacity_block, policy)
+        if self.prefetch:
+            it = _prefetch(it)
+        rows, n_seqs = [], 0
+        for buf, _nb, ns, _rb in it:
+            rows.append(np.asarray(buf))
+            n_seqs += int(ns)
+            if len(rows) == self.n_dev:
+                self._step(rows, n_seqs, create_new)
+                rows, n_seqs = [], 0
+        if rows:
+            self._step(rows, n_seqs, create_new)
+
+    def _step(self, rows, n_seqs: int, create_new: bool) -> None:
+        width = max(r.shape[0] for r in rows)
+        batch = np.zeros((self.n_dev, width), np.uint8)
+        for i, r in enumerate(rows):
+            batch[i, : r.shape[0]] = r
+        eng = self._route
+        row_len = batch.shape[1]
+        hi, lo, _nk, nd = eng._step_for(eng._lanes_for(row_len))(
+            jnp.asarray(batch)
+        )
+        while int(nd) > 0:
+            eng._lane_mult[row_len] = 2 * eng._lane_mult.get(row_len, 1)
+            hi, lo, _nk, nd = eng._step_for(eng._lanes_for(row_len))(
+                jnp.asarray(batch)
+            )
+        if create_new:
+            incoming = int(np.max(np.asarray(self._valid_counts(hi, lo))))
+            self._maybe_grow(incoming)
+        self.tables, self.bits, n_new = self._ingest_fn(create_new)(
+            self.tables, self.bits, hi, lo
+        )
+        if create_new:
+            self.tot += int(n_new)
+        if self.log is not None:
+            self.log(n_seqs, self.tot)
+
+    def destroy_bloom(self):
+        self.use_bloom = False
+        self.spec = None
+        d, s = self.mesh.shape["data"], self.mesh.shape["shard"]
+        self.bits = jnp.zeros((d, s, 8), jnp.uint8)
+        self._ingest_cache = {}
+
+    def clear(self):
+        from ..dist import sharded
+
+        self.tables = sharded.sharded_clear_fn(self.mesh)(self.tables)
+
+    def shrink(self, min_count: int, max_count: int):
+        from ..dist import sharded
+
+        self.tables = sharded.sharded_rebuild_fn(
+            self.mesh, self.cap_local, min_count, max_count
+        )(self.tables)
+        self.tot = int(np.sum(np.asarray(self.tables[4])))
+
+    def hist(self) -> np.ndarray:
+        from ..dist import sharded
+
+        return np.asarray(
+            sharded.sharded_hist_fn(self.mesh, YAK_N_COUNTS)(self.tables)
+        )
+
+
+def make_yak_engine(**kw):
+    """YakEngine on one device, MeshYakEngine when the system has a
+    multi-device mesh (same gate as pipeline.counter.make_count_engine)."""
+    from .counter import use_mesh
+
+    if use_mesh():
+        return MeshYakEngine(**kw)
+    return YakEngine(**kw)
+
+
 def yak_count_file(
-    fn1: str, fn2: Optional[str], opt: "YakEngine"
+    fn1: str, fn2: Optional[str], opt
 ) -> "YakEngine":
     """The yak_count_file flow (yak-count.c:453-464)."""
     opt.count([fn1], create_new=True)

@@ -8,7 +8,7 @@ from ..pipeline.yak import (
     YAK_COUNTER_BITS,
     YAK_MAX_COUNT,
     YAK_N_COUNTS,
-    YakEngine,
+    make_yak_engine,
     yak_count_file,
 )
 from ..utils.cli import c_atoi, ketopt
@@ -87,7 +87,7 @@ def main(argv=None):
                 f"[M] processed {n_seqs} sequences; {tot} distinct k-mers in the hash table\n"
             )
 
-        eng = YakEngine(
+        eng = make_yak_engine(
             k=k, pre=pre, bf_shift=bf_shift, bf_n_hash=bf_n_hash,
             chunk_size=chunk, log=log,
         )

@@ -111,6 +111,36 @@ def test_sharded_cross_row_duplicates():
     assert int(n_new) == int(t.n_full)
 
 
+def test_mesh_yak_two_pass_matches_single_device(tmp_path):
+    """The distributed yak two-pass (per-device bloom gating + clear +
+    recount + shrink) must reproduce the single-device YakEngine exactly
+    — including bloom admission, which is observable in two-file mode
+    (pass 2 counts fn2 only over fn1's admitted keys)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import gzip
+
+    from kmer_tpu.pipeline.yak import (
+        MeshYakEngine, YakEngine, yak_count_file,
+    )
+
+    rng = np.random.default_rng(5)
+    paths = []
+    for name in ("f1", "f2"):
+        p = str(tmp_path / f"{name}.fa.gz")
+        with gzip.open(p, "wb") as f:
+            for i in range(300):
+                s = _random_ascii(120).tobytes().replace(b"\0", b"A")
+                f.write(b">r%d\n%s\n" % (i, s))
+        paths.append(p)
+
+    kw = dict(k=21, pre=10, bf_shift=14, bf_n_hash=4, chunk_size=1 << 14)
+    single = yak_count_file(paths[0], paths[1], YakEngine(**kw))
+    mesh = yak_count_file(paths[0], paths[1], MeshYakEngine(**kw))
+    assert np.array_equal(mesh.hist(), single.hist())
+    assert mesh.tot == single.tot
+
+
 def test_multihost_single_process_path():
     """count_multihost degrades to the local sharded engine in a
     single-process run; histogram must match the single-device sort
