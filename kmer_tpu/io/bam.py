@@ -304,12 +304,21 @@ class SamTextReader:
 
 
 def open_alignment(path: str):
-    """BamReader for BAM (BGZF magic), SamTextReader for SAM text."""
+    """BamReader for BAM (BGZF magic), CramReader for CRAM, SamTextReader
+    for SAM text — the sam_open() format sniff (bam-vaf-counter.c:24 gets
+    all three transparently from htslib)."""
+    import os
+
     with open(path, "rb") as f:
-        magic = f.read(2)
-    if magic == b"\x1f\x8b":
+        magic = f.read(4)
+    if magic[:2] == b"\x1f\x8b":
         try:
             return BamReader(path)
         except ValueError:
             return SamTextReader(path)  # gzipped SAM text
+    if magic == b"CRAM":
+        from .cram import CramReader
+
+        return CramReader(path,
+                          reference=os.environ.get("KMER_TPU_CRAM_REF"))
     return SamTextReader(path)

@@ -152,7 +152,15 @@ class YakEngine:
             if packed_mode:
                 packed, mask, _n_bases, n_seqs, row_bytes = item
                 rb = row_bytes if row_bytes and row_bytes > self.k else None
-                hi, lo, _nk = _extract_step_packed(packed, mask, self.k, rb)
+                if mask is None:
+                    from .counter import _extract_step_packed_structural
+
+                    hi, lo, _nk = _extract_step_packed_structural(
+                        packed, jnp.uint32(_n_bases), self.k, rb
+                    )
+                else:
+                    hi, lo, _nk = _extract_step_packed(packed, mask,
+                                                       self.k, rb)
             else:
                 buf, _n_bases, n_seqs, row_bytes = item
                 if row_bytes and row_bytes > self.k:

@@ -392,6 +392,21 @@ def _gen_sam_case(rng, d):
             f.write(f"r{ri}\t{flag}\tchr1\t{pos+1}\t60\t{cigar_s}\t*\t0\t0\t{seq}\t*\n")
 
 
+def _ensure_sam2cram(path) -> bool:
+    if os.path.exists(path):
+        return True
+    if not os.path.exists("/tmp/htslib_build/libhts.a"):
+        return False
+    r = subprocess.run(
+        ["gcc", "-O2", "-o", path,
+         os.path.join(REPO, "scripts", "sam2cram.c"),
+         "-I/tmp/htslib_build", "/tmp/htslib_build/libhts.a",
+         "-lz", "-lpthread", "-lm"],
+        capture_output=True,
+    )
+    return r.returncode == 0
+
+
 def fuzz_sam(rounds=10, seed=0, bam=False):
     """Randomized alignment parity for bam-vaf-counter.
 
@@ -442,6 +457,31 @@ def fuzz_sam(rounds=10, seed=0, bam=False):
                 finally:
                     del os.environ["KMER_TPU_NO_NATIVE"]
                 outs.append(f"{d}/tpu_py.vaf")
+                # CRAM leg: BAM -> CRAM via htslib, then reference vs
+                # our CramReader (io/cram.py), both sequential (no
+                # .crai) so their outputs are directly comparable —
+                # stresses feature decode over random S/I/D/N CIGARs,
+                # substitutions, N bases, and unmapped verbatim reads
+                conv = os.path.join(REFBIN, "sam2cram")
+                if _ensure_sam2cram(conv):
+                    cram = f"{d}/a.cram"
+                    subprocess.run([conv, aln, f"{d}/g.fa", cram],
+                                   capture_output=True, check=True)
+                    subprocess.run(
+                        [os.path.join(REFBIN, "bam-vaf-counter"),
+                         "-p", f"{d}/p.txt", "-o", f"{d}/refc.vaf", cram],
+                        capture_output=True, check=True)
+                    with contextlib.redirect_stdout(io.StringIO()):
+                        rc = get_tool("bam-vaf-counter")(
+                            ["-p", f"{d}/p.txt", "-o", f"{d}/tpuc.vaf",
+                             cram])
+                    assert not rc
+                    if open(f"{d}/tpuc.vaf").read() != open(
+                            f"{d}/refc.vaf").read():
+                        fails += 1
+                        print(f"[FAIL] cram round {t}")
+                        os.system(f"cp {d}/a.sam /tmp/fuzz_cram_fail_{t}.sam")
+                        continue
             want = open(f"{d}/ref.vaf").read()
             bad = [o for o in outs if open(o).read() != want]
             if bad:

@@ -1,0 +1,39 @@
+/* Test-support converter: SAM/BAM -> CRAM via htslib, used only to
+ * build CRAM golden fixtures/oracles (the framework's own CRAM reader
+ * is kmer_tpu/io/cram.py).  Build (see .claude/skills/verify/SKILL.md
+ * for the htslib static lib):
+ *   gcc -O2 -o tests/refbin/sam2cram scripts/sam2cram.c \
+ *       -I/tmp/hts_inc /tmp/htslib_build/libhts.a -lz -lpthread -lm
+ * Usage: sam2cram <in.bam> <ref.fa> <out.cram> [nthreads]
+ */
+#include <stdio.h>
+#include <stdlib.h>
+#include "htslib/sam.h"
+#include "htslib/hts.h"
+
+int main(int argc, char **argv)
+{
+    if (argc < 4) {
+        fprintf(stderr, "Usage: sam2cram <in.bam> <ref.fa> <out.cram>\n");
+        return 1;
+    }
+    samFile *in = sam_open(argv[1], "r");
+    if (!in) { perror("open in"); return 1; }
+    sam_hdr_t *hdr = sam_hdr_read(in);
+    samFile *out = sam_open(argv[3], "wc");
+    if (!out) { perror("open out"); return 1; }
+    if (hts_set_fai_filename(out, argv[2]) != 0) {
+        fprintf(stderr, "failed to set reference %s\n", argv[2]);
+        return 1;
+    }
+    if (sam_hdr_write(out, hdr) != 0) return 1;
+    bam1_t *b = bam_init1();
+    int r;
+    while ((r = sam_read1(in, hdr, b)) >= 0)
+        if (sam_write1(out, hdr, b) < 0) return 1;
+    bam_destroy1(b);
+    if (sam_close(out) != 0) return 1;
+    sam_close(in);
+    sam_hdr_destroy(hdr);
+    return r == -1 ? 0 : 1;
+}

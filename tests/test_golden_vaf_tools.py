@@ -247,3 +247,70 @@ def test_ed_long_reads_and_patterns(tmp_path):
             ["-p", pat, "-o", str(tmp_path / "tpu.vaf"), "-e", str(e), fq]
         )
         assert _read(tmp_path / "tpu.vaf") == _read(tmp_path / "ref.vaf"), e
+
+
+@pytest.fixture(scope="module")
+def cram_fixture(tmp_path_factory):
+    """BAM -> CRAM via htslib (scripts/sam2cram.c against the
+    /tmp/htslib_build static lib, per .claude/skills/verify/SKILL.md);
+    the uncompressed reference sits next to it so both the htslib
+    oracle and our reader resolve it from the @SQ UR field."""
+    import gzip
+
+    conv = os.path.join(REFBIN, "sam2cram")
+    if not os.path.exists(conv):
+        if not os.path.exists("/tmp/htslib_build/libhts.a"):
+            pytest.skip("htslib build not present (see verify skill)")
+        r = subprocess.run(
+            ["gcc", "-O2", "-o", conv,
+             os.path.join(REPO, "scripts", "sam2cram.c"),
+             "-I/tmp/htslib_build", "/tmp/htslib_build/libhts.a",
+             "-lz", "-lpthread", "-lm"],
+            capture_output=True,
+        )
+        if r.returncode != 0:
+            pytest.skip(f"cannot build sam2cram: {r.stderr.decode()}")
+    d = tmp_path_factory.mktemp("cram")
+    ref_fa = str(d / "genome.fa")
+    with gzip.open(GENOME, "rb") as fin, open(ref_fa, "wb") as fout:
+        fout.write(fin.read())
+    cram = str(d / "sampleA.cram")
+    subprocess.run(
+        [conv, os.path.join(FIXTURES, "sampleA_aln.bam"), ref_fa, cram],
+        capture_output=True, check=True,
+    )
+    return cram
+
+
+def test_cram_records_match_bam(cram_fixture):
+    """Every decoded CRAM record must equal its BAM original: flags,
+    tid, pos, CIGAR, and the full reference-reconstructed sequence
+    (substitution matrix + feature list, kmer_tpu/io/cram.py)."""
+    from kmer_tpu.io.bam import open_alignment
+    from kmer_tpu.io.cram import CramReader
+
+    bam = open_alignment(os.path.join(FIXTURES, "sampleA_aln.bam"))
+    cram = CramReader(cram_fixture)
+    n = 0
+    for b, c in zip(bam.records(), cram.records()):
+        assert (b.flag, b.tid, b.pos, b.l_seq) == (c.flag, c.tid, c.pos, c.l_seq)
+        assert list(b.cigar) == list(c.cigar)
+        assert all(b.base_at(j) == c.base_at(j) for j in range(b.l_seq))
+        n += 1
+    assert n == sum(1 for _ in open_alignment(
+        os.path.join(FIXTURES, "sampleA_aln.bam")).records())
+
+
+def test_cram_vaf_parity(patterns, cram_fixture, tmp_path):
+    """bam-vaf-counter on CRAM input, byte-identical to the htslib-backed
+    reference on the same CRAM (bam-vaf-counter.c:24 via htslib cram/)."""
+    ref = _need("bam-vaf-counter")
+    d = str(tmp_path)
+    subprocess.run(
+        [ref, "-p", patterns, "-o", f"{d}/ref.vaf", cram_fixture],
+        capture_output=True, check=True,
+    )
+    from kmer_tpu.tools.bam_vaf_counter import main
+
+    assert not main(["-p", patterns, "-o", f"{d}/tpu.vaf", cram_fixture])
+    assert _read(f"{d}/tpu.vaf") == _read(f"{d}/ref.vaf")

@@ -111,3 +111,40 @@ def test_packed_ingest_engine_equivalence(monkeypatch):
     assert (e1.total_bases, e1.total_seqs, e1.total_kmers) == (
         e2.total_bases, e2.total_seqs, e2.total_kmers
     )
+
+
+def test_structural_mask_elision(monkeypatch, tmp_path):
+    """Uniform clean reads skip the mask transfer entirely (rebuilt on
+    device from n + row_bytes); a single N base forces the mask back.
+    Histograms must match the ASCII path either way."""
+    import gzip
+
+    import numpy as np
+
+    from kmer_tpu.pipeline.counter import SortCountEngine, _iter_packed2
+
+    rng = np.random.default_rng(3)
+    clean = str(tmp_path / "clean.fq.gz")
+    dirty = str(tmp_path / "dirty.fq.gz")
+    for path, with_n in ((clean, False), (dirty, True)):
+        with gzip.open(path, "wb") as f:
+            for i in range(500):
+                s = rng.choice(list(b"ACGT"), 120).astype(np.uint8)
+                if with_n and i == 250:
+                    s[60] = ord("N")
+                f.write(b"@r%d\n%s\n+\n%s\n" % (i, s.tobytes(), b"I" * 120))
+    k = 21
+    masks = {p: [m is None for _, m, _, _, _ in
+                 _iter_packed2([p], k, 1 << 16, (1 << 16) + 4096)]
+             for p in (clean, dirty)}
+    assert all(masks[clean]) and not any(masks[dirty])
+    for path in (clean, dirty):
+        monkeypatch.setenv("KMER_TPU_PACKED", "1")
+        e1 = SortCountEngine(k=k, block_bases=1 << 16)
+        e1.count_paths([path])
+        h1 = e1.hist(256)
+        monkeypatch.setenv("KMER_TPU_PACKED", "0")
+        e2 = SortCountEngine(k=k, block_bases=1 << 16)
+        e2.count_paths([path])
+        assert np.array_equal(h1, e2.hist(256)), path
+        assert e1.total_kmers == e2.total_kmers
