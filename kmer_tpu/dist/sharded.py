@@ -443,6 +443,43 @@ class ShardedSortEngine:
         self.chunks = []
         self._bytes = size * 12
 
+    def save_checkpoint(self, path: str) -> None:
+        """Per-device compacted (key, count) planes as arrays (npz) —
+        the multi-chip checkpoint analog (SURVEY.md §5).  Restoring
+        requires the same mesh shape (keys stay with their owners)."""
+        import os
+
+        self.compact()
+        if self.weighted is None:  # empty stream
+            d, s = self.mesh.shape["data"], self.mesh.shape["shard"]
+            w = (np.full((d, s, 1), 0xFFFFFFFF, np.uint32),) * 2 + (
+                np.zeros((d, s, 1), np.uint32),
+            )
+        else:
+            w = tuple(np.asarray(p) for p in self.weighted)
+        tmp = path + ".tmp.npz"
+        np.savez_compressed(
+            tmp, hi=w[0], lo=w[1], cnt=w[2],
+            meta=np.asarray(
+                [self.k, self.total_kmers, self.total_dropped], np.int64
+            ),
+        )
+        os.replace(tmp, path)
+
+    def restore_checkpoint(self, path: str) -> None:
+        z = np.load(path)
+        assert int(z["meta"][0]) == self.k, "checkpoint k mismatch"
+        assert z["hi"].shape[:2] == (
+            self.mesh.shape["data"], self.mesh.shape["shard"],
+        ), "checkpoint mesh shape mismatch"
+        self.reset()
+        self.weighted = (
+            jnp.asarray(z["hi"]), jnp.asarray(z["lo"]), jnp.asarray(z["cnt"])
+        )
+        self._bytes = z["hi"].shape[2] * 12
+        self.total_kmers = int(z["meta"][1])
+        self.total_dropped = int(z["meta"][2])
+
     def counts_for(self, query_hi, query_lo):
         """Total multiplicity of each query key (0 if absent), in query
         order — the distributed analog of KmerCompactor.counts_for."""

@@ -408,6 +408,50 @@ class SortCountEngine:
     def counts_for(self, query_hi, query_lo):
         return self.compactor.counts_for(query_hi, query_lo)
 
+    def save_checkpoint(self, path: str) -> None:
+        """Dump the device count state as arrays (npz) — the
+        checkpoint/resume analog of SURVEY.md §5 (the reference's only
+        checkpoints are its inter-tool files).  The stream folds to one
+        (key, count) run first, so the file holds exactly the distinct
+        keys seen; a killed run resumes from the last saved input
+        boundary with resume_checkpoint."""
+        self.compactor.compact()
+        if self.compactor.runs:
+            hi, lo, cnt = self.compactor.runs[0]
+            hi, lo, cnt = np.asarray(hi), np.asarray(lo), np.asarray(cnt)
+        else:
+            hi = lo = np.zeros(0, np.uint32)
+            cnt = np.zeros(0, np.uint32)
+        import os
+
+        tmp = path + ".tmp.npz"  # atomic publish: write-then-rename
+        np.savez_compressed(
+            tmp, hi=hi, lo=lo, cnt=cnt,
+            meta=np.asarray(
+                [self.k, self.total_bases, self.total_seqs,
+                 self.total_kmers], np.int64,
+            ),
+        )
+        os.replace(tmp, path)
+
+    @classmethod
+    def resume_checkpoint(cls, path: str, **kw) -> "SortCountEngine":
+        """Rebuild an engine from save_checkpoint output; counting can
+        continue over the remaining inputs and the final histogram is
+        identical to an uninterrupted run."""
+        from ..kernels import u64 as u
+
+        z = np.load(path)
+        k, tb, ts, tk = (int(x) for x in z["meta"])
+        eng = cls(k=k, **kw)
+        if z["hi"].size:
+            eng.compactor.add_counted(
+                u.U64(jnp.asarray(z["hi"]), jnp.asarray(z["lo"])),
+                jnp.asarray(z["cnt"]),
+            )
+        eng.total_bases, eng.total_seqs, eng.total_kmers = tb, ts, tk
+        return eng
+
 
 def use_mesh() -> bool:
     """Whether the CLI tools should count on the multi-device sharded

@@ -198,6 +198,47 @@ class YakEngine:
     def hist(self) -> np.ndarray:
         return np.asarray(ct.hist(self.table, YAK_N_COUNTS))
 
+    def save_checkpoint(self, path: str) -> None:
+        """Device hash table + bloom bits as arrays (npz; SURVEY.md §5
+        checkpoint analog) — e.g. between the two passes of the yak
+        flow, so a killed pass 2 resumes without redoing pass 1."""
+        import os
+
+        t = self.table
+        tmp = path + ".tmp.npz"
+        np.savez_compressed(
+            tmp,
+            state=np.asarray(t.state), key_hi=np.asarray(t.key_hi),
+            key_lo=np.asarray(t.key_lo), cnt=np.asarray(t.cnt),
+            bits=np.asarray(self.bits),
+            meta=np.asarray(
+                [self.k, self.pre, self.bf_shift, self.bf_n_hash,
+                 int(t.n_full), self.tot, int(self.use_bloom),
+                 self.chunk_size], np.int64,
+            ),
+        )
+        os.replace(tmp, path)
+
+    @classmethod
+    def resume_checkpoint(cls, path: str, log=None) -> "YakEngine":
+        z = np.load(path)
+        k, pre, bfs, bfh, n_full, tot, use_bloom, chunk = (
+            int(x) for x in z["meta"]
+        )
+        eng = cls(k=k, pre=pre, bf_shift=bfs, bf_n_hash=bfh,
+                  chunk_size=chunk, log=log)
+        eng.table = ct.CountTable(
+            jnp.asarray(z["state"]), jnp.asarray(z["key_hi"]),
+            jnp.asarray(z["key_lo"]), jnp.asarray(z["cnt"]),
+            jnp.asarray(np.int32(n_full)),
+        )
+        eng.tot = tot
+        if use_bloom:
+            eng.bits = jnp.asarray(z["bits"])
+        else:
+            eng.destroy_bloom()
+        return eng
+
 
 class MeshYakEngine:
     """YakEngine on the device mesh: the bloom-gated two-pass flow with
