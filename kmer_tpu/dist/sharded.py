@@ -214,7 +214,8 @@ def _bucketize_by_sort(keys: u.U64, valid, dest, n_dest: int, lanes: int,
     return rows_hi, rows_lo, n_drop
 
 
-def sharded_extract_step_fn(mesh: Mesh, k: int, lanes_per_dest: int):
+def sharded_extract_step_fn(mesh: Mesh, k: int, lanes_per_dest: int,
+                            row_bytes: Optional[int] = None):
     """Build the jitted extract+route step of the sort-based multi-chip
     engine (the production counting path; see module docstring).
 
@@ -226,11 +227,19 @@ def sharded_extract_step_fn(mesh: Mesh, k: int, lanes_per_dest: int):
 
     For k <= 15 (keys < 2^31) the hi plane is all-zero except sentinels:
     it is dropped from the routing sort AND from the all_to_all (half
-    the ICI bytes), then synthesized from lo on the receiving device."""
+    the ICI bytes), then synthesized from lo on the receiving device.
+
+    row_bytes (uniform reads, every read exactly row_bytes = L+1 ASCII
+    bytes): the only possibly-valid lanes are window ends at in-row
+    offsets k-1..L-1, so the guaranteed-invalid ~k/row_bytes fraction is
+    sliced off before the routing sort and the all_to_all (~20% fewer
+    lanes and ICI bytes for 150 bp reads at k=31) — the mesh form of
+    pipeline.counter._extract_step_rows."""
     n_dev = mesh.shape["data"] * mesh.shape["shard"]
     one_plane = 2 * k <= 31
 
     def per_device(ascii_row):
+        n_in = ascii_row.shape[1]
         if jax.default_backend() == "tpu" and k < 32:
             # the fused Pallas extraction (kernels/extract_tpu.py); pad
             # to its tile quantum — zero bytes are invalid bases
@@ -241,15 +250,23 @@ def sharded_extract_step_fn(mesh: Mesh, k: int, lanes_per_dest: int):
             if pad:
                 row = jnp.concatenate([row, jnp.zeros((pad,), jnp.uint8)])
             e_hi, e_lo, _nk = extract_hashed_tpu(row, k, tile_rows=512)
-            kmer = u.U64(e_hi, e_lo)
-            valid = ~(
-                (e_hi == jnp.uint32(0xFFFFFFFF))
-                & (e_lo == jnp.uint32(0xFFFFFFFF))
-            )
         else:
             codes = encode_bases(ascii_row[0])
             out = extract_canonical(codes, k, apply_hash64=True)
-            kmer, valid = out.kmer, out.valid
+            e_hi = jnp.where(out.valid, out.kmer.hi, jnp.uint32(0xFFFFFFFF))
+            e_lo = jnp.where(out.valid, out.kmer.lo, jnp.uint32(0xFFFFFFFF))
+        if row_bytes and row_bytes > k:
+            n_rows = n_in // row_bytes
+            span = n_rows * row_bytes
+            e_hi = e_hi[:span].reshape(n_rows, row_bytes)[
+                :, k - 1 : row_bytes - 1].reshape(-1)
+            e_lo = e_lo[:span].reshape(n_rows, row_bytes)[
+                :, k - 1 : row_bytes - 1].reshape(-1)
+        kmer = u.U64(e_hi, e_lo)
+        valid = ~(
+            (e_hi == jnp.uint32(0xFFFFFFFF))
+            & (e_lo == jnp.uint32(0xFFFFFFFF))
+        )
         dest = (kmer.lo & jnp.uint32(n_dev - 1)).astype(jnp.int32)
         s_hi, s_lo, n_drop = _bucketize_by_sort(
             kmer, valid, dest, n_dev, lanes_per_dest, one_plane
@@ -380,11 +397,12 @@ class ShardedSortEngine:
                                                              self.n_dev)
         return base * self._lane_mult.get(row_len, 1)
 
-    def _step_for(self, lanes: int):
-        if lanes not in self._steps:
-            self._steps[lanes] = sharded_extract_step_fn(self.mesh, self.k,
-                                                         lanes)
-        return self._steps[lanes]
+    def _step_for(self, lanes: int, row_bytes: Optional[int] = None):
+        key = (lanes, row_bytes)
+        if key not in self._steps:
+            self._steps[key] = sharded_extract_step_fn(self.mesh, self.k,
+                                                       lanes, row_bytes)
+        return self._steps[key]
 
     def reset(self) -> None:
         """Drop accumulated state, keeping compiled steps (for reuse
@@ -395,9 +413,11 @@ class ShardedSortEngine:
         self.total_kmers = 0
         self.total_dropped = 0
 
-    def add_batch(self, ascii_rows) -> None:
+    def add_batch(self, ascii_rows, row_bytes: Optional[int] = None) -> None:
+        rb = row_bytes if row_bytes and row_bytes > self.k else None
         row_len = ascii_rows.shape[1]
-        hi, lo, nk, nd = self._step_for(self._lanes_for(row_len))(ascii_rows)
+        hi, lo, nk, nd = self._step_for(self._lanes_for(row_len),
+                                        rb)(ascii_rows)
         while int(nd) > 0:
             # key skew overflowed a destination's send buffer (the
             # reference's linear buffers realloc, kc-c4.c:78-80): double
@@ -405,7 +425,7 @@ class ShardedSortEngine:
             self._lane_mult[row_len] = 2 * self._lane_mult.get(row_len, 1)
             self.total_retries += 1
             hi, lo, nk, nd = self._step_for(
-                self._lanes_for(row_len))(ascii_rows)
+                self._lanes_for(row_len), rb)(ascii_rows)
         self.chunks.append((hi, lo))
         self._bytes += hi.shape[2] * 8
         self.total_kmers += int(nk)

@@ -510,33 +510,37 @@ class MeshSortCountEngine:
     def total_kmers(self):
         return self.eng.total_kmers
 
-    def _flush_rows(self, rows) -> None:
+    def _flush_rows(self, rows, rbs) -> None:
         width = max(r.shape[0] for r in rows)
         batch = np.zeros((self.n_dev, width), np.uint8)
         for i, r in enumerate(rows):
             batch[i, : r.shape[0]] = r
-        # zero rows (fewer blocks than devices) are all-invalid bases;
+        # uniform-read row slicing applies only when every row in the
+        # batch shares one row stride (zero pad-rows slice to sentinels
+        # either way); see dist.sharded.sharded_extract_step_fn
+        rb = rbs[0] if len(set(rbs)) == 1 else None
         # jit shards the batch per the step's in_specs
-        self.eng.add_batch(jnp.asarray(batch))
+        self.eng.add_batch(jnp.asarray(batch), row_bytes=rb)
 
     def count_paths(self, paths: Sequence[str], progress=None) -> None:
         it = _iter_packed(paths, self.k, self.row_bases, self.capacity,
                           self.qual_policy)
         if self.prefetch:
             it = _prefetch(it)
-        rows = []
+        rows, rbs = [], []
         with _maybe_profile():
-            for buf, n_bases, n_seqs, _rb in it:
+            for buf, n_bases, n_seqs, rb in it:
                 rows.append(np.asarray(buf))
+                rbs.append(rb)
                 self.total_bases += int(n_bases) - int(n_seqs)
                 self.total_seqs += int(n_seqs)
                 if len(rows) == self.n_dev:
-                    self._flush_rows(rows)
-                    rows = []
+                    self._flush_rows(rows, rbs)
+                    rows, rbs = [], []
                     if progress is not None:
                         progress(self)
             if rows:
-                self._flush_rows(rows)
+                self._flush_rows(rows, rbs)
                 if progress is not None:
                     progress(self)
 

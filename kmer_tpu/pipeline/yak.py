@@ -332,29 +332,32 @@ class MeshYakEngine:
                           self.capacity_block, policy)
         if self.prefetch:
             it = _prefetch(it)
-        rows, n_seqs = [], 0
-        for buf, _nb, ns, _rb in it:
+        rows, rbs, n_seqs = [], [], 0
+        for buf, _nb, ns, rb in it:
             rows.append(np.asarray(buf))
+            rbs.append(rb)
             n_seqs += int(ns)
             if len(rows) == self.n_dev:
-                self._step(rows, n_seqs, create_new)
-                rows, n_seqs = [], 0
+                self._step(rows, rbs, n_seqs, create_new)
+                rows, rbs, n_seqs = [], [], 0
         if rows:
-            self._step(rows, n_seqs, create_new)
+            self._step(rows, rbs, n_seqs, create_new)
 
-    def _step(self, rows, n_seqs: int, create_new: bool) -> None:
+    def _step(self, rows, rbs, n_seqs: int, create_new: bool) -> None:
         width = max(r.shape[0] for r in rows)
         batch = np.zeros((self.n_dev, width), np.uint8)
         for i, r in enumerate(rows):
             batch[i, : r.shape[0]] = r
+        rb = rbs[0] if len(set(rbs)) == 1 else None
+        rb = rb if rb and rb > self.k else None
         eng = self._route
         row_len = batch.shape[1]
-        hi, lo, _nk, nd = eng._step_for(eng._lanes_for(row_len))(
+        hi, lo, _nk, nd = eng._step_for(eng._lanes_for(row_len), rb)(
             jnp.asarray(batch)
         )
         while int(nd) > 0:
             eng._lane_mult[row_len] = 2 * eng._lane_mult.get(row_len, 1)
-            hi, lo, _nk, nd = eng._step_for(eng._lanes_for(row_len))(
+            hi, lo, _nk, nd = eng._step_for(eng._lanes_for(row_len), rb)(
                 jnp.asarray(batch)
             )
         if create_new:

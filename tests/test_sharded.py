@@ -111,6 +111,32 @@ def test_sharded_cross_row_duplicates():
     assert int(n_new) == int(t.n_full)
 
 
+def test_sharded_uniform_row_slicing_matches():
+    """row_bytes slicing (drop guaranteed-invalid per-read window lanes
+    before the routing sort + all_to_all) must not change the
+    histogram."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = sharded.make_mesh(jax.devices()[:8], data=2, shard=4)
+    k, L = 21, 97
+    rng = np.random.default_rng(17)
+    ascii_rows = rng.choice(np.frombuffer(b"ACGTN", np.uint8), (8, 2048),
+                            p=[0.24, 0.24, 0.24, 0.24, 0.04])
+    ascii_rows[:, L :: L + 1] = 0  # uniform L-base reads + NUL separators
+    span = (2048 // (L + 1)) * (L + 1)
+    ascii_rows[:, span:] = 0  # the packer stores whole rows only
+
+    e1 = sharded.ShardedSortEngine(mesh, k, lanes_per_dest=2048)
+    e1.add_batch(jnp.asarray(ascii_rows), row_bytes=L + 1)
+    h1 = e1.hist(256, max_count=1023)
+    e2 = sharded.ShardedSortEngine(mesh, k, lanes_per_dest=2048)
+    e2.add_batch(jnp.asarray(ascii_rows))
+    h2 = e2.hist(256, max_count=1023)
+    assert np.array_equal(h1, h2)
+    assert e1._n_distinct == e2._n_distinct
+    assert e1.total_kmers == e2.total_kmers
+
+
 def test_mesh_yak_two_pass_matches_single_device(tmp_path):
     """The distributed yak two-pass (per-device bloom gating + clear +
     recount + shrink) must reproduce the single-device YakEngine exactly
