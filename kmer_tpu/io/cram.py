@@ -158,7 +158,14 @@ def _rans_sym_lookup(freq, cum):
 
 def rans_decode(data: bytes, out_size: int) -> bytes:
     """rANS 4x8 decode (htslib rANS_static.c byte stream: order byte,
-    compressed size u32, uncompressed size u32, then table + streams)."""
+    compressed size u32, uncompressed size u32, then table + streams).
+    Uses the native decoder (io/native/cram_rans.cpp) when buildable;
+    this pure-Python twin is the fallback and the reference for tests."""
+    from . import native
+
+    nat = native.rans_decode_native(data, out_size)
+    if nat is not None:
+        return nat
     c = Cursor(data)
     order = c.u8()
     c.take(8)  # in/out sizes (trusted from the block header)

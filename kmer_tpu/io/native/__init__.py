@@ -18,6 +18,7 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRCS = [
     os.path.join(_HERE, "fastx_reader.cpp"),
     os.path.join(_HERE, "bam_count.cpp"),
+    os.path.join(_HERE, "cram_rans.cpp"),
 ]
 _SO = os.path.join(_HERE, "libkmerio.so")
 _lock = threading.Lock()
@@ -91,6 +92,13 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.ktp_rans_decode.restype = ctypes.c_int32
+        lib.ktp_rans_decode.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
         ]
         lib.ktp_bam_count.restype = ctypes.c_int64
         lib.ktp_bam_count.argtypes = [
@@ -198,6 +206,25 @@ def bam_count_native(path, tids, starts, refs, alts):
     if rc < 0:
         return None
     return ref_counts, alt_counts
+
+
+def rans_decode_native(data: bytes, out_size: int):
+    """Native rANS 4x8 decode (cram_rans.cpp); None when the native
+    layer is unavailable or the stream is malformed — the caller
+    (io/cram.py) falls back to the pure-Python decoder."""
+    if not available():
+        return None
+    lib = _load()
+    src = np.frombuffer(data, np.uint8)
+    out = np.empty(out_size, np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    rc = lib.ktp_rans_decode(
+        src.ctypes.data_as(u8p), len(data),
+        out.ctypes.data_as(u8p), out_size,
+    )
+    if rc != 0:
+        return None
+    return out.tobytes()
 
 
 def iter_packed_native(

@@ -282,10 +282,15 @@ def cram_fixture(tmp_path_factory):
     return cram
 
 
-def test_cram_records_match_bam(cram_fixture):
+@pytest.mark.parametrize("native", ["native", "python"])
+def test_cram_records_match_bam(cram_fixture, monkeypatch, native):
     """Every decoded CRAM record must equal its BAM original: flags,
     tid, pos, CIGAR, and the full reference-reconstructed sequence
-    (substitution matrix + feature list, kmer_tpu/io/cram.py)."""
+    (substitution matrix + feature list, kmer_tpu/io/cram.py) — through
+    both the native rANS decoder (io/native/cram_rans.cpp) and its
+    pure-Python twin."""
+    if native == "python":
+        monkeypatch.setenv("KMER_TPU_NO_NATIVE", "1")
     from kmer_tpu.io.bam import open_alignment
     from kmer_tpu.io.cram import CramReader
 
