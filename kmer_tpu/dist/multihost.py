@@ -54,18 +54,120 @@ def shard_files(paths: Sequence[str], process_index: Optional[int] = None,
 
 
 def _local_batches(paths: Sequence[str], k: int, block: int,
-                   n_local_rows: int) -> Iterator[np.ndarray]:
-    """Pack this host's files into (n_local_rows, block) uint8 batches."""
-    rows = []
-    for buf, _nb, _ns, _rb in _iter_packed(paths, k, block, block):
+                   n_local_rows: int, qual_policy=None):
+    """Pack this host's files into (n_local_rows, block) uint8 batches;
+    yields (rows, n_bases, n_seqs, row_bytes_if_uniform)."""
+    rows, rbs, nb, ns = [], [], 0, 0
+    for buf, b_nb, b_ns, rb in _iter_packed(paths, k, block, block,
+                                            qual_policy):
         b = buf if buf.shape[0] == block else np.pad(buf, (0, block - buf.shape[0]))
         rows.append(b)
+        rbs.append(rb)
+        nb += int(b_nb) - int(b_ns)
+        ns += int(b_ns)
         if len(rows) == n_local_rows:
-            yield np.stack(rows)
-            rows = []
+            yield (np.stack(rows), nb, ns,
+                   rbs[0] if len(set(rbs)) == 1 else None)
+            rows, rbs, nb, ns = [], [], 0, 0
     if rows:
         pad = [np.zeros(block, np.uint8)] * (n_local_rows - len(rows))
-        yield np.stack(rows + pad)
+        yield (np.stack(rows + pad), nb, ns,
+               rbs[0] if len(set(rbs)) == 1 else None)
+
+
+class MultihostSortEngine:
+    """The local engines' interface (count_paths / hist / counts_for /
+    totals) across every device of every host.  EVERY method is a
+    collective: the CLI runs SPMD on all hosts, so each process calls
+    the same methods in the same order (files shard round-robin per
+    host, exhausted hosts contribute all-zero blocks, histograms and
+    joins psum; see module docstring).  Output emission is gated to
+    process 0 by the tools (utils.log.is_primary)."""
+
+    def __init__(self, k: int, block_bases: int = 10_000_000,
+                 budget_bytes: int = 6 << 30, prefetch: bool = True,
+                 qual_policy=None,
+                 lanes_per_dest: Optional[int] = None):
+        self.k = k
+        self.mesh = sharded.make_mesh(jax.devices())
+        self.n_dev = len(jax.devices())
+        self.n_local = len(jax.local_devices())
+        self.row_bases = max(int(block_bases) // self.n_dev, 1 << 16)
+        self.qual_policy = qual_policy
+        self.eng = sharded.ShardedSortEngine(
+            self.mesh, k, lanes_per_dest=lanes_per_dest,
+            budget_bytes=budget_bytes,
+        )
+        self._sharding = NamedSharding(self.mesh, P(("data", "shard"), None))
+        self.total_bases = 0  # GLOBAL totals (allgathered per count_paths)
+        self.total_seqs = 0
+
+    @property
+    def total_kmers(self):
+        return self.eng.total_kmers  # psum'd inside the step: global
+
+    def count_paths(self, paths: Sequence[str], progress=None) -> None:
+        local_it = _local_batches(
+            shard_files(paths), self.k, self.row_bases, self.n_local,
+            self.qual_policy,
+        )
+        local_bases = local_seqs = 0
+        while True:
+            item = next(local_it, None)
+            has = item is not None
+            if jax.process_count() > 1:
+                # agree on continuation: every host must step together
+                from jax.experimental import multihost_utils
+
+                flags = multihost_utils.process_allgather(
+                    np.asarray(1 if has else 0, np.int32)
+                )
+                if int(np.sum(flags)) == 0:
+                    break
+            elif not has:
+                break
+            if has:
+                local, nb, ns, rb = item
+                local_bases += nb
+                local_seqs += ns
+            else:
+                local = np.zeros((self.n_local, self.row_bases), np.uint8)
+                rb = None
+            global_rows = jax.make_array_from_process_local_data(
+                self._sharding, local
+            )
+            self.eng.add_batch(global_rows, row_bytes=rb)
+            if progress is not None:
+                progress(self)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            tot = multihost_utils.process_allgather(
+                np.asarray([local_bases, local_seqs], np.int64)
+            )
+            self.total_bases += int(tot[..., 0].sum())
+            self.total_seqs += int(tot[..., 1].sum())
+        else:
+            self.total_bases += local_bases
+            self.total_seqs += local_seqs
+        if self.eng.total_retries and jax.process_index() == 0:
+            import sys
+
+            sys.stderr.write(
+                f"[W::count_multihost] key skew overflowed the routing "
+                f"buffers {self.eng.total_retries}x; auto-doubled the "
+                f"send lanes and replayed (no k-mers dropped)\n"
+            )
+
+    def hist(self, n_bins: int, max_count=None, min_keep: int = 1):
+        h = self.eng.hist(n_bins, max_count, min_keep)
+        self._n_distinct = self.eng._n_distinct
+        return h
+
+    def counts_for(self, query_hi, query_lo):
+        """Queries must be IDENTICAL on every host (each host loads the
+        same pattern file); the join is a collective."""
+        return self.eng.counts_for(query_hi, query_lo)
 
 
 def count_multihost(paths: Sequence[str], k: int,
@@ -83,46 +185,11 @@ def count_multihost(paths: Sequence[str], k: int,
     multi-host vaf path).  Callers print from process 0 only.
     Single-process invocations degrade to the plain sharded engine over
     the local devices."""
-    mesh = sharded.make_mesh(jax.devices())
-    n_dev = len(jax.devices())
-    n_local = len(jax.local_devices())
-    if lanes_per_dest is None:
-        lanes_per_dest = sharded.default_lanes_per_dest(block, n_dev)
-    eng = sharded.ShardedSortEngine(mesh, k, lanes_per_dest=lanes_per_dest)
-    global_sharding = NamedSharding(mesh, P(("data", "shard"), None))
-
-    local_it = _local_batches(
-        shard_files(paths), k, block, n_local
+    eng = MultihostSortEngine(
+        k, block_bases=block * len(jax.devices()),
+        lanes_per_dest=lanes_per_dest,
     )
-
-    while True:
-        local = next(local_it, None)
-        has = local is not None
-        if jax.process_count() > 1:
-            # agree on continuation: every host must step together
-            from jax.experimental import multihost_utils
-
-            flags = multihost_utils.process_allgather(
-                np.asarray(1 if has else 0, np.int32)
-            )
-            if int(np.sum(flags)) == 0:
-                break
-        elif not has:
-            break
-        if not has:
-            local = np.zeros((n_local, block), np.uint8)
-        global_rows = jax.make_array_from_process_local_data(
-            global_sharding, local
-        )
-        eng.add_batch(global_rows)
-    if eng.total_retries and jax.process_index() == 0:
-        import sys
-
-        sys.stderr.write(
-            f"[W::count_multihost] key skew overflowed the routing "
-            f"buffers {eng.total_retries}x; auto-doubled the send lanes "
-            f"and replayed (no k-mers dropped)\n"
-        )
+    eng.count_paths(paths)
     h = eng.hist(n_bins, max_count=max_count, min_keep=min_keep)
     if queries is not None:
         qc = eng.counts_for(queries[0], queries[1])

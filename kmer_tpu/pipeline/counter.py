@@ -560,9 +560,16 @@ def make_count_engine(
     prefetch: bool = True,
     qual_policy=None,
 ):
-    """The CLI tools' engine factory: multi-device mesh engine when the
-    system has one (see use_mesh), single-device sort engine otherwise.
-    Both produce identical histograms/counts (tests/test_tools_mesh.py)."""
+    """The CLI tools' engine factory: cross-host engine on a multi-
+    process run (pods — jax.distributed must be initialized before the
+    tool starts, dist.multihost.initialize), multi-device mesh engine on
+    a multi-chip host (see use_mesh), single-device sort engine
+    otherwise.  All produce identical histograms/counts."""
+    if jax.process_count() > 1:
+        from ..dist.multihost import MultihostSortEngine
+
+        return MultihostSortEngine(k, block_bases, budget_bytes, prefetch,
+                                   qual_policy)
     if use_mesh():
         return MeshSortCountEngine(k, block_bases, budget_bytes, prefetch,
                                    qual_policy)

@@ -30,6 +30,10 @@ KC_BITS = 10  # kc-c2.c:10 / kc-c4.c:11
 
 
 def _print_hist(hist, lo=1, hi=256):
+    from ..utils.log import is_primary
+
+    if not is_primary():  # one histogram per pod run, not per host
+        return
     out = []
     for i in range(lo, hi):
         out.append(f"{i}\t{hist[i]}")

@@ -13,6 +13,7 @@ host-side k-mer ops.
 
 from __future__ import annotations
 
+import os
 import sys
 
 import numpy as np
@@ -141,8 +142,12 @@ def main(argv=None):
         for key, cnt in zip(qk.tolist(), got.tolist()):
             counts[key] = cnt
 
+    from ..utils.log import is_primary
+
     n_total = n_unique = 0
-    with open(out_fn, "w") as out_fp:
+    # one pattern file per pod run (counts are replicated on all hosts)
+    out_path = out_fn if is_primary() else os.devnull
+    with open(out_path, "w") as out_fp:
         for entry in per_snp:
             n_total += 1
             if entry is None:

@@ -174,7 +174,13 @@ def main(argv=None):
 
     minfo("main", "Writing VAF file...")
     t0 = time.time()
-    avg_depth = write_vaf_file(out_fn, patterns)
+    from ..utils.log import is_primary
+
+    if is_primary():  # one VAF file per pod run (counts are replicated)
+        avg_depth = write_vaf_file(out_fn, patterns)
+    else:
+        total = sum(p.ref_count + p.alt_count for p in patterns)
+        avg_depth = total / (len(patterns) if patterns else 1)
     time_write = time.time() - t0
     minfo("main", f"Done. Average depth: {avg_depth:.2f}")
 

@@ -101,6 +101,10 @@ def main(argv=None):
         tot = eng.tot
         h = eng.hist()
     sys.stderr.write(f"[M::main] {tot} distinct k-mers after shrinking\n")
+    from ..utils.log import is_primary
+
+    if not is_primary():
+        return 0
     out = []
     for i in range(1, YAK_N_COUNTS):
         out.append(f"{i}\t{h[i]}")

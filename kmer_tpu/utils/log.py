@@ -17,3 +17,15 @@ def warn(func: str, msg: str) -> None:
 
 def verbose(func: str, msg: str) -> None:
     sys.stderr.write(f"[V::{func}] {msg}\n")
+
+
+def is_primary() -> bool:
+    """True on the output-emitting process (process 0 of a multi-host
+    run; always in single-process runs).  Tools gate stdout and result
+    files on this so an SPMD pod launch prints once."""
+    try:
+        import jax
+
+        return jax.process_index() == 0
+    except Exception:  # jax not initialized in host-only tools
+        return True

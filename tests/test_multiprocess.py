@@ -113,3 +113,66 @@ def test_two_process_count_matches_single_engine(tmp_path):
     assert np.array_equal(np.asarray(got["qc"]), want_qc)
     assert np.asarray(got["qc"])[:-2].sum() > 0  # present keys counted
     assert got["qc"][-1] == 0 and got["qc"][-2] == 0  # absent keys
+
+
+_CLI_WORKER = """
+import os, sys, io, contextlib
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 4)
+pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+jax.distributed.initialize(coordinator_address="127.0.0.1:" + port,
+                           num_processes=nproc, process_id=pid)
+from kmer_tpu.tools.kc import main_kc_c4
+buf = io.StringIO()
+with contextlib.redirect_stdout(buf):
+    rc = main_kc_c4(["-k21", "-b65536", sys.argv[4]])
+assert rc == 0, rc
+sys.stdout.write(buf.getvalue())
+""".format(repo=REPO)
+
+
+def test_two_process_cli_kc_c4(tmp_path):
+    """The kc-c4 CLI entry point on a 2-process jax.distributed run
+    (P7 through the product surface): process 0 prints the exact
+    single-engine histogram, process 1 prints nothing."""
+    rng = np.random.default_rng(7)
+    path = str(tmp_path / "cli.fq.gz")
+    with gzip.open(path, "wb") as f:
+        for r in range(400):
+            s = "".join(rng.choice(list("ACGT"), 110))
+            f.write(f"@r{r}\n{s}\n+\n{'I' * 110}\n".encode())
+
+    port = str(_free_port())
+    worker = str(tmp_path / "cli_worker.py")
+    with open(worker, "w") as f:
+        f.write(_CLI_WORKER)
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith(("JAX_", "XLA_"))}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", port, path],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=300) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, err.decode()[-2000:]
+
+    def ours(raw):  # Gloo logs its rank banner straight to fd 1
+        return "".join(ln for ln in raw.decode().splitlines(keepends=True)
+                       if not ln.startswith("[Gloo]"))
+
+    assert ours(outs[1][0]) == ""  # secondary process emits nothing
+
+    import contextlib
+    import io
+
+    from kmer_tpu.tools.kc import main_kc_c4
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert not main_kc_c4(["-k21", "-b65536", path])
+    assert ours(outs[0][0]) == buf.getvalue()
