@@ -12,7 +12,7 @@ all: native
 
 native: kmer_tpu/io/native/libkmerio.so
 
-kmer_tpu/io/native/libkmerio.so: kmer_tpu/io/native/fastx_reader.cpp kmer_tpu/io/native/bam_count.cpp
+kmer_tpu/io/native/libkmerio.so: kmer_tpu/io/native/fastx_reader.cpp kmer_tpu/io/native/bam_count.cpp kmer_tpu/io/native/cram_rans.cpp
 	g++ -O3 -march=native -shared -fPIC -o $@ $^ -lz
 
 test:

@@ -510,7 +510,7 @@ class MeshSortCountEngine:
     def total_kmers(self):
         return self.eng.total_kmers
 
-    def _flush_rows(self, rows, rbs) -> None:
+    def _assemble(self, rows, rbs):
         width = max(r.shape[0] for r in rows)
         batch = np.zeros((self.n_dev, width), np.uint8)
         for i, r in enumerate(rows):
@@ -519,28 +519,37 @@ class MeshSortCountEngine:
         # batch shares one row stride (zero pad-rows slice to sentinels
         # either way); see dist.sharded.sharded_extract_step_fn
         rb = rbs[0] if len(set(rbs)) == 1 else None
-        # jit shards the batch per the step's in_specs
-        self.eng.add_batch(jnp.asarray(batch), row_bytes=rb)
+        dev = jnp.asarray(batch)  # jit shards per the step's in_specs
+        _issue_transfer(dev)  # start the copy in the prefetch thread
+        return dev, rb
 
     def count_paths(self, paths: Sequence[str], progress=None) -> None:
-        it = _iter_packed(paths, self.k, self.row_bases, self.capacity,
-                          self.qual_policy)
-        if self.prefetch:
-            it = _prefetch(it)
-        rows, rbs = [], []
-        with _maybe_profile():
-            for buf, n_bases, n_seqs, rb in it:
+        def batches():
+            # group + assemble + upload inside the prefetch thread so
+            # the host copy overlaps the previous batch's device step
+            rows, rbs, nb, ns = [], [], 0, 0
+            for buf, n_bases, n_seqs, rb in _iter_packed(
+                paths, self.k, self.row_bases, self.capacity,
+                self.qual_policy,
+            ):
                 rows.append(np.asarray(buf))
                 rbs.append(rb)
-                self.total_bases += int(n_bases) - int(n_seqs)
-                self.total_seqs += int(n_seqs)
+                nb += int(n_bases) - int(n_seqs)
+                ns += int(n_seqs)
                 if len(rows) == self.n_dev:
-                    self._flush_rows(rows, rbs)
-                    rows, rbs = [], []
-                    if progress is not None:
-                        progress(self)
+                    yield self._assemble(rows, rbs) + (nb, ns)
+                    rows, rbs, nb, ns = [], [], 0, 0
             if rows:
-                self._flush_rows(rows, rbs)
+                yield self._assemble(rows, rbs) + (nb, ns)
+
+        it = batches()
+        if self.prefetch:
+            it = _prefetch(it)
+        with _maybe_profile():
+            for dev, rb, nb, ns in it:
+                self.eng.add_batch(dev, row_bytes=rb)
+                self.total_bases += nb
+                self.total_seqs += ns
                 if progress is not None:
                     progress(self)
 
