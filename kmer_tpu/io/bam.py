@@ -105,6 +105,14 @@ class BamReader:
     def close(self):
         self._bgzf.close()
 
+    def index_candidates(self, fn: str):
+        import os
+
+        return (fn + ".bai", os.path.splitext(fn)[0] + ".bai")
+
+    def load_index(self, path: str) -> "BaiIndex":
+        return BaiIndex(path)
+
     def _read_record(self) -> Optional[BamRecord]:
         raw = self._bgzf.read(4)
         if len(raw) < 4:

@@ -509,8 +509,38 @@ class CramRec:
         return e if e > self.pos else self.pos + 1
 
 
+class CraiIndex:
+    """.crai — gzipped text, one line per slice:
+    seq_id  align_start(1-based)  span  container_offset  slice_offset
+    slice_len  (htslib cram/cram_index.c)."""
+
+    def __init__(self, path: str):
+        self.entries = []  # (seq_id, start1, span, c_off, s_off)
+        try:
+            with gzip.open(path, "rt") as f:
+                for line in f:
+                    t = line.split()
+                    if len(t) < 6:
+                        raise ValueError(f"{path}: malformed .crai line")
+                    self.entries.append(
+                        (int(t[0]), int(t[1]), int(t[2]), int(t[3]),
+                         int(t[4]))
+                    )
+        except (OSError, gzip.BadGzipFile) as e:
+            raise ValueError(f"{path}: not a .crai index") from e
+
+    def slices_for(self, tid: int, beg1: int, end1: int):
+        """Slices overlapping the 1-based inclusive [beg1, end1] on tid,
+        in file order (the container filter of cram_decode.c:3137-3151)."""
+        return [
+            (c_off, s_off)
+            for seq, start1, span, c_off, s_off in self.entries
+            if seq == tid and start1 <= end1 and start1 + span - 1 >= beg1
+        ]
+
+
 class CramReader:
-    """Sequential CRAM 3.0 reader over a whole file."""
+    """Sequential + .crai-indexed CRAM 3.0 reader over a whole file."""
 
     def __init__(self, path: str, reference: Optional[str] = None):
         with open(path, "rb") as f:
@@ -547,6 +577,47 @@ class CramReader:
         self._ref_seq: Dict[int, bytes] = {}
         self._fasta_path = reference
         self._fasta_cache: Optional[Dict[str, bytes]] = None
+        self._cont_cache: Dict[int, Tuple[Container, CompHeader]] = {}
+
+    # -- indexed access ------------------------------------------------------
+
+    def index_candidates(self, fn: str):
+        return (fn + ".crai", os.path.splitext(fn)[0] + ".crai")
+
+    def load_index(self, path: str) -> CraiIndex:
+        return CraiIndex(path)
+
+    def _container_at(self, off: int):
+        got = self._cont_cache.get(off)
+        if got is None:
+            c = Cursor(self.data, off)
+            cont = Container(c)
+            comp = CompHeader(Block(c).data)
+            got = self._cont_cache[off] = (cont, comp)
+        return got
+
+    def query(self, idx: CraiIndex, tid: int, beg: int, end: int):
+        """Records overlapping 0-based [beg, end) on tid, via the .crai.
+
+        Reproduces htslib's CRAM iterator exactly (sam.c:1695 builds the
+        1-based range {tid, beg+1, end}; cram_decode.c:3475-3497 skips
+        records with aend < start, stops at apos > end)."""
+        beg1, end1 = beg + 1, end
+        for c_off, s_off in idx.slices_for(tid, beg1, end1):
+            cont, comp = self._container_at(c_off)
+            c = Cursor(self.data, cont.header_end + s_off)
+            blk = Block(c)
+            if blk.ctype != 2:
+                raise ValueError("crai slice offset does not point at a "
+                                 "slice header block")
+            for rec in self._decode_slice(blk.data, c, comp, cont):
+                if rec.tid != tid:
+                    continue
+                if rec.pos + 1 > end1:  # apos > range.end: done
+                    return
+                if rec.end_pos() <= beg:  # aend < range.start: skip
+                    continue
+                yield rec
 
     # -- reference resolution ------------------------------------------------
 

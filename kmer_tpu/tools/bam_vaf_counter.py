@@ -17,7 +17,7 @@ import os
 import sys
 from bisect import bisect_left
 
-from ..io.bam import FDUP, FQCFAIL, FUNMAP, BaiIndex, open_alignment
+from ..io.bam import FDUP, FQCFAIL, FUNMAP, open_alignment
 from ..io.formats import read_patterns, write_vaf_file
 from ..utils.cli import c_atoi, ketopt
 from ..utils.log import minfo
@@ -113,16 +113,12 @@ def count_bam_variants(fn, patterns, p_tids, regions, counts):
         entries.sort(key=lambda e: e[1].start)
         by_tid[tid] = ([p.start for _, p in entries], entries)
     idx = None
-    # indexed access needs BGZF virtual offsets — BAM only, not SAM text
-    cands = (
-        (fn + ".bai", os.path.splitext(fn)[0] + ".bai")
-        if hasattr(bam, "query")
-        else ()
-    )
+    # indexed access: .bai for BAM, .crai for CRAM; SAM text has neither
+    cands = bam.index_candidates(fn) if hasattr(bam, "query") else ()
     for cand in cands:
         if os.path.exists(cand):
             try:
-                idx = BaiIndex(cand)
+                idx = bam.load_index(cand)
             except ValueError:
                 idx = None
             break

@@ -465,8 +465,13 @@ def fuzz_sam(rounds=10, seed=0, bam=False):
                 conv = os.path.join(REFBIN, "sam2cram")
                 if _ensure_sam2cram(conv):
                     cram = f"{d}/a.cram"
-                    subprocess.run([conv, aln, f"{d}/g.fa", cram],
-                                   capture_output=True, check=True)
+                    # half the rounds also write a .crai: both sides
+                    # then take the indexed multi-count path
+                    crai = indexed and bool(rng.integers(0, 2))
+                    subprocess.run(
+                        [conv, aln, f"{d}/g.fa", cram]
+                        + (["index"] if crai else []),
+                        capture_output=True, check=True)
                     subprocess.run(
                         [os.path.join(REFBIN, "bam-vaf-counter"),
                          "-p", f"{d}/p.txt", "-o", f"{d}/refc.vaf", cram],

@@ -35,5 +35,8 @@ int main(int argc, char **argv)
     if (sam_close(out) != 0) return 1;
     sam_close(in);
     sam_hdr_destroy(hdr);
-    return r == -1 ? 0 : 1;
+    if (r != -1) return 1;
+    if (argc > 4 && argv[4][0] == 'i')  /* "index": also write .crai */
+        return sam_index_build(argv[3], 0) == 0 ? 0 : 1;
+    return 0;
 }

@@ -319,3 +319,41 @@ def test_cram_vaf_parity(patterns, cram_fixture, tmp_path):
 
     assert not main(["-p", patterns, "-o", f"{d}/tpu.vaf", cram_fixture])
     assert _read(f"{d}/tpu.vaf") == _read(f"{d}/ref.vaf")
+
+
+def test_cram_crai_indexed_parity(patterns, cram_fixture, tmp_path):
+    """With a .crai present both implementations switch to indexed
+    region fetching — including the reference's multi-count quirk for
+    reads spanning several merged regions (PARITY.md divergence 7) —
+    and must stay byte-identical."""
+    ref = _need("bam-vaf-counter")
+    conv = os.path.join(REFBIN, "sam2cram")
+    # rebuild with an index next to a copy (cram_fixture has no .crai)
+    d = str(tmp_path)
+    import shutil
+
+    cram = f"{d}/indexed.cram"
+    shutil.copy(cram_fixture, cram)
+    ref_fa = os.path.join(os.path.dirname(cram_fixture), "genome.fa")
+    r = subprocess.run(
+        [conv, os.path.join(FIXTURES, "sampleA_aln.bam"), ref_fa, cram,
+         "index"],
+        capture_output=True,
+    )
+    if r.returncode != 0 or not os.path.exists(cram + ".crai"):
+        pytest.skip("sam2cram index build unavailable")
+    subprocess.run(
+        [ref, "-p", patterns, "-o", f"{d}/ref.vaf", cram],
+        capture_output=True, check=True,
+    )
+    from kmer_tpu.tools.bam_vaf_counter import main
+
+    assert not main(["-p", patterns, "-o", f"{d}/tpu.vaf", cram])
+    assert _read(f"{d}/tpu.vaf") == _read(f"{d}/ref.vaf")
+    # sanity: the indexed path actually diverges from sequential (the
+    # fixture panel is dense), so this test is not vacuous
+    subprocess.run(
+        [ref, "-p", patterns, "-o", f"{d}/ref_seq.vaf", cram_fixture],
+        capture_output=True, check=True,
+    )
+    assert _read(f"{d}/ref.vaf") != _read(f"{d}/ref_seq.vaf")
