@@ -94,6 +94,7 @@ class MultihostSortEngine:
         self.n_local = len(jax.local_devices())
         self.row_bases = max(int(block_bases) // self.n_dev, 1 << 16)
         self.qual_policy = qual_policy
+        self.prefetch = prefetch
         self.eng = sharded.ShardedSortEngine(
             self.mesh, k, lanes_per_dest=lanes_per_dest,
             budget_bytes=budget_bytes,
@@ -111,6 +112,13 @@ class MultihostSortEngine:
             shard_files(paths), self.k, self.row_bases, self.n_local,
             self.qual_policy,
         )
+        if self.prefetch:
+            # read/pack the NEXT local batch while this one is in the
+            # collective step (the P1 overlap; the collectives
+            # themselves must stay on the calling thread)
+            from ..pipeline.counter import _prefetch
+
+            local_it = _prefetch(local_it)
         local_bases = local_seqs = 0
         while True:
             item = next(local_it, None)

@@ -215,7 +215,8 @@ def _bucketize_by_sort(keys: u.U64, valid, dest, n_dest: int, lanes: int,
 
 
 def sharded_extract_step_fn(mesh: Mesh, k: int, lanes_per_dest: int,
-                            row_bytes: Optional[int] = None):
+                            row_bytes: Optional[int] = None,
+                            ingest: str = "ascii"):
     """Build the jitted extract+route step of the sort-based multi-chip
     engine (the production counting path; see module docstring).
 
@@ -234,11 +235,45 @@ def sharded_extract_step_fn(mesh: Mesh, k: int, lanes_per_dest: int,
     offsets k-1..L-1, so the guaranteed-invalid ~k/row_bytes fraction is
     sliced off before the routing sort and the all_to_all (~20% fewer
     lanes and ICI bytes for 150 bp reads at k=31) — the mesh form of
-    pipeline.counter._extract_step_rows."""
+    pipeline.counter._extract_step_rows.
+
+    ingest: "ascii" (one u8/base), "packed" (2-bit codes + validity
+    bitmask, 0.375 B/base over the host link), or "packed_structural"
+    (codes + per-device used-byte count; the mask is rebuilt on device
+    from row_bytes — 0.25 B/base; requires row_bytes).  The packed forms
+    are the mesh twins of pipeline.counter._extract_step_packed[_structural]."""
     n_dev = mesh.shape["data"] * mesh.shape["shard"]
     one_plane = 2 * k <= 31
+    assert ingest in ("ascii", "packed", "packed_structural")
+    assert ingest != "packed_structural" or (row_bytes and row_bytes > k)
 
-    def per_device(ascii_row):
+    def per_device(*args):
+        from ..pipeline.counter import _unpack_ascii
+
+        if ingest == "ascii":
+            ascii_row = args[0]
+        elif ingest == "packed":
+            packed_row, mask_row = args
+            ascii_row = _unpack_ascii(packed_row[0], mask_row[0])[None]
+        else:  # packed_structural
+            packed_row, n_used = args
+            p = packed_row[0]
+            shifts = jnp.arange(4, dtype=jnp.uint8) * 2
+            codes = ((p[:, None] >> shifts[None, :]) & 3).reshape(-1)
+            pos = jnp.arange(4 * p.shape[0], dtype=jnp.uint32)
+            inv = (
+                pos % jnp.uint32(row_bytes) == jnp.uint32(row_bytes - 1)
+            ) | (pos >= n_used[0, 0].astype(jnp.uint32))
+            lut = jnp.where(
+                codes == 0,
+                jnp.uint8(65),
+                jnp.where(
+                    codes == 1,
+                    jnp.uint8(67),
+                    jnp.where(codes == 2, jnp.uint8(71), jnp.uint8(84)),
+                ),
+            )
+            ascii_row = jnp.where(inv, jnp.uint8(0), lut)[None]
         n_in = ascii_row.shape[1]
         if jax.default_backend() == "tpu" and k < 32:
             # the fused Pallas extraction (kernels/extract_tpu.py); pad
@@ -289,10 +324,12 @@ def sharded_extract_step_fn(mesh: Mesh, k: int, lanes_per_dest: int,
             n_d,
         )
 
+    row_spec = P(("data", "shard"), None)
+    in_specs = (row_spec,) if ingest == "ascii" else (row_spec, row_spec)
     fn = shard_map(
         per_device,
         mesh=mesh,
-        in_specs=(P(("data", "shard"), None),),
+        in_specs=in_specs,
         out_specs=(P("data", "shard", None), P("data", "shard", None), P(), P()),
         check_vma=False,
     )
@@ -379,6 +416,11 @@ class ShardedSortEngine:
         # u32 plane, halving every per-device sort's comparator work
         self.one_plane = 2 * k <= 31
         self.n_dev = mesh.shape["data"] * mesh.shape["shard"]
+        # low-bit routing and the per-chip bloom partition
+        # (BloomSpec.owner_bits) both assume a power-of-two device count
+        assert self.n_dev & (self.n_dev - 1) == 0, (
+            f"mesh must have a power-of-two device count, got {self.n_dev}"
+        )
         # None = auto-size send buffers per batch row length; an explicit
         # value fixes them for every shape (tests, fixed-block callers)
         self.lanes_per_dest = lanes_per_dest
@@ -397,11 +439,13 @@ class ShardedSortEngine:
                                                              self.n_dev)
         return base * self._lane_mult.get(row_len, 1)
 
-    def _step_for(self, lanes: int, row_bytes: Optional[int] = None):
-        key = (lanes, row_bytes)
+    def _step_for(self, lanes: int, row_bytes: Optional[int] = None,
+                  ingest: str = "ascii"):
+        key = (lanes, row_bytes, ingest)
         if key not in self._steps:
-            self._steps[key] = sharded_extract_step_fn(self.mesh, self.k,
-                                                       lanes, row_bytes)
+            self._steps[key] = sharded_extract_step_fn(
+                self.mesh, self.k, lanes, row_bytes, ingest
+            )
         return self._steps[key]
 
     def reset(self) -> None:
@@ -413,22 +457,38 @@ class ShardedSortEngine:
         self.total_kmers = 0
         self.total_dropped = 0
 
-    def add_batch(self, ascii_rows, row_bytes: Optional[int] = None) -> None:
+    def route_batch(self, rows, row_bytes: Optional[int] = None,
+                    aux=None, ingest: str = "ascii"):
+        """Extract + route one batch WITHOUT accumulating: returns the
+        per-device owned (hi, lo) chunk planes, handling send-buffer
+        overflow by doubling the lanes and replaying (the static-shape
+        form of the reference's buffer realloc, kc-c4.c:78-80 — routing
+        never drops).  Consumers that keep their own per-device state
+        (MeshYakEngine's bloom-gated tables) build on this.
+
+        ingest "packed"/"packed_structural": rows are (n_dev, W/4) 2-bit
+        code planes and aux is the (n_dev, W/8) validity bitmask /
+        (n_dev, 1) used-byte counts (see sharded_extract_step_fn)."""
         rb = row_bytes if row_bytes and row_bytes > self.k else None
-        row_len = ascii_rows.shape[1]
+        if ingest == "packed_structural" and rb is None:
+            raise ValueError("structural packed ingest needs row_bytes")
+        row_len = rows.shape[1] * (4 if ingest != "ascii" else 1)
+        args = (rows,) if ingest == "ascii" else (rows, aux)
         hi, lo, nk, nd = self._step_for(self._lanes_for(row_len),
-                                        rb)(ascii_rows)
+                                        rb, ingest)(*args)
         while int(nd) > 0:
-            # key skew overflowed a destination's send buffer (the
-            # reference's linear buffers realloc, kc-c4.c:78-80): double
-            # the lanes and replay this batch — routing never drops.
             self._lane_mult[row_len] = 2 * self._lane_mult.get(row_len, 1)
             self.total_retries += 1
             hi, lo, nk, nd = self._step_for(
-                self._lanes_for(row_len), rb)(ascii_rows)
+                self._lanes_for(row_len), rb, ingest)(*args)
+        self.total_kmers += int(nk)
+        return hi, lo
+
+    def add_batch(self, rows, row_bytes: Optional[int] = None,
+                  aux=None, ingest: str = "ascii") -> None:
+        hi, lo = self.route_batch(rows, row_bytes, aux, ingest)
         self.chunks.append((hi, lo))
         self._bytes += hi.shape[2] * 8
-        self.total_kmers += int(nk)
         if self._bytes > self.budget_bytes:
             self.compact()
 
@@ -668,20 +728,38 @@ def sharded_rebuild_fn(mesh: Mesh, new_capacity: int, min_count: int = 0,
     return jax.jit(fn, donate_argnums=(0,))
 
 
-def sharded_chunk_valid_counts_fn(mesh: Mesh):
-    """Per-device count of non-sentinel lanes in a routed chunk, shaped
-    (D, S) — the pre-insert sizing input (a batch can at worst create
-    one key per valid lane, so the table must have that much headroom
-    for the probe loop to terminate; see pipeline.yak._maybe_grow)."""
+def sharded_chunk_valid_max_fn(mesh: Mesh):
+    """Replicated MAX over devices of non-sentinel lanes in a routed
+    chunk — the pre-insert sizing input (a batch can at worst create one
+    key per valid lane, so every table needs that much headroom for the
+    probe loop to terminate; see pipeline.yak._maybe_grow).  Replicated
+    output so multi-process hosts can read it without owning all
+    shards."""
 
     def per_device(hi, lo):
         valid = ~((hi[0, 0] == jnp.uint32(0xFFFFFFFF))
                   & (lo[0, 0] == jnp.uint32(0xFFFFFFFF)))
-        return jnp.sum(valid.astype(jnp.int32))[None, None]
+        n = jnp.sum(valid.astype(jnp.int32))
+        return jax.lax.pmax(jax.lax.pmax(n, "shard"), "data")
 
     spec = P("data", "shard", None)
     fn = shard_map(per_device, mesh=mesh, in_specs=(spec, spec),
-                   out_specs=P("data", "shard"), check_vma=False)
+                   out_specs=P(), check_vma=False)
+    return jax.jit(fn)
+
+
+def sharded_nfull_stats_fn(mesh: Mesh):
+    """Replicated (max, sum) of the per-device table occupancy — grow
+    decisions and the post-shrink distinct total, multi-process-safe."""
+
+    def per_device(table_planes):
+        nf = table_planes[4][0, 0]
+        mx = jax.lax.pmax(jax.lax.pmax(nf, "shard"), "data")
+        sm = jax.lax.psum(jax.lax.psum(nf, "shard"), "data")
+        return mx, sm
+
+    fn = shard_map(per_device, mesh=mesh, in_specs=(_TABLE_SPEC,),
+                   out_specs=(P(), P()), check_vma=False)
     return jax.jit(fn)
 
 

@@ -578,6 +578,7 @@ class CramReader:
         self._fasta_path = reference
         self._fasta_cache: Optional[Dict[str, bytes]] = None
         self._cont_cache: Dict[int, Tuple[Container, CompHeader]] = {}
+        self._slice_rec_cache: Dict[Tuple[int, int], list] = {}
 
     # -- indexed access ------------------------------------------------------
 
@@ -604,13 +605,7 @@ class CramReader:
         records with aend < start, stops at apos > end)."""
         beg1, end1 = beg + 1, end
         for c_off, s_off in idx.slices_for(tid, beg1, end1):
-            cont, comp = self._container_at(c_off)
-            c = Cursor(self.data, cont.header_end + s_off)
-            blk = Block(c)
-            if blk.ctype != 2:
-                raise ValueError("crai slice offset does not point at a "
-                                 "slice header block")
-            for rec in self._decode_slice(blk.data, c, comp, cont):
+            for rec in self._slice_records(c_off, s_off):
                 if rec.tid != tid:
                     continue
                 if rec.pos + 1 > end1:  # apos > range.end: done
@@ -618,6 +613,25 @@ class CramReader:
                 if rec.end_pos() <= beg:  # aend < range.start: skip
                     continue
                 yield rec
+
+    def _slice_records(self, c_off: int, s_off: int):
+        """Decoded records of one slice, cached — a dense SNP panel
+        queries the same slice once per merged region (htslib keeps the
+        current decoded slice alive the same way)."""
+        key = (c_off, s_off)
+        got = self._slice_rec_cache.get(key)
+        if got is None:
+            cont, comp = self._container_at(c_off)
+            c = Cursor(self.data, cont.header_end + s_off)
+            blk = Block(c)
+            if blk.ctype != 2:
+                raise ValueError("crai slice offset does not point at a "
+                                 "slice header block")
+            if len(self._slice_rec_cache) >= 4:  # keep a few hot slices
+                self._slice_rec_cache.pop(next(iter(self._slice_rec_cache)))
+            got = list(self._decode_slice(blk.data, c, comp, cont))
+            self._slice_rec_cache[key] = got
+        return got
 
     # -- reference resolution ------------------------------------------------
 
@@ -641,16 +655,23 @@ class CramReader:
     def ref_seq(self, tid: int) -> bytes:
         if tid in self._ref_seq:
             return self._ref_seq[tid]
+        if self._fasta_cache is None:
+            self._fasta_cache = {}
+            self._fasta_loaded = set()
         for cand in ((self._fasta_path,) if self._fasta_path else ()) + (
             self._ref_paths[tid],
         ):
-            if cand and os.path.exists(cand):
-                if self._fasta_cache is None:
-                    self._fasta_cache = self._load_fasta(cand)
-                seq = self._fasta_cache.get(self.refs[tid])
-                if seq is not None:
-                    self._ref_seq[tid] = seq.upper()
-                    return self._ref_seq[tid]
+            if not cand or not os.path.exists(cand):
+                continue
+            # each @SQ may carry its own UR path: load every candidate
+            # not yet merged into the cache before giving up
+            if cand not in self._fasta_loaded:
+                self._fasta_cache.update(self._load_fasta(cand))
+                self._fasta_loaded.add(cand)
+            seq = self._fasta_cache.get(self.refs[tid])
+            if seq is not None:
+                self._ref_seq[tid] = seq.upper()
+                return self._ref_seq[tid]
         raise FileNotFoundError(
             f"CRAM reference for {self.refs[tid]} not found (tried UR "
             f"{self._ref_paths[tid]!r}); pass reference= to CramReader"

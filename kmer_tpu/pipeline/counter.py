@@ -523,31 +523,82 @@ class MeshSortCountEngine:
         _issue_transfer(dev)  # start the copy in the prefetch thread
         return dev, rb
 
+    def _assemble_packed(self, items):
+        """One packed mesh batch from up to n_dev reader items of
+        (packed, mask_or_None, n_bytes, rb): structural mode (codes +
+        per-device used-byte counts, 0.25 B/base over the host link)
+        when every row's mask was elided with one shared row stride,
+        masked mode otherwise (missing masks are rebuilt host-side)."""
+        w4 = max(p.shape[0] for p, _m, _n, _rb in items)
+        pk = np.zeros((self.n_dev, w4), np.uint8)
+        for i, (p, _m, _n, _rb) in enumerate(items):
+            pk[i, : p.shape[0]] = p
+        rbs = {rb for _p, _m, _n, rb in items}
+        rb = rbs.pop() if len(rbs) == 1 else None
+        structural = (
+            rb is not None and rb > self.k
+            and all(m is None for _p, m, _n, _rb in items)
+        )
+        if structural:
+            nused = np.zeros((self.n_dev, 1), np.int32)
+            for i, (_p, _m, n, _rb) in enumerate(items):
+                nused[i, 0] = n
+            aux, mode = nused, "packed_structural"
+        else:
+            mask = np.full((self.n_dev, w4 // 2), 0xFF, np.uint8)
+            for i, (p, m, n, irb) in enumerate(items):
+                if m is None:  # structural row in a mixed batch
+                    pos = np.arange(4 * p.shape[0], dtype=np.int64)
+                    inv = (pos % irb == irb - 1) | (pos >= n)
+                    m = np.packbits(inv, bitorder="little")
+                mask[i, : m.shape[0]] = m
+            aux, mode = mask, "packed"
+        pk = jnp.asarray(pk)
+        aux = jnp.asarray(aux)
+        _issue_transfer(pk)
+        if mode == "packed":
+            _issue_transfer(aux)
+        return pk, rb if (rb and rb > self.k) else None, aux, mode
+
     def count_paths(self, paths: Sequence[str], progress=None) -> None:
+        packed_mode = _use_packed_ingest(paths)
+
         def batches():
             # group + assemble + upload inside the prefetch thread so
             # the host copy overlaps the previous batch's device step
-            rows, rbs, nb, ns = [], [], 0, 0
-            for buf, n_bases, n_seqs, rb in _iter_packed(
-                paths, self.k, self.row_bases, self.capacity,
-                self.qual_policy,
-            ):
-                rows.append(np.asarray(buf))
-                rbs.append(rb)
+            rows, rbs, items, nb, ns = [], [], [], 0, 0
+            if packed_mode:
+                src = _iter_packed2(paths, self.k, self.row_bases,
+                                    self.capacity, self.qual_policy)
+            else:
+                src = _iter_packed(paths, self.k, self.row_bases,
+                                   self.capacity, self.qual_policy)
+            for item in src:
+                if packed_mode:
+                    packed, mask, n_bases, n_seqs, rb = item
+                    items.append((packed, mask, int(n_bases), rb))
+                else:
+                    buf, n_bases, n_seqs, rb = item
+                    rows.append(np.asarray(buf))
+                    rbs.append(rb)
                 nb += int(n_bases) - int(n_seqs)
                 ns += int(n_seqs)
-                if len(rows) == self.n_dev:
-                    yield self._assemble(rows, rbs) + (nb, ns)
-                    rows, rbs, nb, ns = [], [], 0, 0
-            if rows:
-                yield self._assemble(rows, rbs) + (nb, ns)
+                if len(rows) + len(items) == self.n_dev:
+                    got = (self._assemble_packed(items) if packed_mode
+                           else self._assemble(rows, rbs) + (None, "ascii"))
+                    yield got + (nb, ns)
+                    rows, rbs, items, nb, ns = [], [], [], 0, 0
+            if rows or items:
+                got = (self._assemble_packed(items) if packed_mode
+                       else self._assemble(rows, rbs) + (None, "ascii"))
+                yield got + (nb, ns)
 
         it = batches()
         if self.prefetch:
             it = _prefetch(it)
         with _maybe_profile():
-            for dev, rb, nb, ns in it:
-                self.eng.add_batch(dev, row_bytes=rb)
+            for dev, rb, aux, mode, nb, ns in it:
+                self.eng.add_batch(dev, row_bytes=rb, aux=aux, ingest=mode)
                 self.total_bases += nb
                 self.total_seqs += ns
                 if progress is not None:
@@ -560,6 +611,23 @@ class MeshSortCountEngine:
 
     def counts_for(self, query_hi, query_lo):
         return self.eng.counts_for(query_hi, query_lo)
+
+    def save_checkpoint(self, path: str) -> None:
+        """Per-device planes + stream totals (see
+        SortCountEngine.save_checkpoint; single-host meshes only — on a
+        pod the file-based stage boundaries remain the checkpoints)."""
+        import os
+
+        self.eng.save_checkpoint(path)
+        tmp = path + ".totals.tmp.npz"
+        np.savez(tmp, totals=np.asarray(
+            [self.total_bases, self.total_seqs], np.int64))
+        os.replace(tmp, path + ".totals.npz")
+
+    def resume_checkpoint_into(self, path: str) -> None:
+        self.eng.restore_checkpoint(path)
+        z = np.load(path + ".totals.npz")
+        self.total_bases, self.total_seqs = (int(x) for x in z["totals"])
 
 
 def make_count_engine(

@@ -295,8 +295,17 @@ class MeshYakEngine:
             self.bits = jnp.zeros((d, s, 8), jnp.uint8)
         self.tot = 0
         self._route = sharded.ShardedSortEngine(self.mesh, k)  # routing only
-        self._valid_counts = sharded.sharded_chunk_valid_counts_fn(self.mesh)
+        self._valid_max = sharded.sharded_chunk_valid_max_fn(self.mesh)
+        self._nfull_stats = sharded.sharded_nfull_stats_fn(self.mesh)
         self._ingest_cache = {}
+        self.n_proc = jax.process_count()
+        self.n_local = len(jax.local_devices())
+        if self.n_proc > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._global_sharding = NamedSharding(
+                self.mesh, P(("data", "shard"), None)
+            )
 
     def _ingest_fn(self, create_new: bool):
         from ..dist import sharded
@@ -316,7 +325,7 @@ class MeshYakEngine:
         static capacity = grown to the most loaded device's need."""
         from ..dist import sharded
 
-        n_full = int(np.max(np.asarray(self.tables[4])))
+        n_full = int(self._nfull_stats(self.tables)[0])  # replicated max
         cap = self.cap_local
         while n_full + incoming > GROW_LOAD * cap:
             cap *= 2
@@ -328,6 +337,9 @@ class MeshYakEngine:
 
     def count(self, paths: Sequence[str], create_new: bool) -> None:
         policy = ("resume", self.k, 3)
+        if self.n_proc > 1:
+            self._count_multiprocess(paths, policy, create_new)
+            return
         it = _iter_packed(paths, self.k, self.row_bases,
                           self.capacity_block, policy)
         if self.prefetch:
@@ -343,25 +355,59 @@ class MeshYakEngine:
         if rows:
             self._step(rows, rbs, n_seqs, create_new)
 
+    def _count_multiprocess(self, paths, policy, create_new: bool) -> None:
+        """Pod form: files shard per host, every process steps the same
+        collectives in lockstep, exhausted hosts contribute zero blocks
+        (the dist.multihost coordination, applied to the yak flow)."""
+        from jax.experimental import multihost_utils
+
+        from ..dist.multihost import _local_batches, shard_files
+
+        it = _local_batches(shard_files(paths), self.k, self.row_bases,
+                            self.n_local, policy)
+        if self.prefetch:
+            it = _prefetch(it)
+        while True:
+            item = next(it, None)
+            has = item is not None
+            flags = multihost_utils.process_allgather(
+                np.asarray(1 if has else 0, np.int32)
+            )
+            if int(np.sum(flags)) == 0:
+                break
+            if has:
+                local, _nb, ns, rb = item
+            else:
+                local, ns, rb = (
+                    np.zeros((self.n_local, self.row_bases), np.uint8), 0,
+                    None,
+                )
+            # row stride only applies when EVERY host's rows share it
+            rbs = multihost_utils.process_allgather(
+                np.asarray(rb if rb else -1, np.int64)
+            )
+            rb = int(rbs.ravel()[0])
+            rb = rb if rb > 0 and (rbs.ravel() == rb).all() else None
+            batch = jax.make_array_from_process_local_data(
+                self._global_sharding, local
+            )
+            ns_all = multihost_utils.process_allgather(
+                np.asarray(ns, np.int64)
+            )
+            self._step_rows(batch, rb, int(ns_all.sum()), create_new)
+
     def _step(self, rows, rbs, n_seqs: int, create_new: bool) -> None:
         width = max(r.shape[0] for r in rows)
         batch = np.zeros((self.n_dev, width), np.uint8)
         for i, r in enumerate(rows):
             batch[i, : r.shape[0]] = r
         rb = rbs[0] if len(set(rbs)) == 1 else None
-        rb = rb if rb and rb > self.k else None
-        eng = self._route
-        row_len = batch.shape[1]
-        hi, lo, _nk, nd = eng._step_for(eng._lanes_for(row_len), rb)(
-            jnp.asarray(batch)
-        )
-        while int(nd) > 0:
-            eng._lane_mult[row_len] = 2 * eng._lane_mult.get(row_len, 1)
-            hi, lo, _nk, nd = eng._step_for(eng._lanes_for(row_len), rb)(
-                jnp.asarray(batch)
-            )
+        self._step_rows(jnp.asarray(batch), rb, n_seqs, create_new)
+
+    def _step_rows(self, batch, rb, n_seqs: int, create_new: bool) -> None:
+        hi, lo = self._route.route_batch(batch, row_bytes=rb)
         if create_new:
-            incoming = int(np.max(np.asarray(self._valid_counts(hi, lo))))
+            incoming = int(self._valid_max(hi, lo))
             self._maybe_grow(incoming)
         self.tables, self.bits, n_new = self._ingest_fn(create_new)(
             self.tables, self.bits, hi, lo
@@ -389,7 +435,7 @@ class MeshYakEngine:
         self.tables = sharded.sharded_rebuild_fn(
             self.mesh, self.cap_local, min_count, max_count
         )(self.tables)
-        self.tot = int(np.sum(np.asarray(self.tables[4])))
+        self.tot = int(self._nfull_stats(self.tables)[1])  # replicated sum
 
     def hist(self) -> np.ndarray:
         from ..dist import sharded
@@ -401,10 +447,12 @@ class MeshYakEngine:
 
 def make_yak_engine(**kw):
     """YakEngine on one device, MeshYakEngine when the system has a
-    multi-device mesh (same gate as pipeline.counter.make_count_engine)."""
+    multi-device mesh or is a multi-process pod (same gates as
+    pipeline.counter.make_count_engine; MeshYakEngine handles the
+    cross-host coordination itself)."""
     from .counter import use_mesh
 
-    if use_mesh():
+    if jax.process_count() > 1 or use_mesh():
         return MeshYakEngine(**kw)
     return YakEngine(**kw)
 

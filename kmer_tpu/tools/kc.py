@@ -237,10 +237,14 @@ def _cpp_counter(tool_name):
             # the C++ originals print usage to STDOUT (kc-cpp1.cpp:65)
             sys.stdout.write(f"Usage: kc-cpp1 [-k {k}] <in.fa>\n")
             return 1
-        if k < 1:
-            # reference UB: size_t underflow in the window loop walks
-            # substr past the end -> uncaught std::out_of_range abort
-            sys.stderr.write("ERROR: -k must be at least 1\n")
+        if k < 0:
+            # negative k: size_t underflow in the originals' window loop
+            # walks substr past the end -> uncaught std::out_of_range
+            # abort; k == 0 is DEFINED there (substr(i, 0) == "" for
+            # every i <= length, so the empty-string key accumulates
+            # len+1 counts per record) and _count_raw_strings reproduces
+            # it naturally
+            sys.stderr.write("ERROR: -k must be non-negative\n")
             return 1
         try:
             with open(pos[0], "rb") as f:

@@ -184,7 +184,7 @@ def fuzz_raw(rounds=10, seed=0):
         with tempfile.NamedTemporaryFile(suffix=".fa", delete=False) as tf:
             tf.write(data)
             path = tf.name
-        k = int(rng.choice([1, 5, 21, 31]))
+        k = int(rng.choice([0, 1, 5, 21, 31]))
         bad = None
         try:
             for tool in ("kc-cpp1", "kc-cpp2"):

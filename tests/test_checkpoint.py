@@ -63,6 +63,36 @@ def test_yak_engine_resume_between_passes(tmp_path):
     assert e2.tot == full.tot
 
 
+def test_mesh_engine_kill_and_resume(tmp_path, monkeypatch):
+    """The CLI-facing mesh wrapper: save after file A, resume into a
+    fresh engine, count file B — histogram and stream totals equal an
+    uninterrupted run."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    monkeypatch.setenv("KMER_TPU_FORCE_MESH", "1")
+    from kmer_tpu.pipeline.counter import MeshSortCountEngine
+
+    ck = str(tmp_path / "mesh.ckpt.npz")
+    e1 = MeshSortCountEngine(k=21, block_bases=1 << 17)
+    e1.count_paths([A])
+    e1.save_checkpoint(ck)
+    del e1
+
+    e2 = MeshSortCountEngine(k=21, block_bases=1 << 17)
+    e2.resume_checkpoint_into(ck)
+    e2.count_paths([B])
+    got = e2.hist(256, max_count=1023)
+
+    full = MeshSortCountEngine(k=21, block_bases=1 << 17)
+    full.count_paths([A, B])
+    want = full.hist(256, max_count=1023)
+    assert np.array_equal(got, want)
+    assert e2._n_distinct == full._n_distinct
+    assert (e2.total_bases, e2.total_seqs) == (
+        full.total_bases, full.total_seqs,
+    )
+
+
 def test_sharded_engine_checkpoint_roundtrip():
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")

@@ -161,9 +161,13 @@ def test_two_process_cli_kc_c4(tmp_path):
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, err.decode()[-2000:]
 
-    def ours(raw):  # Gloo logs its rank banner straight to fd 1
+    def ours(raw):
+        # runtimes (Gloo rank banners, loader warnings) occasionally
+        # write to fd 1: keep only the tool's histogram rows
+        import re
+
         return "".join(ln for ln in raw.decode().splitlines(keepends=True)
-                       if not ln.startswith("[Gloo]"))
+                       if re.match(r"^\d+\t\d+$", ln.rstrip("\n")))
 
     assert ours(outs[1][0]) == ""  # secondary process emits nothing
 
@@ -175,4 +179,75 @@ def test_two_process_cli_kc_c4(tmp_path):
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         assert not main_kc_c4(["-k21", "-b65536", path])
-    assert ours(outs[0][0]) == buf.getvalue()
+    assert ours(outs[0][0]) == buf.getvalue(), ours(outs[0][0])[:400]
+
+
+_YAK_WORKER = """
+import os, sys, io, contextlib
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 4)
+pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+jax.distributed.initialize(coordinator_address="127.0.0.1:" + port,
+                           num_processes=nproc, process_id=pid)
+from kmer_tpu.tools.yak_count import main
+buf = io.StringIO()
+with contextlib.redirect_stdout(buf):
+    rc = main(["-k21", "-b14", "-K65536", sys.argv[4], sys.argv[5]])
+assert rc == 0, rc
+sys.stdout.write(buf.getvalue())
+""".format(repo=REPO)
+
+
+def test_two_process_cli_yak_two_file(tmp_path):
+    """yak-count's bloom-gated two-file two-pass on a 2-process pod:
+    the per-host-sharded, all_to_all-routed, per-chip-bloomed flow must
+    print the single-process histogram byte-for-byte (bloom admission
+    included)."""
+    rng = np.random.default_rng(21)
+    paths = []
+    for name in ("y1", "y2"):
+        p = str(tmp_path / f"{name}.fq.gz")
+        with gzip.open(p, "wb") as f:
+            for r in range(250):
+                s = "".join(rng.choice(list("ACGT"), 100))
+                f.write(f"@r{r}\n{s}\n+\n{'I' * 100}\n".encode())
+        paths.append(p)
+
+    port = str(_free_port())
+    worker = str(tmp_path / "yak_worker.py")
+    with open(worker, "w") as f:
+        f.write(_YAK_WORKER)
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith(("JAX_", "XLA_"))}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", port] + paths,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=300) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, err.decode()[-2000:]
+
+    def ours(raw):
+        # runtimes (Gloo rank banners, loader warnings) occasionally
+        # write to fd 1: keep only the tool's histogram rows
+        import re
+
+        return "".join(ln for ln in raw.decode().splitlines(keepends=True)
+                       if re.match(r"^\d+\t\d+$", ln.rstrip("\n")))
+
+    assert ours(outs[1][0]) == ""
+
+    import contextlib
+    import io
+
+    from kmer_tpu.tools.yak_count import main
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert not main(["-k21", "-b14", "-K65536"] + paths)
+    assert ours(outs[0][0]) == buf.getvalue(), ours(outs[0][0])[:400]

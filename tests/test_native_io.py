@@ -148,3 +148,48 @@ def test_structural_mask_elision(monkeypatch, tmp_path):
         e2.count_paths([path])
         assert np.array_equal(h1, e2.hist(256)), path
         assert e1.total_kmers == e2.total_kmers
+
+
+def test_mesh_packed_ingest_equivalence(monkeypatch, tmp_path):
+    """The mesh engine's packed ingest (2-bit codes over the host link,
+    structural and masked modes) must match its ASCII ingest and the
+    single-chip engine."""
+    import gzip
+
+    import jax
+    import numpy as np
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 virtual devices")
+    from kmer_tpu.pipeline.counter import MeshSortCountEngine, SortCountEngine
+
+    rng = np.random.default_rng(23)
+    clean = str(tmp_path / "clean.fq.gz")   # -> structural mode
+    dirty = str(tmp_path / "dirty.fq.gz")   # N base -> masked mode
+    for path, with_n in ((clean, False), (dirty, True)):
+        with gzip.open(path, "wb") as f:
+            for i in range(800):
+                s = rng.choice(list(b"ACGT"), 130).astype(np.uint8)
+                if with_n and i % 97 == 0:
+                    s[i % 130] = ord("N")
+                f.write(b"@r%d\n%s\n+\n%s\n" % (i, s.tobytes(), b"I" * 130))
+    monkeypatch.setenv("KMER_TPU_FORCE_MESH", "1")
+    k = 21
+    for path in (clean, dirty):
+        monkeypatch.setenv("KMER_TPU_PACKED", "1")
+        e1 = MeshSortCountEngine(k=k, block_bases=1 << 17)
+        e1.count_paths([path])
+        h1 = e1.hist(256, max_count=1023)
+        monkeypatch.setenv("KMER_TPU_PACKED", "0")
+        e2 = MeshSortCountEngine(k=k, block_bases=1 << 17)
+        e2.count_paths([path])
+        assert np.array_equal(h1, e2.hist(256, max_count=1023)), path
+        assert e1._n_distinct == e2._n_distinct
+        eng = SortCountEngine(k=k, block_bases=1 << 17)
+        eng.count_paths([path])
+        assert np.array_equal(h1, eng.hist(256, max_count=1023)), path
+        assert (e1.total_bases, e1.total_seqs, e1.total_kmers) == (
+            eng.total_bases, eng.total_seqs, eng.total_kmers,
+        ), path
