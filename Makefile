@@ -12,8 +12,15 @@ all: native
 
 native: kmer_tpu/io/native/libkmerio.so
 
+# -DKTP_HAVE_LIBDEFLATE/-ldeflate when the header is present (2.5x
+# faster gzip decode; zlib streaming otherwise) — keep in sync with
+# kmer_tpu/io/native/__init__.py:_build
+DEFLATE := $(shell test -e /usr/include/libdeflate.h && echo 1)
+DEFLATE_CPPFLAGS := $(if $(DEFLATE),-DKTP_HAVE_LIBDEFLATE,)
+DEFLATE_LIBS := $(if $(DEFLATE),-ldeflate,)
+
 kmer_tpu/io/native/libkmerio.so: kmer_tpu/io/native/fastx_reader.cpp kmer_tpu/io/native/bam_count.cpp kmer_tpu/io/native/cram_rans.cpp
-	g++ -O3 -march=native -shared -fPIC -o $@ $^ -lz
+	g++ -O3 -march=native $(DEFLATE_CPPFLAGS) -shared -fPIC -o $@ $^ -lz $(DEFLATE_LIBS)
 
 test:
 	$(PY) -m pytest tests/ -q

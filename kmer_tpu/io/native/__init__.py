@@ -38,6 +38,11 @@ def _build() -> bool:
         *_SRCS,
         "-lz",
     ]
+    # libdeflate (when present) decodes gzip ~2.5x faster than zlib on
+    # this host; the reader falls back to zlib streaming without it.
+    if os.path.exists("/usr/include/libdeflate.h"):
+        cmd.insert(1, "-DKTP_HAVE_LIBDEFLATE")
+        cmd.append("-ldeflate")
     try:
         r = subprocess.run(cmd, capture_output=True, timeout=120)
         return r.returncode == 0

@@ -12,7 +12,17 @@
 
 #include <zlib.h>
 
+#if defined(KTP_HAVE_LIBDEFLATE)
+#include <libdeflate.h>
+#endif
+
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
+
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <string>
 #include <vector>
@@ -27,6 +37,101 @@ struct Reader {
   size_t pos = 0;         // cursor into buf
   bool eof = false;
   std::vector<uint8_t> scratch;  // ASCII staging for the packed path
+
+  // --- libdeflate whole-member path (gzip files only) ---------------
+  // zlib's streaming inflate is the reader's dominant cost on a
+  // single-core host (~240 MB/s); libdeflate decodes ~2.5x faster but
+  // is one-shot per gzip member, so the compressed file is slurped and
+  // members are decoded lazily into `buf` on demand.  A truncated or
+  // corrupt member falls back to a zlib streaming pass over the same
+  // bytes so the decodable prefix is still served (gzread semantics,
+  // pinned by tests/test_golden_counters.py truncated-prefix golden).
+#if defined(KTP_HAVE_LIBDEFLATE)
+  libdeflate_decompressor* ld = nullptr;
+#endif
+  std::vector<uint8_t> comp;  // whole compressed file
+  size_t comp_pos = 0;
+  uint8_t* out_scratch = nullptr;  // malloc'd: grown, never zeroed
+  size_t out_cap = 0;
+  uint32_t trailer_isize = 0;  // last member's ISIZE (whole file for
+                               // single-member gzip — the common case)
+
+#if defined(KTP_HAVE_LIBDEFLATE)
+  ~Reader() {
+    if (ld) libdeflate_free_decompressor(ld);
+    std::free(out_scratch);
+  }
+
+  // Decode one gzip member into buf; false at end-of-data.
+  bool fill_libdeflate() {
+    for (;;) {
+      if (comp_pos >= comp.size()) {
+        eof = true;
+        return false;
+      }
+      if (pos > 0) {
+        buf.erase(0, pos);
+        pos = 0;
+      }
+      size_t remain = comp.size() - comp_pos;
+      // First guess covers the whole remaining output (trailer ISIZE is
+      // exact for single-member files); the scratch is malloc'd and
+      // reused, so over-reservation costs address space, not pages.
+      size_t guess = (size_t)trailer_isize + (size_t)(1 << 16);
+      if (guess < 4 * remain) guess = 4 * remain;
+      for (;;) {
+        if (out_cap < guess) {
+          uint8_t* p = static_cast<uint8_t*>(realloc(out_scratch, guess));
+          if (!p) {
+            eof = true;
+            return false;
+          }
+          out_scratch = p;
+          out_cap = guess;
+        }
+        size_t actual_in = 0, actual_out = 0;
+        libdeflate_result rc = libdeflate_gzip_decompress_ex(
+            ld, comp.data() + comp_pos, remain, out_scratch, out_cap,
+            &actual_in, &actual_out);
+        if (rc == LIBDEFLATE_SUCCESS) {
+          comp_pos += actual_in ? actual_in : remain;
+          if (actual_out == 0) break;  // empty member: try the next one
+          buf.append(reinterpret_cast<const char*>(out_scratch), actual_out);
+          return true;
+        }
+        if (rc == LIBDEFLATE_INSUFFICIENT_SPACE) {
+          guess = out_cap * 2;
+          continue;
+        }
+        // Truncated/corrupt member (or trailing garbage): recover the
+        // decodable prefix with streaming zlib, then latch EOF.
+        bool got = false;
+        z_stream zs;
+        std::memset(&zs, 0, sizeof(zs));
+        if (inflateInit2(&zs, 15 + 16) == Z_OK) {
+          zs.next_in = comp.data() + comp_pos;
+          zs.avail_in = (uInt)remain;
+          std::vector<uint8_t> tmp(kChunk);
+          for (;;) {
+            zs.next_out = tmp.data();
+            zs.avail_out = (uInt)tmp.size();
+            int zrc = inflate(&zs, Z_NO_FLUSH);
+            size_t produced = tmp.size() - zs.avail_out;
+            if (produced) {
+              buf.append(reinterpret_cast<const char*>(tmp.data()), produced);
+              got = true;
+            }
+            if (zrc != Z_OK || zs.avail_in == 0) break;
+          }
+          inflateEnd(&zs);
+        }
+        comp_pos = comp.size();
+        eof = true;
+        return got;
+      }
+    }
+  }
+#endif  // KTP_HAVE_LIBDEFLATE
 
   // carry-over sequence that did not fit the caller's buffer
   std::string carry;
@@ -46,6 +151,9 @@ struct Reader {
 
   bool fill() {
     if (eof) return false;
+#if defined(KTP_HAVE_LIBDEFLATE)
+    if (ld) return fill_libdeflate();
+#endif
     char tmp[kChunk];
     int n = gzread(fp, tmp, kChunk);
     if (n <= 0) {
@@ -92,9 +200,45 @@ struct Reader {
     return true;
   }
 
+  // Fast path: one clean 4-line FASTQ record ('@hdr\nSEQ\n+x\nQUAL\n')
+  // fully buffered, single-line seq and qual, no CR, qual length ==
+  // seq length.  Returns false with `pos` untouched for anything else
+  // (partial buffering, FASTA, multiline, CR, malformed quality) — the
+  // generic scanner below keeps the exact kseq edge semantics.
+  bool fastq_fast(std::string* seq) {
+    size_t p = pos;
+    if (p >= buf.size() || buf[p] != '@') return false;
+    const char* base = buf.data();
+    const char* e = base + buf.size();
+    const char* h = base + p;
+    const char* nl1 = (const char*)memchr(h, '\n', e - h);
+    if (!nl1) return false;
+    const char* s0 = nl1 + 1;
+    const char* nl2 = (const char*)memchr(s0, '\n', e - s0);
+    if (!nl2 || nl2 == s0 || nl2[-1] == '\r') return false;
+    size_t slen = nl2 - s0;
+    const char* plus = nl2 + 1;
+    if (plus >= e || *plus != '+') return false;
+    const char* nl3 = (const char*)memchr(plus, '\n', e - plus);
+    if (!nl3) return false;
+    const char* q0 = nl3 + 1;
+    if ((size_t)(e - q0) < slen + 1) return false;
+    const char* nl4 = q0 + slen;
+    if (*nl4 != '\n' || nl4[-1] == '\r') return false;
+    if (memchr(q0, '\n', slen) != nullptr) return false;  // short qual line
+    seq->assign(s0, slen);
+    pos = (size_t)(nl4 + 1 - base);
+    if (qual_resume) {
+      if ((int64_t)slen >= sum_min_len) ref_sum += slen;
+      if (ref_block > 0 && ref_sum >= ref_block) ref_sum = 0;
+    }
+    return true;
+  }
+
   // read the next record's sequence into *seq; false at EOF
   bool next_seq(std::string* seq) {
     while (!stopped) {
+      if (fastq_fast(seq)) return true;
       std::string line;
       char c;
       // find header
@@ -157,6 +301,44 @@ struct Reader {
 extern "C" {
 
 void* ktp_open(const char* path) {
+#if defined(KTP_HAVE_LIBDEFLATE)
+  // gzip files take the libdeflate whole-member path: slurp the
+  // compressed bytes (page-cache read, ~GB/s) and decode members
+  // lazily in fill_libdeflate().  Plain files keep zlib's transparent
+  // gzopen passthrough.
+  if (FILE* f = fopen(path, "rb")) {
+    uint8_t magic[2];
+    size_t got = fread(magic, 1, 2, f);
+    if (got == 2 && magic[0] == 0x1f && magic[1] == 0x8b) {
+      auto* r = new Reader();
+      r->ld = libdeflate_alloc_decompressor();
+      if (r->ld) {
+        if (fseek(f, 0, SEEK_END) == 0) {
+          long sz = ftell(f);
+          if (sz > 0) {
+            r->comp.resize((size_t)sz);
+            fseek(f, 0, SEEK_SET);
+            if (fread(r->comp.data(), 1, (size_t)sz, f) != (size_t)sz)
+              r->comp.clear();
+            if (r->comp.size() >= 4) {
+              const uint8_t* t = r->comp.data() + r->comp.size() - 4;
+              r->trailer_isize = (uint32_t)t[0] | ((uint32_t)t[1] << 8) |
+                                 ((uint32_t)t[2] << 16) | ((uint32_t)t[3] << 24);
+            }
+          }
+        }
+        fclose(f);
+        if (!r->comp.empty()) return r;
+      }
+      delete r;  // slurp failed: fall through to the zlib path
+      f = fopen(path, "rb");
+      if (!f) return nullptr;
+    }
+    fclose(f);
+  } else {
+    return nullptr;
+  }
+#endif
   gzFile fp = gzopen(path, "r");
   if (!fp) return nullptr;
   gzbuffer(fp, 1 << 20);
@@ -178,7 +360,7 @@ void ktp_set_policy(void* h, int32_t qual_resume, int64_t ref_block,
 void ktp_close(void* h) {
   auto* r = static_cast<Reader*>(h);
   if (r) {
-    gzclose(r->fp);
+    if (r->fp) gzclose(r->fp);
     delete r;
   }
 }
@@ -287,7 +469,52 @@ int64_t ktp_read_block_packed(void* h, uint8_t* packed, uint8_t* mask,
     init = true;
   }
   const uint8_t* s = r->scratch.data();
-  for (int64_t i = 0; i < used; ++i) {
+  int64_t i = 0;
+#if defined(__AVX2__)
+  // 32 ASCII bytes -> 8 packed bytes + 32 mask bits per iteration.
+  // Codes via bit tricks instead of the table: (c>>1)&3 maps
+  // A,C,T/U,G -> 0,1,2,3; its 2-bit gray code x^(x>>1) is exactly
+  // seq_nt4 (A0 C1 G2 T3).  Validity = uppercase in {A,C,G,T,U}.
+  {
+    const __m256i vDF = _mm256_set1_epi8((char)0xDF);
+    const __m256i vA = _mm256_set1_epi8('A'), vC = _mm256_set1_epi8('C');
+    const __m256i vG = _mm256_set1_epi8('G'), vT = _mm256_set1_epi8('T');
+    const __m256i vU = _mm256_set1_epi8('U');
+    const __m256i v3 = _mm256_set1_epi8(3), v1 = _mm256_set1_epi8(1);
+    const __m256i w14 = _mm256_set1_epi16(0x0401);   // bytes [1,4]
+    const __m256i w116 = _mm256_set1_epi32(0x00100001);  // i16 [1,16]
+    const __m256i pick0 = _mm256_setr_epi8(
+        0, 4, 8, 12, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1,
+        0, 4, 8, 12, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1);
+    for (; i + 32 <= used; i += 32) {
+      __m256i v = _mm256_loadu_si256((const __m256i*)(s + i));
+      __m256i up = _mm256_and_si256(v, vDF);
+      __m256i valid = _mm256_or_si256(
+          _mm256_or_si256(_mm256_cmpeq_epi8(up, vA), _mm256_cmpeq_epi8(up, vC)),
+          _mm256_or_si256(
+              _mm256_or_si256(_mm256_cmpeq_epi8(up, vG),
+                              _mm256_cmpeq_epi8(up, vT)),
+              _mm256_cmpeq_epi8(up, vU)));
+      uint32_t inv = ~(uint32_t)_mm256_movemask_epi8(valid);
+      std::memcpy(mask + (i >> 3), &inv, 4);
+      __m256i code2 =
+          _mm256_and_si256(_mm256_srli_epi16(v, 1), v3);
+      __m256i gray = _mm256_xor_si256(
+          code2, _mm256_and_si256(_mm256_srli_epi16(code2, 1), v1));
+      __m256i code = _mm256_and_si256(gray, valid);
+      __m256i t16 = _mm256_maddubs_epi16(code, w14);
+      __m256i t32 = _mm256_madd_epi16(t16, w116);
+      __m256i b = _mm256_shuffle_epi8(t32, pick0);
+      __m128i lo = _mm256_castsi256_si128(b);
+      __m128i hi = _mm256_extracti128_si256(b, 1);
+      uint32_t p0 = (uint32_t)_mm_cvtsi128_si32(lo);
+      uint32_t p1 = (uint32_t)_mm_cvtsi128_si32(hi);
+      std::memcpy(packed + (i >> 2), &p0, 4);
+      std::memcpy(packed + (i >> 2) + 4, &p1, 4);
+    }
+  }
+#endif
+  for (; i < used; ++i) {
     uint8_t c = nt4[s[i]];
     if (c > 3)
       mask[i >> 3] |= (uint8_t)(1u << (i & 7));
@@ -295,8 +522,8 @@ int64_t ktp_read_block_packed(void* h, uint8_t* packed, uint8_t* mask,
       packed[i >> 2] |= (uint8_t)(c << (2 * (i & 3)));
   }
   // everything past the packed region is invalid
-  int64_t i = used;
-  for (; i < capacity && (i & 7); ++i) mask[i >> 3] |= (uint8_t)(1u << (i & 7));
+  for (i = used; i < capacity && (i & 7); ++i)
+    mask[i >> 3] |= (uint8_t)(1u << (i & 7));
   if (i < capacity) memset(mask + (i >> 3), 0xFF, (capacity - i) >> 3);
   return used;
 }

@@ -34,6 +34,9 @@ from ..kernels.kmer import extract_canonical
 
 GROW_LOAD = 0.65
 
+# byte -> popcount (mask-elision check without unpackbits' 8x blowup)
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], np.uint8)
+
 
 def _trim_to_class(buf: np.ndarray, n: int) -> np.ndarray:
     """Trim a packed buffer to the smallest size class >= n bytes used.
@@ -137,7 +140,7 @@ def _iter_packed2(paths, k: int, block_bases: int, capacity: int,
         if rb and rb > k:
             slots = 8 * mask.shape[0]
             expected = (slots - n) + n // rb
-            if int(np.unpackbits(mask).sum()) == expected:
+            if int(_POPCNT8[mask].sum(dtype=np.int64)) == expected:
                 mask = None
         yield packed, mask, n, n_seqs, rb
 
@@ -154,24 +157,29 @@ def _issue_transfer(x):
 
 
 def _to_device_ascii(item):
-    """Upload a block inside the prefetch thread so the host->device
-    transfer overlaps the previous block's dispatch/compute (the P1
-    pipeline overlap, extended to the copy).  Buffers are freshly
+    """Upload a block inside an uploader thread so the host->device
+    transfer overlaps the reader and the previous block's compute (the
+    P1 pipeline overlap, extended to the copy).  Buffers are freshly
     allocated per block, so the zero-copy-alias hazard (CLAUDE.md) does
-    not apply."""
+    not apply.  The tiny readback at the end blocks THIS thread until
+    the transfer completed (block_until_ready does not sync through the
+    tunnel): it pins each upload to its own tunnel stream (two threads
+    move ~1.5x the bytes/s of one) and gives the pipeline backpressure."""
     buf, n, ns, rb = item
     buf = jnp.asarray(buf)
-    _issue_transfer(buf)
+    s = _issue_transfer(buf)
+    np.asarray(s)
     return buf, n, ns, rb
 
 
 def _to_device_packed(item):
     p, m, n, ns, rb = item
     p = jnp.asarray(p)
-    _issue_transfer(p)
+    s = _issue_transfer(p)
     if m is not None:
         m = jnp.asarray(m)
-        _issue_transfer(m)
+        s = _issue_transfer(m)
+    np.asarray(s)
     return p, m, n, ns, rb
 
 
@@ -192,6 +200,30 @@ class _maybe_profile:
         if self.dir:
             jax.profiler.stop_trace()
         return False
+
+
+def _pipelined_map(fn, it, workers=2, depth=4):
+    """Order-preserving map over `it` with `workers` threads and at most
+    `depth` items in flight (the kt_pipeline middle-step analog).  Used
+    to run TWO host->device uploads concurrently: the tunneled TPU link
+    moves ~28 MB/s per uploading thread but ~40 MB/s with two (measured
+    — the per-thread stream is latency/window-limited, not saturated),
+    and the bounded depth keeps host/device buffering proportional to
+    the pipeline, not the file."""
+    import concurrent.futures as cf
+    from collections import deque
+
+    ex = cf.ThreadPoolExecutor(max_workers=workers)
+    dq: "deque" = deque()
+    try:
+        for item in it:
+            dq.append(ex.submit(fn, item))
+            if len(dq) >= depth:
+                yield dq.popleft().result()
+        while dq:
+            yield dq.popleft().result()
+    finally:
+        ex.shutdown(wait=False, cancel_futures=True)
 
 
 def _prefetch(it, depth=2):
@@ -352,17 +384,36 @@ class SortCountEngine:
         )
         self.total_bases = 0
         self.total_seqs = 0
-        self.total_kmers = 0
+        # per-block valid-window counts stay ON DEVICE during streaming:
+        # an int() per block is a blocking tunnel round trip (~30 ms)
+        # that stalls dispatch; total_kmers folds them lazily instead
+        self._nk_host = 0
+        self._nk_dev: list = []
+
+    @property
+    def total_kmers(self) -> int:
+        if self._nk_dev:
+            self._nk_host += int(np.asarray(
+                jax.device_get(jnp.stack(self._nk_dev)).sum()
+            ))
+            self._nk_dev.clear()
+        return self._nk_host
+
+    @total_kmers.setter
+    def total_kmers(self, v: int) -> None:
+        self._nk_dev.clear()
+        self._nk_host = int(v)
 
     def count_paths(self, paths: Sequence[str], progress=None) -> None:
         if _use_packed_ingest(paths):
-            it = map(
-                _to_device_packed,
-                _iter_packed2(paths, self.k, self.block_bases, self.capacity,
-                              self.qual_policy),
-            )
+            it = _iter_packed2(paths, self.k, self.block_bases, self.capacity,
+                               self.qual_policy)
             if self.prefetch:
-                it = _prefetch(it)
+                # 3-stage host pipeline (the kt_pipeline analog): reader
+                # thread -> 2 uploader threads -> this thread's dispatch
+                it = _pipelined_map(_to_device_packed, _prefetch(it))
+            else:
+                it = map(_to_device_packed, it)
             with _maybe_profile():
                 for packed, mask, n_bases, n_seqs, row_bytes in it:
                     rb = row_bytes if row_bytes and row_bytes > self.k else None
@@ -377,17 +428,16 @@ class SortCountEngine:
                     self.compactor.add_raw(hi, lo)
                     self.total_bases += int(n_bases) - int(n_seqs)
                     self.total_seqs += n_seqs
-                    self.total_kmers += int(n_kmers)
+                    self._nk_dev.append(n_kmers)
                     if progress is not None:
                         progress(self)
             return
-        it = map(
-            _to_device_ascii,
-            _iter_packed(paths, self.k, self.block_bases, self.capacity,
-                         self.qual_policy),
-        )
+        it = _iter_packed(paths, self.k, self.block_bases, self.capacity,
+                          self.qual_policy)
         if self.prefetch:
-            it = _prefetch(it)
+            it = _pipelined_map(_to_device_ascii, _prefetch(it))
+        else:
+            it = map(_to_device_ascii, it)
         with _maybe_profile():
             for buf, n_bases, n_seqs, row_bytes in it:
                 if row_bytes and row_bytes > self.k:
@@ -397,7 +447,7 @@ class SortCountEngine:
                 self.compactor.add_raw(hi, lo)
                 self.total_bases += int(n_bases) - int(n_seqs)
                 self.total_seqs += n_seqs
-                self.total_kmers += int(n_kmers)
+                self._nk_dev.append(n_kmers)
                 if progress is not None:
                     progress(self)
 
