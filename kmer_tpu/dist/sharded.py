@@ -613,17 +613,13 @@ def sharded_counts_for_fn(mesh: Mesh, weighted: bool, one_plane: bool = False):
     it and a psum of the per-device answers is the global answer — no
     query routing collective needed.  Query keys must be unique
     (callers dedup, as in KmerCompactor.counts_for)."""
-    from ..table.compactor import _counts_for_impl, _counts_for_raw_impl
+    from ..table.compactor import _counts_for_bs_impl
 
     def per_device(hi, lo, qhi, qlo, cnt=None):
-        if weighted:
-            out = _counts_for_impl(
-                hi[0, 0], lo[0, 0], cnt[0, 0], qhi, qlo, True, one_plane
-            )
-        else:
-            out = _counts_for_raw_impl(
-                hi[0, 0], lo[0, 0], qhi, qlo, one_plane
-            )
+        out = _counts_for_bs_impl(
+            hi[0, 0], lo[0, 0], cnt[0, 0] if weighted else hi[0, 0],
+            qhi, qlo, weighted, one_plane,
+        )
         return jax.lax.psum(jax.lax.psum(out, "shard"), "data")
 
     spec = P("data", "shard", None)

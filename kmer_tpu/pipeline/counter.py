@@ -202,6 +202,19 @@ class _maybe_profile:
         return False
 
 
+def _upload_threads(default: int = 2) -> int:
+    """KMER_TPU_UPLOAD_THREADS overrides the uploader thread count.
+    Each thread is an independent tunnel stream; per-stream bandwidth is
+    latency/window-limited (~28 MB/s measured), so aggregate ingest
+    scales with streams until the link saturates."""
+    import os
+
+    try:
+        return max(1, int(os.environ.get("KMER_TPU_UPLOAD_THREADS", "")))
+    except ValueError:
+        return default
+
+
 def _pipelined_map(fn, it, workers=2, depth=4):
     """Order-preserving map over `it` with `workers` threads and at most
     `depth` items in flight (the kt_pipeline middle-step analog).  Used
@@ -411,7 +424,9 @@ class SortCountEngine:
             if self.prefetch:
                 # 3-stage host pipeline (the kt_pipeline analog): reader
                 # thread -> 2 uploader threads -> this thread's dispatch
-                it = _pipelined_map(_to_device_packed, _prefetch(it))
+                w = _upload_threads()
+                it = _pipelined_map(_to_device_packed, _prefetch(it),
+                                    workers=w, depth=2 * w)
             else:
                 it = map(_to_device_packed, it)
             with _maybe_profile():
@@ -435,7 +450,9 @@ class SortCountEngine:
         it = _iter_packed(paths, self.k, self.block_bases, self.capacity,
                           self.qual_policy)
         if self.prefetch:
-            it = _pipelined_map(_to_device_ascii, _prefetch(it))
+            w = _upload_threads()
+            it = _pipelined_map(_to_device_ascii, _prefetch(it),
+                                workers=w, depth=2 * w)
         else:
             it = map(_to_device_ascii, it)
         with _maybe_profile():

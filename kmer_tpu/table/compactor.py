@@ -347,25 +347,26 @@ class KmerCompactor:
         # count its twin as data); dedup host-side and expand back
         qhi, qlo, q, inverse = prep_queries(query_hi, query_lo,
                                             self.one_plane)
-        if has_counts:
-            out = _counts_for_impl(
-                hi, lo, cnt, jnp.asarray(qhi), jnp.asarray(qlo), True,
-                self.one_plane,
-            )
-        else:
-            out = _counts_for_raw_impl(
-                hi, lo, jnp.asarray(qhi), jnp.asarray(qlo), self.one_plane
-            )
-            if os.environ.get("KMER_TPU_DEBUG"):
-                # cross-check the position-arithmetic fast path against
-                # the cumsum-based general implementation
+        out = _counts_for_bs_impl(
+            hi, lo, cnt if has_counts else hi, jnp.asarray(qhi),
+            jnp.asarray(qlo), has_counts, self.one_plane,
+        )
+        if os.environ.get("KMER_TPU_DEBUG"):
+            # cross-check the binary-search join against the tag-based
+            # sort-join formulations (two independent derivations)
+            if has_counts:
                 out2 = _counts_for_impl(
-                    hi, lo, hi, jnp.asarray(qhi), jnp.asarray(qlo), False,
-                    False,
+                    hi, lo, cnt, jnp.asarray(qhi), jnp.asarray(qlo), True,
+                    self.one_plane,
                 )
-                assert np.array_equal(
-                    np.asarray(out)[:q], np.asarray(out2)[:q]
-                ), "KMER_TPU_DEBUG: counts_for fast/general path mismatch"
+            else:
+                out2 = _counts_for_sortjoin_impl(
+                    hi, lo, jnp.asarray(qhi), jnp.asarray(qlo),
+                    self.one_plane,
+                )
+            assert np.array_equal(
+                np.asarray(out)[:q], np.asarray(out2)[:q]
+            ), "KMER_TPU_DEBUG: counts_for binary-search/sort-join mismatch"
         return np.asarray(out)[:q].astype(np.int64)[inverse]
 
 
@@ -416,14 +417,85 @@ def _compact_impl(hi, lo, cnt, has_counts, one_plane=False):
     return chi, clo, ccnt, n_unique
 
 
+def _lex_lower_bound(s_hi, s_lo, qhi, qlo):
+    """First index i with (s_hi, s_lo)[i] >= (qhi, qlo) lexicographically,
+    vectorized over all queries: a fixed-trip binary search whose probes
+    are tiny gathers (2 planes x n_queries lanes per step).  The data
+    planes stay put — no payload planes ride the sort and no second
+    full-size reorder sort is needed (cf. the superseded sort-join tag
+    scheme), which is what makes counts_for O(sort(n) + q log n)."""
+    n = s_hi.shape[0]
+    steps = max(1, n.bit_length())
+    low = jnp.zeros(qhi.shape, I32)
+    high = jnp.full(qhi.shape, n, I32)
+
+    def body(_, lh):
+        low, high = lh
+        mid = (low + high) >> 1
+        m = jnp.minimum(mid, n - 1)
+        mhi = jnp.take(s_hi, m)
+        mlo = jnp.take(s_lo, m)
+        less = (mhi < qhi) | ((mhi == qhi) & (mlo < qlo))
+        return jnp.where(less, mid + 1, low), jnp.where(less, high, mid)
+
+    low, _ = jax.lax.fori_loop(0, steps, body, (low, high))
+    return low
+
+
+def _key_succ(qhi, qlo):
+    """(qhi, qlo) + 1 as a u64 with carry — the exclusive upper bound of
+    a key's segment.  The all-ones sentinel wraps to (0, 0); sentinel
+    queries only occur in the size-class padding, whose results are
+    sliced away by the caller."""
+    nlo = qlo + jnp.uint32(1)
+    carry = nlo == 0
+    return qhi + carry.astype(U32), nlo
+
+
 @partial(jax.jit, static_argnames=("one_plane",))
 def _counts_for_raw_impl(hi, lo, qhi, qlo, one_plane=False):
-    """Unweighted fast path: every data lane has multiplicity 1, and
-    query keys are unique, so after sorting (hi, lo, tag) — tag 0 for
-    data, 1+query_index for queries (queries sort after their data
-    segment) — each query lane's count is simply pos - segment_start.
-    Three sorted planes instead of five, position arithmetic instead of
-    a cumsum."""
+    """Unweighted fast path: sort the data planes once (the same sort
+    hist would do — no tag payload), then binary-search each unique
+    query key's segment bounds; count = upper - lower.  q probe rounds
+    of 2 tiny gathers replace a payload plane and a full-size reorder
+    sort of the superseded sort-join formulation (~1.7x on the 21k-SNP
+    vaf bench)."""
+    s_hi, s_lo, _ = _sort_kl(hi, lo, one_plane=one_plane)
+    lb = _lex_lower_bound(s_hi, s_lo, qhi, qlo)
+    nhi, nlo = _key_succ(qhi, qlo)
+    ub = _lex_lower_bound(s_hi, s_lo, nhi, nlo)
+    return jnp.maximum(ub - lb, 0).astype(U32)
+
+
+@partial(jax.jit, static_argnames=("has_counts", "one_plane"))
+def _counts_for_bs_impl(hi, lo, cnt, qhi, qlo, has_counts, one_plane=False):
+    """Weighted binary-search join: sort (key, count) planes, one modular
+    u32 cumsum, then each query's total = csum[ub-1] - csum[lb-1]
+    (exact per segment regardless of global wraps, see _compact_impl)."""
+    if not has_counts:
+        return _counts_for_raw_impl(hi, lo, qhi, qlo, one_plane)
+    s_hi, s_lo, (c,) = _sort_kl(hi, lo, (cnt,), one_plane=one_plane)
+    csum = jnp.cumsum(c.astype(jnp.uint32), dtype=jnp.uint32)
+
+    def csum_before(i):
+        # csum[i-1] with csum[-1] == 0
+        return jnp.where(i > 0, jnp.take(csum, jnp.maximum(i - 1, 0)),
+                         jnp.uint32(0))
+
+    lb = _lex_lower_bound(s_hi, s_lo, qhi, qlo)
+    nhi, nlo = _key_succ(qhi, qlo)
+    ub = _lex_lower_bound(s_hi, s_lo, nhi, nlo)
+    total = csum_before(ub) - csum_before(lb)
+    return jnp.where(ub > lb, total, jnp.uint32(0))
+
+
+@partial(jax.jit, static_argnames=("one_plane",))
+def _counts_for_sortjoin_impl(hi, lo, qhi, qlo, one_plane=False):
+    """Unweighted tag-based sort-join, retained as the KMER_TPU_DEBUG
+    oracle for the binary-search path: every data lane has multiplicity
+    1, and query keys are unique, so after sorting (hi, lo, tag) — tag 0
+    for data, 1+query_index for queries (queries sort after their data
+    segment) — each query lane's count is simply pos - segment_start."""
     n = hi.shape[0]
     q = qhi.shape[0]
     m_hi = jnp.concatenate([hi, qhi])
