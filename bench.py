@@ -221,11 +221,11 @@ def bench_end_to_end(reads_path):
     t0 = time.time()
     eng, _ = run_once()
     warm_s = time.time() - t0
-    # best of 2 timed passes: the TPU tunnel's transfer bandwidth varies
+    # best of 3 timed passes: the TPU tunnel's transfer bandwidth varies
     # several-fold minute to minute (CLAUDE.md); congestion noise is
     # strictly additive, so the minimum measures the pipeline
     times = []
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         eng, h = run_once()
         times.append(time.time() - t0)
@@ -266,7 +266,7 @@ def bench_vaf(reads_path, k=21):
     run_once()
     warm_s = time.time() - t0
     times = []
-    for _ in range(2):  # best-of-2, as in bench_end_to_end
+    for _ in range(3):  # best-of-3, as in bench_end_to_end
         t0 = time.time()
         eng, qc = run_once()
         times.append(time.time() - t0)
