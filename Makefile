@@ -33,6 +33,11 @@ test-fast:
 bench:
 	$(PY) bench.py
 
+# golden CLI surface through the Mosaic-compiled kernels on a real TPU
+# (CI runs Pallas interpret-only; see scripts/tpu_smoke.py)
+tpu-smoke:
+	$(PY) scripts/tpu_smoke.py
+
 fixtures:
 	$(PY) scripts/make_fixtures.py
 

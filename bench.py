@@ -11,7 +11,10 @@
    honest comparison against the reference's elapsed time, which also
    includes disk + gzip (only jit compile excluded; the warm run's file
    IO is re-done in the timed run).  Same baseline.
-3. vaf-counter: ~21k-SNP pattern file against the same reads
+3. yak-count single-file two-pass (-b30, count >= 2) via the CLI's
+   sort-engine fast path.  Baseline: 14.6 s elapsed for ~500 Mbases
+   (/root/reference/README.md:259).
+4. vaf-counter: ~21k-SNP pattern file against the same reads
    (/root/reference/EXAMPLE.md:314 gives 30-50 Mbases/s and 20-30
    M k-mers/s "depending on CPU"; baselines = the top of each range).
 
@@ -42,6 +45,7 @@ K = 31
 BLOCK = 8 * 1024 * 1024  # bases per device block
 N_BLOCKS = 48  # ~384 Mbases
 BASELINE_MBASES_S = 500.0 / 7.5  # kc-c4, README.md:258
+YAK_BASELINE_MBASES_S = 500.0 / 14.6  # yak-count -b30 2-pass, README.md:259
 VAF_BASELINE_MBASES_S = 50.0  # EXAMPLE.md:314 upper end
 VAF_BASELINE_MKMERS_S = 30.0
 READ_LEN = 150
@@ -242,6 +246,41 @@ def bench_end_to_end(reads_path):
     )
 
 
+def bench_yak(reads_path):
+    """yak-count single-file two-pass (-b30, count >= 2): the CLI's
+    sort-engine fast path (tools/yak_count.py — bit-identical to the
+    bloom-gated two-pass on one file, reading the input once), against
+    the reference's two-pass elapsed time (README.md:259, 14.6 s for
+    ~500 Mbases incl. its bloom pass re-reading the file)."""
+    from kmer_tpu.pipeline.counter import SortCountEngine
+
+    def run_once():
+        eng = SortCountEngine(k=K, block_bases=10_000_000,
+                              qual_policy=("resume", K, 3))
+        eng.count_paths([reads_path])
+        h = eng.hist(1024, max_count=1023, min_keep=2)
+        return eng, h
+
+    t0 = time.time()
+    run_once()
+    warm_s = time.time() - t0
+    times = []
+    for _ in range(3):  # best-of-3, as in bench_end_to_end
+        t0 = time.time()
+        eng, h = run_once()
+        times.append(time.time() - t0)
+    elapsed = min(times)
+    mbases = eng.total_bases / 1e6
+    value = mbases / elapsed
+    emit("yak-count two-pass (-b30) end-to-end throughput (1 chip)",
+         value, YAK_BASELINE_MBASES_S)
+    sys.stderr.write(
+        f"[bench] yak: {mbases:.0f} Mbases in {elapsed:.2f}s "
+        f"({value:.1f} Mb/s); warm {warm_s:.1f}s; "
+        f"{eng._n_distinct} distinct with count >= 2\n"
+    )
+
+
 def bench_vaf(reads_path, k=21):
     """The vaf-counter counting section (BASELINE config 4): stream the
     reads, then resolve every pattern k-mer with the global sort-join —
@@ -289,6 +328,7 @@ def main():
     bench_device_path()
     reads = ensure_reads_file()
     bench_end_to_end(reads)
+    bench_yak(reads)
     bench_vaf(reads)
 
 
