@@ -1,0 +1,80 @@
+"""Bitonic merge (kernels/bitonic.py) vs lax.sort ground truth."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kmer_tpu.kernels import bitonic
+
+
+def _sorted_halves(rng, n, sent_frac=0.0):
+    hi = rng.integers(0, 1 << 30, n, dtype=np.uint32)
+    lo = rng.integers(0, 1 << 32, n, dtype=np.uint32)
+    if sent_frac:
+        m = rng.random(n) < sent_frac
+        hi[m] = 0xFFFFFFFF
+        lo[m] = 0xFFFFFFFF
+    half = n // 2
+    h0, l0 = jax.lax.sort((jnp.asarray(hi[:half]), jnp.asarray(lo[:half])),
+                          num_keys=2)
+    h1, l1 = jax.lax.sort((jnp.asarray(hi[half:]), jnp.asarray(lo[half:])),
+                          num_keys=2)
+    ref = jax.lax.sort((jnp.asarray(hi), jnp.asarray(lo)), num_keys=2)
+    return (jnp.concatenate([h0, h1]), jnp.concatenate([l0, l1])), ref
+
+
+@pytest.mark.parametrize("n", [2, 256, 1 << 12, 1 << 19])
+@pytest.mark.parametrize("sent_frac", [0.0, 0.3])
+def test_merge_matches_sort(n, sent_frac):
+    (ch, cl), (rh, rl) = _sorted_halves(np.random.default_rng(n), n, sent_frac)
+    mh, ml = bitonic.merge_sorted_halves(ch, cl)
+    assert np.array_equal(np.asarray(mh), np.asarray(rh))
+    assert np.array_equal(np.asarray(ml), np.asarray(rl))
+    # the pure-XLA oracle agrees lane for lane
+    xh, xl = bitonic.merge_sorted_halves_xla(ch, cl)
+    assert np.array_equal(np.asarray(xh), np.asarray(rh))
+    assert np.array_equal(np.asarray(xl), np.asarray(rl))
+
+
+def test_merge_tile_pallas_interpret():
+    """Force the Pallas tile path (n == TILE) under interpret mode."""
+    n = bitonic.TILE
+    (ch, cl), (rh, rl) = _sorted_halves(np.random.default_rng(7), n)
+    mh, ml = bitonic.merge_sorted_halves(ch, cl, use_pallas=True)
+    assert np.array_equal(np.asarray(mh), np.asarray(rh))
+    assert np.array_equal(np.asarray(ml), np.asarray(rl))
+
+
+@pytest.mark.parametrize("n_runs", [1, 2, 3, 5, 8])
+def test_merge_tree(n_runs):
+    rng = np.random.default_rng(n_runs)
+    m = 1 << 10
+    runs, all_hi, all_lo = [], [], []
+    for _ in range(n_runs):
+        hi = rng.integers(0, 1 << 30, m, dtype=np.uint32)
+        lo = rng.integers(0, 1 << 32, m, dtype=np.uint32)
+        h, l = jax.lax.sort((jnp.asarray(hi), jnp.asarray(lo)), num_keys=2)
+        runs.append((h, l))
+        all_hi.append(hi)
+        all_lo.append(lo)
+    mh, ml = bitonic.merge_tree(runs)
+    n_pad = 1 << max(0, (n_runs - 1)).bit_length()
+    cat_hi = np.concatenate(all_hi + [np.full(m * (n_pad - n_runs),
+                                              0xFFFFFFFF, np.uint32)])
+    cat_lo = np.concatenate(all_lo + [np.full(m * (n_pad - n_runs),
+                                              0xFFFFFFFF, np.uint32)])
+    rh, rl = jax.lax.sort((jnp.asarray(cat_hi), jnp.asarray(cat_lo)),
+                          num_keys=2)
+    assert np.array_equal(np.asarray(mh), np.asarray(rh))
+    assert np.array_equal(np.asarray(ml), np.asarray(rl))
+
+
+def test_pad_pow2():
+    hi = jnp.arange(5, dtype=jnp.uint32)
+    lo = jnp.arange(5, dtype=jnp.uint32)
+    ph, pl = bitonic.pad_pow2(hi, lo)
+    assert ph.shape[0] == 8
+    assert np.all(np.asarray(ph)[5:] == 0xFFFFFFFF)
+    h2, _ = bitonic.pad_pow2(ph, pl)
+    assert h2.shape[0] == 8
