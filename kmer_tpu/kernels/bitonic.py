@@ -62,6 +62,19 @@ def _xla_stage(h, l, s):
     return jnp.where(take, ph, h), jnp.where(take, pl, l)
 
 
+def _xla_stage1(l, s):
+    """Single-plane _xla_stage (one-plane compactor mode: keys < 2^31
+    live in the lo plane alone, the hi plane is derived afterwards)."""
+    n = l.shape[0]
+    idx = jax.lax.iota(U32, n)
+    bit0 = (idx & U32(s)) == 0
+    lp, lm = jnp.roll(l, -s), jnp.roll(l, s)
+    pl = jnp.where(bit0, lp, lm)
+    less = pl < l
+    take = jnp.where(bit0, less, ~less)
+    return jnp.where(take, pl, l)
+
+
 def _merge_tile_kernel(hi_ref, lo_ref, oh_ref, ol_ref):
     """All stride < TILE stages of the bitonic merge cascade for one
     TILE-lane tile, in VMEM.  View: (TILE/128, 128).  Strides >= 128 are
@@ -100,6 +113,33 @@ def _merge_tile_kernel(hi_ref, lo_ref, oh_ref, ol_ref):
     ol_ref[:, :] = l
 
 
+def _merge_tile_kernel1(lo_ref, ol_ref):
+    """Single-plane _merge_tile_kernel (compare and move one u32 plane —
+    half the VMEM traffic for one-plane compactors)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    l = lo_ref[:, :]
+    rows = l.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, l.shape, 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, l.shape, 1)
+    for k in range(TILE_BITS - 1, -1, -1):
+        s = 1 << k
+        if s >= 128:
+            r = s // 128
+            lp = pltpu.roll(l, rows - r, 0)
+            lm = pltpu.roll(l, r, 0)
+            bit0_i = 1 - ((row >> (k - 7)) & 1)
+        else:
+            lp = pltpu.roll(l, 128 - s, 1)
+            lm = pltpu.roll(l, s, 1)
+            bit0_i = 1 - ((lane >> k) & 1)
+        pl = jnp.where(bit0_i == 1, lp, lm)
+        less_i = (pl < l).astype(jnp.int32)
+        take = bit0_i * less_i + (1 - bit0_i) * (1 - less_i)
+        l = jnp.where(take == 1, pl, l)
+    ol_ref[:, :] = l
+
+
 def _merge_low_strides_pallas(h, l):
     """Apply every stride < TILE stage with one Pallas pass (grid over
     TILE-lane tiles)."""
@@ -122,6 +162,46 @@ def _merge_low_strides_pallas(h, l):
         interpret=jax.default_backend() != "tpu",
     )(h2, l2)
     return oh.reshape(n), ol.reshape(n)
+
+
+def _merge_low_strides_pallas1(l):
+    import jax.experimental.pallas as pl
+
+    n = l.shape[0]
+    assert n % TILE == 0
+    rows_total, r_tile = n // 128, TILE // 128
+    l2 = l.reshape(rows_total, 128)
+    spec = pl.BlockSpec((r_tile, 128), lambda i: (i, 0))
+    ol = pl.pallas_call(
+        _merge_tile_kernel1,
+        grid=(n // TILE,),
+        in_specs=[spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((rows_total, 128), U32),
+        interpret=jax.default_backend() != "tpu",
+    )(l2)
+    return ol.reshape(n)
+
+
+@partial(jax.jit, static_argnames=("use_pallas",))
+def merge_sorted_halves1(lo, use_pallas=True):
+    """Single-plane merge_sorted_halves: merge a flat u32 plane whose two
+    halves are each ascending-sorted (one-plane compactor keys)."""
+    n = lo.shape[0]
+    assert n & (n - 1) == 0, "merge needs power-of-two lanes"
+    half = n // 2
+    lo = jnp.concatenate([lo[:half], lo[half:][::-1]])
+    log2n = n.bit_length() - 1
+    lo_bits = min(TILE_BITS, log2n) if use_pallas and n >= TILE else 0
+    if log2n > lo_bits:
+        def body(i, l):
+            s = jnp.int32(1) << (log2n - 1 - i)
+            return _xla_stage1(l, s)
+
+        lo = jax.lax.fori_loop(0, log2n - lo_bits, body, lo)
+    if lo_bits:
+        lo = _merge_low_strides_pallas1(lo)
+    return lo
 
 
 @partial(jax.jit, static_argnames=("use_pallas",))

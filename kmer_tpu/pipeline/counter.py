@@ -385,7 +385,7 @@ class SortCountEngine:
         prefetch: bool = True,
         qual_policy=None,
     ):
-        from ..table.compactor import KmerCompactor
+        from ..table.compactor import KmerCompactor, stream_sorted_default
 
         self.k = k
         self.block_bases = block_bases
@@ -393,9 +393,12 @@ class SortCountEngine:
         self.prefetch = prefetch
         self.qual_policy = qual_policy  # see io.fastx.FastxReader
         # hash64 output is < 2^(2k): for k <= 15 the compactor's sorts
-        # can run single-plane (half the comparator work)
+        # can run single-plane (half the comparator work).  On TPU the
+        # compactor stream-sorts arriving blocks (hidden under ingest)
+        # so finalization pays a bitonic merge, not the giant sort.
         self.compactor = KmerCompactor(
-            budget_bytes=budget_bytes, key_bits=2 * k
+            budget_bytes=budget_bytes, key_bits=2 * k,
+            stream_sorted=stream_sorted_default(),
         )
         self.total_bases = 0
         self.total_seqs = 0

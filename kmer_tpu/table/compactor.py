@@ -40,6 +40,39 @@ I32 = jnp.int32
 U32 = jnp.uint32
 SENT = jnp.uint32(0xFFFFFFFF)
 
+# stream-sorted mode: blocks are folded into sorted runs of this many
+# lanes as they arrive (the sorts hide under host->device ingest, which
+# is the end-to-end bottleneck and leaves the device idle), and
+# finalization pays only a bitonic merge cascade (kernels/bitonic.py:
+# 0.33s vs lax.sort's 1.38s at 2^28 lanes on a v5e) instead of the one
+# giant sort.  The reference's analog is insertion overlapping reading
+# (kc-c4.c:130-179 kt_pipeline); there is no reference analog of the
+# merge itself (khashl inserts in place).
+_STREAM_CHUNK = 1 << 24
+_STREAM_MIN = 1 << 16
+
+
+def stream_sorted_default() -> bool:
+    """Engines enable stream-sorted accumulation on the TPU backend
+    (where ingest is slow enough to hide the block sorts and lax.sort
+    dominates finalization).  KMER_TPU_STREAM_SORT=1/0 overrides."""
+    env = os.environ.get("KMER_TPU_STREAM_SORT", "").strip().lower()
+    if env in ("1", "true", "on", "yes"):
+        return True
+    if env in ("0", "false", "off", "no"):
+        return False
+    return jax.default_backend() == "tpu"
+
+
+@jax.jit
+def _sort_run2(hi, lo):
+    return jax.lax.sort((hi, lo), num_keys=2)
+
+
+@jax.jit
+def _sort_run1(lo):
+    return jax.lax.sort(lo)
+
 
 def _sort_kl(hi, lo, payloads=(), extra_keys=0, one_plane=False):
     """Sort by (key, payloads) where key is (hi, lo) or just lo when
@@ -129,26 +162,40 @@ def _concat_runs(runs: List[Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray
     return his, los, cs
 
 
+def _presorted_planes(hi, lo, one_plane):
+    """Adopt already-sorted planes (stream-sorted mode): one-plane
+    callers pass lo twice and the hi plane is derived (it is 0 for data
+    keys < 2^31 and all-ones for sentinels)."""
+    if one_plane:
+        return jnp.where(lo == SENT, SENT, jnp.uint32(0)), lo
+    return hi, lo
+
+
 @partial(jax.jit, static_argnames=("n_bins", "max_count", "min_keep",
-                                   "has_counts", "one_plane"))
+                                   "has_counts", "one_plane", "pre_sorted"))
 def _hist_impl_tpu(hi, lo, counts, n_bins, max_count, min_keep, has_counts,
-                   one_plane=False):
+                   one_plane=False, pre_sorted=False):
     """TPU path: sort, then ONE Pallas pass extracts per-segment lengths
     (kmer_tpu.kernels.seghist) instead of four XLA scan/mask passes —
-    ~8x faster post-sort on a v5e."""
+    ~8x faster post-sort on a v5e.  pre_sorted skips the sort entirely
+    (stream-sorted accumulation already merged the planes)."""
     from ..kernels import seghist
 
     n = hi.shape[0]
     tile_rows = 2048 if n % (2048 * 128) == 0 else 512
     bins_cfg = (n_bins, max_count, min_keep)
     if has_counts:
+        assert not pre_sorted
         s_hi, s_lo, (cnt,) = _sort_kl(hi, lo, (counts,), one_plane=one_plane)
         bins, final = seghist.segment_bins_sorted(
             s_hi, s_lo, cnt, weighted=True, tile_rows=tile_rows,
             bins_cfg=bins_cfg,
         )
     else:
-        s_hi, s_lo, _ = _sort_kl(hi, lo, one_plane=one_plane)
+        if pre_sorted:
+            s_hi, s_lo = _presorted_planes(hi, lo, one_plane)
+        else:
+            s_hi, s_lo, _ = _sort_kl(hi, lo, one_plane=one_plane)
         bins, final = seghist.segment_bins_sorted(
             s_hi, s_lo, tile_rows=tile_rows, bins_cfg=bins_cfg
         )
@@ -183,15 +230,15 @@ def hist_core(hi, lo, counts, n_bins, max_count, min_keep, has_counts,
 
 
 @partial(jax.jit, static_argnames=("n_bins", "max_count", "min_keep",
-                                   "has_counts", "one_plane"))
+                                   "has_counts", "one_plane", "pre_sorted"))
 def _hist_impl(hi, lo, counts, n_bins, max_count, min_keep, has_counts,
-               one_plane=False):
+               one_plane=False, pre_sorted=False):
     return _hist_xla_core(hi, lo, counts, n_bins, max_count, min_keep,
-                          has_counts, one_plane)
+                          has_counts, one_plane, pre_sorted)
 
 
 def _hist_xla_core(hi, lo, counts, n_bins, max_count, min_keep, has_counts,
-                   one_plane=False):
+                   one_plane=False, pre_sorted=False):
     """Sort everything, reduce counts per key segment, histogram.
 
     Weighted runs use modular u32 ends-diff arithmetic (see
@@ -222,7 +269,10 @@ def _hist_xla_core(hi, lo, counts, n_bins, max_count, min_keep, has_counts,
             seg_count_u = jnp.minimum(seg_count_u, U32(max_count))
         seg_count = jnp.minimum(seg_count_u, U32(n_bins - 1)).astype(I32)
     else:
-        s_hi, s_lo, _ = _sort_kl(hi, lo, one_plane=one_plane)
+        if pre_sorted:
+            s_hi, s_lo = _presorted_planes(hi, lo, one_plane)
+        else:
+            s_hi, s_lo, _ = _sort_kl(hi, lo, one_plane=one_plane)
         keys = u.U64(s_hi, s_lo)
         starts = segops.segment_starts(keys)
         start_pos = jax.lax.cummax(jnp.where(starts, pos, I32(0)))
@@ -257,13 +307,23 @@ class KmerCompactor:
     """Accumulate-and-sort count engine (see module docstring)."""
 
     def __init__(self, budget_bytes: int = 6 << 30,
-                 key_bits: Optional[int] = None):
+                 key_bits: Optional[int] = None,
+                 stream_sorted: bool = False):
         self.runs: List[Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]] = []
         self.budget_bytes = budget_bytes
         self._bytes = 0
         # keys < 2^31 (k <= 15 after hash64) leave the hi plane all-zero:
         # every sort drops to one key plane (half the comparator work)
         self.one_plane = key_bits is not None and key_bits <= 31
+        # stream-sorted accumulation (see _STREAM_CHUNK): raw planes fold
+        # into sorted pow2 runs as they arrive; a binary-counter "ladder"
+        # carry-merges equal-size runs eagerly so the only finalization
+        # work left is the top merges + the segment pass.
+        self.stream_sorted = bool(stream_sorted)
+        self._pending: List[Tuple[jnp.ndarray, ...]] = []
+        self._pending_lanes = 0
+        self._ladder: dict = {}  # log2(run lanes) -> plane tuple
+        self._merged: Optional[Tuple[jnp.ndarray, ...]] = None
 
     def add_batch(self, keys: u.U64, valid: jnp.ndarray) -> None:
         hi, lo = _sentinelize(keys.hi, keys.lo, valid)
@@ -272,10 +332,116 @@ class KmerCompactor:
     def add_raw(self, hi: jnp.ndarray, lo: jnp.ndarray) -> None:
         """Append pre-sentinelized key planes (invalid lanes already
         mapped to all-ones)."""
-        self.runs.append((hi, lo, None))
-        self._bytes += hi.size * 8
+        if self.stream_sorted:
+            self._stream_add(hi, lo)
+        else:
+            self.runs.append((hi, lo, None))
+            self._bytes += hi.size * 8
         if self._bytes > self.budget_bytes:
             self.compact()
+
+    # -- stream-sorted accumulation ------------------------------------
+
+    def _stream_add(self, hi, lo):
+        self._merged = None
+        planes = (lo,) if self.one_plane else (hi, lo)
+        self._pending.append(planes)
+        self._pending_lanes += int(lo.shape[0])
+        self._bytes += lo.shape[0] * 4 * len(planes)
+        while self._pending_lanes >= _STREAM_CHUNK:
+            arity = len(planes)
+            cat = self._pending[0] if len(self._pending) == 1 else tuple(
+                jnp.concatenate([p[i] for p in self._pending])
+                for i in range(arity)
+            )
+            chunk = tuple(c[:_STREAM_CHUNK] for c in cat)
+            rest = tuple(c[_STREAM_CHUNK:] for c in cat)
+            self._pending_lanes -= _STREAM_CHUNK
+            self._pending = [rest] if self._pending_lanes else []
+            self._push_run(self._sort_planes(chunk))
+
+    def _sort_planes(self, planes):
+        if len(planes) == 1:
+            return (_sort_run1(planes[0]),)
+        return tuple(_sort_run2(*planes))
+
+    def _merge_runs(self, a, b):
+        """Merge two equal-length sorted runs with the bitonic merge
+        cascade (kernels/bitonic.py) — only the last log2(n) stages of
+        what a fresh sort would redo."""
+        from ..kernels import bitonic
+
+        up = jax.default_backend() == "tpu"
+        cat = tuple(jnp.concatenate([x, y]) for x, y in zip(a, b))
+        if len(cat) == 1:
+            return (bitonic.merge_sorted_halves1(cat[0], use_pallas=up),)
+        return tuple(
+            bitonic.merge_sorted_halves(cat[0], cat[1], use_pallas=up)
+        )
+
+    def _push_run(self, planes):
+        lv = int(planes[0].shape[0]).bit_length() - 1
+        while lv in self._ladder:
+            planes = self._merge_runs(self._ladder.pop(lv), planes)
+            lv += 1
+        self._ladder[lv] = planes
+
+    def _pad_run(self, planes, target: int):
+        n = planes[0].shape[0]
+        if target == n:
+            return planes
+        pad = jnp.full((target - n,), SENT, U32)
+        return tuple(jnp.concatenate([p, pad]) for p in planes)
+
+    def _has_stream_state(self) -> bool:
+        return bool(self._ladder or self._pending or self._merged is not None)
+
+    def _stream_planes(self):
+        """Fold the whole stream state into ONE sorted plane tuple:
+        sort the sub-chunk tail, then merge every run smallest-first
+        (a smaller `cur` sentinel-pads up to its partner — sentinels
+        sort last, so padding is one concat, not merge stages)."""
+        if self._merged is not None:
+            return self._merged
+        runs = []
+        if self._pending:
+            arity = 1 if self.one_plane else 2
+            cat = self._pending[0] if len(self._pending) == 1 else tuple(
+                jnp.concatenate([p[i] for p in self._pending])
+                for i in range(arity)
+            )
+            n = int(cat[0].shape[0])
+            target = max(_STREAM_MIN, 1 << max(0, (n - 1)).bit_length())
+            runs.append(self._sort_planes(self._pad_run(cat, target)))
+        runs.extend(self._ladder.values())
+        runs.sort(key=lambda r: r[0].shape[0])
+        cur = runs[0]
+        for r in runs[1:]:
+            cur = self._merge_runs(self._pad_run(cur, r[0].shape[0]), r)
+        # replace the ladder with the merged run: memory stays bounded
+        # and later add_raw calls keep carry-merging into it correctly
+        self._pending, self._pending_lanes = [], 0
+        self._ladder = {int(cur[0].shape[0]).bit_length() - 1: cur}
+        self._merged = cur
+        return cur
+
+    def _stream_hi_lo(self):
+        planes = self._stream_planes()
+        lo = planes[-1]
+        hi = planes[0] if len(planes) == 2 else lo
+        return hi, lo
+
+    def _absorb_stream(self) -> None:
+        """Mixed state (counted runs + stream runs): hand the merged
+        stream planes to the classic concat+sort path as one raw run."""
+        if not (self.stream_sorted and self._has_stream_state()):
+            return
+        hi, lo = self._stream_hi_lo()
+        if self.one_plane:
+            hi = jnp.where(lo == SENT, SENT, jnp.uint32(0))
+        self.runs.append((hi, lo, None))
+        self._pending, self._pending_lanes = [], 0
+        self._ladder, self._merged = {}, None
 
     def add_counted(self, keys: u.U64, counts: jnp.ndarray) -> None:
         self.runs.append((keys.hi, keys.lo, counts))
@@ -284,13 +450,27 @@ class KmerCompactor:
     def compact(self) -> None:
         """Fold all runs into one (key, count) run via sort; compaction
         (moving segment-end entries to the front) is itself done with a
-        sort rather than a scatter."""
+        sort rather than a scatter.  Stream-sorted state with no counted
+        runs compacts straight off the merged planes (no sort at all)."""
+        if self.stream_sorted and self._has_stream_state():
+            if not self.runs:
+                hi, lo = self._stream_hi_lo()
+                out = _compact_impl(hi, lo, hi, False, self.one_plane,
+                                    pre_sorted=True)
+                self._pending, self._pending_lanes = [], 0
+                self._ladder, self._merged = {}, None
+                self._store_compacted(out)
+                return
+            self._absorb_stream()
         if not self.runs:
             return
         hi, lo, cnt = _concat_runs(self.runs)
         has_counts = cnt is not None
         out = _compact_impl(hi, lo, cnt if has_counts else hi, has_counts,
                             self.one_plane)
+        self._store_compacted(out)
+
+    def _store_compacted(self, out) -> None:
         chi, clo, ccnt, n_unique = out
         nu = int(n_unique)
         size = min(_size_class(nu), chi.shape[0])
@@ -306,10 +486,18 @@ class KmerCompactor:
 
     def hist(self, n_bins: int, max_count: Optional[int], min_keep: int = 1):
         """(histogram, n_distinct) over all accumulated keys."""
-        if not self.runs:
-            return np.zeros(n_bins, np.int64), 0
-        hi, lo, cnt = _concat_runs(self.runs)
-        has_counts = cnt is not None
+        pre_sorted = False
+        if self.stream_sorted and self._has_stream_state():
+            if self.runs:
+                self._absorb_stream()  # mixed with counted runs: classic
+            else:
+                hi, lo = self._stream_hi_lo()
+                cnt, has_counts, pre_sorted = None, False, True
+        if not pre_sorted:
+            if not self.runs:
+                return np.zeros(n_bins, np.int64), 0
+            hi, lo, cnt = _concat_runs(self.runs)
+            has_counts = cnt is not None
         impl = _hist_impl_tpu if jax.default_backend() == "tpu" else _hist_impl
         h, nd = impl(
             hi,
@@ -320,14 +508,17 @@ class KmerCompactor:
             min_keep,
             has_counts,
             self.one_plane,
+            pre_sorted,
         )
         if os.environ.get("KMER_TPU_DEBUG"):
             # debug mode (SURVEY.md §5 sanitizer analog): cross-check the
             # Pallas path against the pure-XLA path lane for lane (and
-            # the one-plane fast path against the general two-plane one)
+            # the one-plane/pre-sorted fast paths against the general
+            # two-plane sort-everything one)
             h2, nd2 = _hist_impl(
                 hi, lo, cnt if has_counts else hi,
-                n_bins, max_count, min_keep, has_counts, False,
+                n_bins, max_count, min_keep, has_counts,
+                self.one_plane if pre_sorted else False,
             )
             assert np.array_equal(np.asarray(h), np.asarray(h2)) and int(
                 nd
@@ -339,17 +530,25 @@ class KmerCompactor:
         order.  Sort-join: queries are tagged to sort after data lanes
         of the same key; counts return to query order via a second sort
         on the query-index payload — no gathers or scatters."""
-        if not self.runs:
-            return np.zeros(len(query_hi), np.int64)
-        hi, lo, cnt = _concat_runs(self.runs)
-        has_counts = cnt is not None
+        pre_sorted = False
+        if self.stream_sorted and self._has_stream_state():
+            if self.runs:
+                self._absorb_stream()  # mixed with counted runs: classic
+            else:
+                hi, lo = self._stream_hi_lo()
+                cnt, has_counts, pre_sorted = None, False, True
+        if not pre_sorted:
+            if not self.runs:
+                return np.zeros(len(query_hi), np.int64)
+            hi, lo, cnt = _concat_runs(self.runs)
+            has_counts = cnt is not None
         # the device paths require unique query keys (a duplicate would
         # count its twin as data); dedup host-side and expand back
         qhi, qlo, q, inverse = prep_queries(query_hi, query_lo,
                                             self.one_plane)
         out = _counts_for_bs_impl(
             hi, lo, cnt if has_counts else hi, jnp.asarray(qhi),
-            jnp.asarray(qlo), has_counts, self.one_plane,
+            jnp.asarray(qlo), has_counts, self.one_plane, pre_sorted,
         )
         if os.environ.get("KMER_TPU_DEBUG"):
             # cross-check the binary-search join against the tag-based
@@ -360,8 +559,10 @@ class KmerCompactor:
                     self.one_plane,
                 )
             else:
+                dhi = (jnp.where(lo == SENT, SENT, jnp.uint32(0))
+                       if (pre_sorted and self.one_plane) else hi)
                 out2 = _counts_for_sortjoin_impl(
-                    hi, lo, jnp.asarray(qhi), jnp.asarray(qlo),
+                    dhi, lo, jnp.asarray(qhi), jnp.asarray(qlo),
                     self.one_plane,
                 )
             assert np.array_equal(
@@ -370,8 +571,8 @@ class KmerCompactor:
         return np.asarray(out)[:q].astype(np.int64)[inverse]
 
 
-@partial(jax.jit, static_argnames=("has_counts", "one_plane"))
-def _compact_impl(hi, lo, cnt, has_counts, one_plane=False):
+@partial(jax.jit, static_argnames=("has_counts", "one_plane", "pre_sorted"))
+def _compact_impl(hi, lo, cnt, has_counts, one_plane=False, pre_sorted=False):
     n = hi.shape[0]
     pos = jnp.arange(n, dtype=I32)
     if has_counts:
@@ -384,7 +585,10 @@ def _compact_impl(hi, lo, cnt, has_counts, one_plane=False):
         # would alias, matching the reference's own u32 counters)
         csum = jnp.cumsum(c.astype(jnp.uint32), dtype=jnp.uint32)
     else:
-        s_hi, s_lo, _ = _sort_kl(hi, lo, one_plane=one_plane)
+        if pre_sorted:
+            s_hi, s_lo = _presorted_planes(hi, lo, one_plane)
+        else:
+            s_hi, s_lo, _ = _sort_kl(hi, lo, one_plane=one_plane)
         keys = u.U64(s_hi, s_lo)
         csum = None
     starts = segops.segment_starts(keys)
@@ -452,28 +656,33 @@ def _key_succ(qhi, qlo):
     return qhi + carry.astype(U32), nlo
 
 
-@partial(jax.jit, static_argnames=("one_plane",))
-def _counts_for_raw_impl(hi, lo, qhi, qlo, one_plane=False):
+@partial(jax.jit, static_argnames=("one_plane", "pre_sorted"))
+def _counts_for_raw_impl(hi, lo, qhi, qlo, one_plane=False, pre_sorted=False):
     """Unweighted fast path: sort the data planes once (the same sort
     hist would do — no tag payload), then binary-search each unique
     query key's segment bounds; count = upper - lower.  q probe rounds
     of 2 tiny gathers replace a payload plane and a full-size reorder
     sort of the superseded sort-join formulation (~1.7x on the 21k-SNP
-    vaf bench)."""
-    s_hi, s_lo, _ = _sort_kl(hi, lo, one_plane=one_plane)
+    vaf bench).  With pre_sorted (stream-sorted mode) the whole join is
+    just the binary searches — no full-size work at all."""
+    if pre_sorted:
+        s_hi, s_lo = _presorted_planes(hi, lo, one_plane)
+    else:
+        s_hi, s_lo, _ = _sort_kl(hi, lo, one_plane=one_plane)
     lb = _lex_lower_bound(s_hi, s_lo, qhi, qlo)
     nhi, nlo = _key_succ(qhi, qlo)
     ub = _lex_lower_bound(s_hi, s_lo, nhi, nlo)
     return jnp.maximum(ub - lb, 0).astype(U32)
 
 
-@partial(jax.jit, static_argnames=("has_counts", "one_plane"))
-def _counts_for_bs_impl(hi, lo, cnt, qhi, qlo, has_counts, one_plane=False):
+@partial(jax.jit, static_argnames=("has_counts", "one_plane", "pre_sorted"))
+def _counts_for_bs_impl(hi, lo, cnt, qhi, qlo, has_counts, one_plane=False,
+                        pre_sorted=False):
     """Weighted binary-search join: sort (key, count) planes, one modular
     u32 cumsum, then each query's total = csum[ub-1] - csum[lb-1]
     (exact per segment regardless of global wraps, see _compact_impl)."""
     if not has_counts:
-        return _counts_for_raw_impl(hi, lo, qhi, qlo, one_plane)
+        return _counts_for_raw_impl(hi, lo, qhi, qlo, one_plane, pre_sorted)
     s_hi, s_lo, (c,) = _sort_kl(hi, lo, (cnt,), one_plane=one_plane)
     csum = jnp.cumsum(c.astype(jnp.uint32), dtype=jnp.uint32)
 
