@@ -75,6 +75,69 @@ def _xla_stage1(l, s):
     return jnp.where(take, pl, l)
 
 
+def _xstage_kernel(c, h_ref, l_ref, hp_ref, lp_ref, oh_ref, ol_ref):
+    """One compare-exchange stage at tile-granular stride c (lanes
+    stride = c*TILE): grid cell i sees its own tile and its partner tile
+    (i XOR c) via a second BlockSpec on the same arrays.  24 B/lane of
+    HBM traffic vs ~80 B/lane for the XLA roll+select formulation
+    (measured 27 ms -> ~8 ms per stage at 2^28 lanes on a v5e)."""
+    import jax.experimental.pallas as pl
+
+    i = pl.program_id(0)
+    low_i = 1 - ((i & c) != 0).astype(jnp.int32)  # scalar: keep-min tile?
+    h, l = h_ref[:, :], l_ref[:, :]
+    ph, pl_ = hp_ref[:, :], lp_ref[:, :]
+    less_i = ((ph < h) | ((ph == h) & (pl_ < l))).astype(jnp.int32)
+    take = low_i * less_i + (1 - low_i) * (1 - less_i)
+    oh_ref[:, :] = jnp.where(take == 1, ph, h)
+    ol_ref[:, :] = jnp.where(take == 1, pl_, l)
+
+
+def _xstage_kernel1(c, l_ref, lp_ref, ol_ref):
+    import jax.experimental.pallas as pl
+
+    i = pl.program_id(0)
+    low_i = 1 - ((i & c) != 0).astype(jnp.int32)
+    l, pl_ = l_ref[:, :], lp_ref[:, :]
+    less_i = (pl_ < l).astype(jnp.int32)
+    take = low_i * less_i + (1 - low_i) * (1 - less_i)
+    ol_ref[:, :] = jnp.where(take == 1, pl_, l)
+
+
+def _xstage_pallas(planes, c):
+    """Apply one stride >= TILE stage to flat planes (first planes are
+    the lex keys; here all planes are keys).  c = stride // TILE."""
+    import jax.experimental.pallas as pl
+
+    n = planes[0].shape[0]
+    rows_total, r_tile = n // 128, TILE // 128
+    p2 = [p.reshape(rows_total, 128) for p in planes]
+    spec_self = pl.BlockSpec((r_tile, 128), lambda i: (i, 0))
+    # partner tile index = i XOR c (c is a power of two)
+    spec_part = pl.BlockSpec((r_tile, 128), lambda i: (i + c - 2 * (i & c), 0))
+    shape = jax.ShapeDtypeStruct((rows_total, 128), U32)
+    interp = jax.default_backend() != "tpu"
+    if len(planes) == 1:
+        ol = pl.pallas_call(
+            partial(_xstage_kernel1, c),
+            grid=(n // TILE,),
+            in_specs=[spec_self, spec_part],
+            out_specs=spec_self,
+            out_shape=shape,
+            interpret=interp,
+        )(p2[0], p2[0])
+        return (ol.reshape(n),)
+    oh, ol = pl.pallas_call(
+        partial(_xstage_kernel, c),
+        grid=(n // TILE,),
+        in_specs=[spec_self, spec_self, spec_part, spec_part],
+        out_specs=[spec_self, spec_self],
+        out_shape=[shape, shape],
+        interpret=interp,
+    )(p2[0], p2[1], p2[0], p2[1])
+    return oh.reshape(n), ol.reshape(n)
+
+
 def _merge_tile_kernel(hi_ref, lo_ref, oh_ref, ol_ref):
     """All stride < TILE stages of the bitonic merge cascade for one
     TILE-lane tile, in VMEM.  View: (TILE/128, 128).  Strides >= 128 are
@@ -194,11 +257,16 @@ def merge_sorted_halves1(lo, use_pallas=True):
     log2n = n.bit_length() - 1
     lo_bits = min(TILE_BITS, log2n) if use_pallas and n >= TILE else 0
     if log2n > lo_bits:
-        def body(i, l):
-            s = jnp.int32(1) << (log2n - 1 - i)
-            return _xla_stage1(l, s)
+        if lo_bits:
+            # high strides: one two-tile Pallas pass per stage (c static)
+            for k in range(log2n - 1, TILE_BITS - 1, -1):
+                (lo,) = _xstage_pallas((lo,), 1 << (k - TILE_BITS))
+        else:
+            def body(i, l):
+                s = jnp.int32(1) << (log2n - 1 - i)
+                return _xla_stage1(l, s)
 
-        lo = jax.lax.fori_loop(0, log2n - lo_bits, body, lo)
+            lo = jax.lax.fori_loop(0, log2n - lo_bits, body, lo)
     if lo_bits:
         lo = _merge_low_strides_pallas1(lo)
     return lo
@@ -217,13 +285,19 @@ def merge_sorted_halves(hi, lo, use_pallas=True):
     log2n = n.bit_length() - 1
     lo_bits = min(TILE_BITS, log2n) if use_pallas and n >= TILE else 0
     if log2n > lo_bits:
-        # high-stride stages, dynamic s inside a fori_loop (buffers are
-        # reused across iterations — unrolling materializes tens of GB)
-        def body(i, hl):
-            s = jnp.int32(1) << (log2n - 1 - i)
-            return _xla_stage(*hl, s)
+        if lo_bits:
+            # high strides: one two-tile Pallas pass per stage (c static)
+            for k in range(log2n - 1, TILE_BITS - 1, -1):
+                hi, lo = _xstage_pallas((hi, lo), 1 << (k - TILE_BITS))
+        else:
+            # non-TPU path: dynamic s inside a fori_loop (buffers are
+            # reused across iterations — unrolling materializes tens
+            # of GB of XLA temporaries)
+            def body(i, hl):
+                s = jnp.int32(1) << (log2n - 1 - i)
+                return _xla_stage(*hl, s)
 
-        hi, lo = jax.lax.fori_loop(0, log2n - lo_bits, body, (hi, lo))
+            hi, lo = jax.lax.fori_loop(0, log2n - lo_bits, body, (hi, lo))
     if lo_bits:
         hi, lo = _merge_low_strides_pallas(hi, lo)
     return hi, lo

@@ -46,6 +46,32 @@ def test_merge_tile_pallas_interpret():
     assert np.array_equal(np.asarray(ml), np.asarray(rl))
 
 
+@pytest.mark.parametrize("extra_bits", [1, 3])
+def test_merge_high_stride_pallas_interpret(extra_bits):
+    """n > TILE exercises the two-tile _xstage_pallas stages."""
+    n = bitonic.TILE << extra_bits
+    (ch, cl), (rh, rl) = _sorted_halves(np.random.default_rng(5), n, 0.1)
+    mh, ml = bitonic.merge_sorted_halves(ch, cl, use_pallas=True)
+    assert np.array_equal(np.asarray(mh), np.asarray(rh))
+    assert np.array_equal(np.asarray(ml), np.asarray(rl))
+
+
+@pytest.mark.parametrize("n", [1 << 10, bitonic.TILE << 1])
+def test_merge_single_plane(n):
+    rng = np.random.default_rng(n)
+    lo = rng.integers(0, 1 << 31, n, dtype=np.uint32)
+    lo[rng.random(n) < 0.2] = 0xFFFFFFFF
+    half = n // 2
+    l0 = jax.lax.sort(jnp.asarray(lo[:half]))
+    l1 = jax.lax.sort(jnp.asarray(lo[half:]))
+    ref = jax.lax.sort(jnp.asarray(lo))
+    cat = jnp.concatenate([l0, l1])
+    out_p = bitonic.merge_sorted_halves1(cat, use_pallas=True)
+    out_x = bitonic.merge_sorted_halves1(cat, use_pallas=False)
+    assert np.array_equal(np.asarray(out_p), np.asarray(ref))
+    assert np.array_equal(np.asarray(out_x), np.asarray(ref))
+
+
 @pytest.mark.parametrize("n_runs", [1, 2, 3, 5, 8])
 def test_merge_tree(n_runs):
     rng = np.random.default_rng(n_runs)
