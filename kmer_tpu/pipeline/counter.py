@@ -202,13 +202,15 @@ class _maybe_profile:
         return False
 
 
-def _upload_threads(default: int = 6) -> int:
+def _upload_threads(default: int = 8) -> int:
     """KMER_TPU_UPLOAD_THREADS overrides the uploader thread count.
     Each thread is an independent tunnel stream and per-stream bandwidth
     is latency/window-limited, so aggregate ingest scales with streams
     until the link saturates (measured on the tunneled v5e: 2 threads
     17.6, 4 -> 29.8, 6 -> 35.1 Mb/s end-to-end under congestion; under a
-    quiet link 6 threads matched 2, so more streams never hurt)."""
+    quiet link 6 threads matched 2, so more streams never hurt; a
+    stream-sorted sweep measured 8 threads ~0.5s faster than 6 on the
+    256 Mbase end-to-end run and 12 slightly slower)."""
     import os
 
     try:
