@@ -338,17 +338,21 @@ def sharded_extract_step_fn(mesh: Mesh, k: int, lanes_per_dest: int,
 
 def sharded_hist_from_chunks_fn(mesh: Mesh, n_bins: int, max_count=None,
                                 min_keep: int = 1, weighted: bool = False,
-                                one_plane: bool = False):
+                                one_plane: bool = False,
+                                pre_sorted: bool = False):
     """Jitted global histogram over accumulated owned-key chunks:
     per-device sort + segment reduction (the single-chip engine's XLA
     core) + psum over both axes.  Keys are uniquely owned (see
-    sharded_extract_step_fn), so local histograms sum exactly."""
+    sharded_extract_step_fn), so local histograms sum exactly.
+    pre_sorted: the per-device planes are already merged/sorted
+    (stream-sorted mode) — skip the local sort."""
     from ..table.compactor import hist_core
 
     def per_device(hi, lo, cnt=None):
         h, nd = hist_core(hi[0, 0], lo[0, 0],
                           cnt[0, 0] if weighted else hi[0, 0],
-                          n_bins, max_count, min_keep, weighted, one_plane)
+                          n_bins, max_count, min_keep, weighted, one_plane,
+                          pre_sorted)
         h = jax.lax.psum(jax.lax.psum(h, "shard"), "data")
         nd = jax.lax.psum(jax.lax.psum(nd, "shard"), "data")
         return h, nd
@@ -364,19 +368,23 @@ def sharded_hist_from_chunks_fn(mesh: Mesh, n_bins: int, max_count=None,
     return jax.jit(fn)
 
 
-def sharded_compact_fn(mesh: Mesh, one_plane: bool = False):
+def sharded_compact_fn(mesh: Mesh, one_plane: bool = False,
+                       pre_sorted_raw: bool = False):
     """Jitted per-device compaction: fold each device's (keys, counts)
     lanes into unique (key, count) pairs (sort + segment sums, the
     single-chip compactor's core) — the distributed analog of
     KmerCompactor.compact, bounding memory on long streams.  Returns
     (chi, clo, ccnt) full-length with sentinel/zero tails plus the
-    per-device unique count (callers slice to the max)."""
+    per-device unique count (callers slice to the max).
+    pre_sorted_raw: the planes are already-sorted raw lanes (implicit
+    count 1, stream-sorted mode) — skip the sort; cnt is ignored."""
     from ..table.compactor import _compact_impl
 
     def per_device(hi, lo, cnt):
         chi, clo, ccnt, nu = _compact_impl(
-            hi[0, 0], lo[0, 0], cnt[0, 0], has_counts=True,
-            one_plane=one_plane,
+            hi[0, 0], lo[0, 0], cnt[0, 0],
+            has_counts=not pre_sorted_raw,
+            one_plane=one_plane, pre_sorted=pre_sorted_raw,
         )
         return (
             chi[None, None],
@@ -396,6 +404,58 @@ def sharded_compact_fn(mesh: Mesh, one_plane: bool = False):
     return jax.jit(fn)
 
 
+_SENT = jnp.uint32(0xFFFFFFFF)
+
+# stream-sorted mode: per-DEVICE run quantum (smaller than the single-
+# chip compactor's 2^24 — each device owns 1/n_dev of the lanes)
+_MESH_STREAM_CHUNK = 1 << 22
+_MESH_STREAM_MIN = 1 << 12
+
+
+def sharded_sort_chunk_fn(mesh: Mesh, one_plane: bool = False):
+    """Sort each device's (1, 1, L) owned-key planes locally —
+    stream-sorted mode's per-chunk sort, dispatched while the host is
+    ingesting the next batch (the device is otherwise idle there)."""
+
+    def per_device(hi, lo):
+        if one_plane:
+            s_lo = jax.lax.sort(lo[0, 0])
+            s_hi = jnp.where(s_lo == _SENT, _SENT, jnp.uint32(0))
+        else:
+            s_hi, s_lo = jax.lax.sort((hi[0, 0], lo[0, 0]), num_keys=2)
+        return s_hi[None, None], s_lo[None, None]
+
+    spec = P("data", "shard", None)
+    fn = shard_map(per_device, mesh=mesh, in_specs=(spec, spec),
+                   out_specs=(spec, spec), check_vma=False)
+    return jax.jit(fn)
+
+
+def sharded_merge_fn(mesh: Mesh, one_plane: bool = False):
+    """Merge two equal-length per-device sorted runs with the bitonic
+    merge cascade (kernels/bitonic.py), device-locally under shard_map —
+    the multi-chip form of the single-chip stream ladder's carry."""
+    from ..kernels import bitonic
+
+    up = jax.default_backend() == "tpu"
+
+    def per_device(ahi, alo, bhi, blo):
+        cat_lo = jnp.concatenate([alo[0, 0], blo[0, 0]])
+        if one_plane:
+            m_lo = bitonic.merge_sorted_halves1(cat_lo, use_pallas=up)
+            m_hi = jnp.where(m_lo == _SENT, _SENT, jnp.uint32(0))
+        else:
+            cat_hi = jnp.concatenate([ahi[0, 0], bhi[0, 0]])
+            m_hi, m_lo = bitonic.merge_sorted_halves(cat_hi, cat_lo,
+                                                     use_pallas=up)
+        return m_hi[None, None], m_lo[None, None]
+
+    spec = P("data", "shard", None)
+    fn = shard_map(per_device, mesh=mesh, in_specs=(spec,) * 4,
+                   out_specs=(spec, spec), check_vma=False)
+    return jax.jit(fn)
+
+
 class ShardedSortEngine:
     """Multi-chip streaming counter on the sort-based engine.
 
@@ -409,7 +469,10 @@ class ShardedSortEngine:
     kmer_tpu.pipeline.counter.SortCountEngine."""
 
     def __init__(self, mesh: Mesh, k: int, lanes_per_dest: Optional[int] = None,
-                 budget_bytes: int = 6 << 30):
+                 budget_bytes: int = 6 << 30,
+                 stream_sorted: Optional[bool] = None):
+        from ..table.compactor import stream_sorted_default
+
         self.mesh = mesh
         self.k = k
         # same trick as the single-chip compactor: k <= 15 keys fit one
@@ -433,6 +496,18 @@ class ShardedSortEngine:
         self.total_kmers = 0
         self.total_dropped = 0  # always 0 after add_batch (auto-retry)
         self.total_retries = 0
+        # stream-sorted accumulation (the multi-chip form of
+        # KmerCompactor's stream mode): owned chunks fold into sorted
+        # per-device runs as they arrive and a binary-counter ladder
+        # carry-merges them, all dispatched while the host ingests
+        self.stream_sorted = (stream_sorted_default()
+                              if stream_sorted is None else bool(stream_sorted))
+        self._s_pending = []
+        self._s_pending_lanes = 0
+        self._s_ladder = {}  # log2(per-device run lanes) -> (hi, lo)
+        self._s_merged = None
+        self._sort_fn = None
+        self._merge_fn = None
 
     def _lanes_for(self, row_len: int) -> int:
         base = self.lanes_per_dest or default_lanes_per_dest(row_len,
@@ -456,6 +531,8 @@ class ShardedSortEngine:
         self._bytes = 0
         self.total_kmers = 0
         self.total_dropped = 0
+        self._s_pending, self._s_pending_lanes = [], 0
+        self._s_ladder, self._s_merged = {}, None
 
     def route_batch(self, rows, row_bytes: Optional[int] = None,
                     aux=None, ingest: str = "ascii"):
@@ -487,10 +564,101 @@ class ShardedSortEngine:
     def add_batch(self, rows, row_bytes: Optional[int] = None,
                   aux=None, ingest: str = "ascii") -> None:
         hi, lo = self.route_batch(rows, row_bytes, aux, ingest)
-        self.chunks.append((hi, lo))
+        if self.stream_sorted:
+            self._stream_add(hi, lo)
+        else:
+            self.chunks.append((hi, lo))
         self._bytes += hi.shape[2] * 8
         if self._bytes > self.budget_bytes:
             self.compact()
+
+    # -- stream-sorted accumulation (see KmerCompactor counterpart) ----
+
+    def _stream_add(self, hi, lo) -> None:
+        self._s_merged = None
+        self._s_pending.append((hi, lo))
+        self._s_pending_lanes += int(hi.shape[2])
+        while self._s_pending_lanes >= _MESH_STREAM_CHUNK:
+            if len(self._s_pending) == 1:
+                chi, clo = self._s_pending[0]
+            else:
+                chi = jnp.concatenate([p[0] for p in self._s_pending], axis=2)
+                clo = jnp.concatenate([p[1] for p in self._s_pending], axis=2)
+            chunk = (chi[:, :, :_MESH_STREAM_CHUNK],
+                     clo[:, :, :_MESH_STREAM_CHUNK])
+            self._s_pending_lanes -= _MESH_STREAM_CHUNK
+            self._s_pending = (
+                [(chi[:, :, _MESH_STREAM_CHUNK:],
+                  clo[:, :, _MESH_STREAM_CHUNK:])]
+                if self._s_pending_lanes else []
+            )
+            self._s_push(self._sort_chunk(chunk))
+
+    def _sort_chunk(self, planes):
+        if self._sort_fn is None:
+            self._sort_fn = sharded_sort_chunk_fn(self.mesh, self.one_plane)
+        return tuple(self._sort_fn(*planes))
+
+    def _s_merge(self, a, b):
+        if self._merge_fn is None:
+            self._merge_fn = sharded_merge_fn(self.mesh, self.one_plane)
+        return tuple(self._merge_fn(a[0], a[1], b[0], b[1]))
+
+    def _s_push(self, planes) -> None:
+        lv = int(planes[0].shape[2]).bit_length() - 1
+        while lv in self._s_ladder:
+            planes = self._s_merge(self._s_ladder.pop(lv), planes)
+            lv += 1
+        self._s_ladder[lv] = planes
+
+    def _s_pad(self, planes, target: int):
+        n = planes[0].shape[2]
+        if target == n:
+            return planes
+        d, s = planes[0].shape[:2]
+        pad = jnp.full((d, s, target - n), _SENT, jnp.uint32)
+        return tuple(jnp.concatenate([p, pad], axis=2) for p in planes)
+
+    def _s_state(self) -> bool:
+        return bool(self._s_pending or self._s_ladder
+                    or self._s_merged is not None)
+
+    def _s_planes(self):
+        """Fold the stream state into one per-device sorted plane pair
+        (tail sort, then ascending sentinel-padded merges)."""
+        if self._s_merged is not None:
+            return self._s_merged
+        runs = []
+        if self._s_pending:
+            if len(self._s_pending) == 1:
+                cat = self._s_pending[0]
+            else:
+                cat = tuple(
+                    jnp.concatenate([p[i] for p in self._s_pending], axis=2)
+                    for i in range(2)
+                )
+            n = int(cat[0].shape[2])
+            target = max(_MESH_STREAM_MIN, 1 << max(0, (n - 1)).bit_length())
+            runs.append(self._sort_chunk(self._s_pad(cat, target)))
+        runs.extend(self._s_ladder.values())
+        runs.sort(key=lambda r: r[0].shape[2])
+        cur = runs[0]
+        for r in runs[1:]:
+            cur = self._s_merge(self._s_pad(cur, r[0].shape[2]), r)
+        self._s_pending, self._s_pending_lanes = [], 0
+        self._s_ladder = {int(cur[0].shape[2]).bit_length() - 1: cur}
+        self._s_merged = cur
+        return cur
+
+    def _s_absorb(self) -> None:
+        """Mixed state (compacted planes + stream runs): hand the merged
+        stream planes to the classic chunk path (sorted raw lanes are a
+        valid chunk)."""
+        if not self._s_state():
+            return
+        self.chunks.append(self._s_planes())
+        self._s_pending, self._s_pending_lanes = [], 0
+        self._s_ladder, self._s_merged = {}, None
 
     def _merged_planes(self):
         """Per-device (hi, lo, cnt) over raw chunks (implicit count 1)
@@ -509,9 +677,25 @@ class ShardedSortEngine:
         )
 
     def compact(self) -> None:
+        if self.stream_sorted and self._s_state():
+            if self.weighted is None and not self.chunks:
+                # pure stream state: compact straight off the merged
+                # per-device planes (no sort at all)
+                hi, lo = self._s_planes()
+                fn = sharded_compact_fn(self.mesh, self.one_plane,
+                                        pre_sorted_raw=True)
+                self._store_weighted(*fn(hi, lo, hi))
+                self._s_pending, self._s_pending_lanes = [], 0
+                self._s_ladder, self._s_merged = {}, None
+                return
+            self._s_absorb()
+        if not self.chunks and self.weighted is None:
+            return
         hi, lo, cnt = self._merged_planes()
         fn = sharded_compact_fn(self.mesh, self.one_plane)
-        chi, clo, ccnt, nu = fn(hi, lo, cnt)
+        self._store_weighted(*fn(hi, lo, cnt))
+
+    def _store_weighted(self, chi, clo, ccnt, nu) -> None:
         # slice every device to the largest unique count (static shape),
         # rounded to a size class; tails are sentinel keys with count 0
         nu_max = int(np.max(np.asarray(nu)))
@@ -563,10 +747,22 @@ class ShardedSortEngine:
     def counts_for(self, query_hi, query_lo):
         """Total multiplicity of each query key (0 if absent), in query
         order — the distributed analog of KmerCompactor.counts_for."""
-        if not self.chunks and self.weighted is None:
+        if (not self.chunks and self.weighted is None
+                and not self._s_state()):
             return np.zeros(len(query_hi), np.int64)
         from ..table.compactor import prep_queries
 
+        if self.stream_sorted and self._s_state():
+            if self.weighted is None and not self.chunks:
+                hi, lo = self._s_planes()
+                pad_hi, pad_lo, q, inverse = prep_queries(
+                    query_hi, query_lo, self.one_plane)
+                fn = sharded_counts_for_fn(self.mesh, weighted=False,
+                                           one_plane=self.one_plane,
+                                           pre_sorted=True)
+                out = fn(hi, lo, jnp.asarray(pad_hi), jnp.asarray(pad_lo))
+                return np.asarray(out)[:q].astype(np.int64)[inverse]
+            self._s_absorb()
         pad_hi, pad_lo, q, inverse = prep_queries(query_hi, query_lo,
                                                   self.one_plane)
         if self.weighted is None:
@@ -583,9 +779,21 @@ class ShardedSortEngine:
         return np.asarray(out)[:q].astype(np.int64)[inverse]
 
     def hist(self, n_bins: int, max_count=None, min_keep: int = 1):
-        if not self.chunks and self.weighted is None:
+        if (not self.chunks and self.weighted is None
+                and not self._s_state()):
             self._n_distinct = 0  # no input: empty histogram, like the
             return np.zeros((n_bins,), np.int32)  # single-chip compactor
+        if self.stream_sorted and self._s_state():
+            if self.weighted is None and not self.chunks:
+                hi, lo = self._s_planes()
+                fn = sharded_hist_from_chunks_fn(
+                    self.mesh, n_bins, max_count, min_keep,
+                    one_plane=self.one_plane, pre_sorted=True,
+                )
+                h, nd = fn(hi, lo)
+                self._n_distinct = int(nd)
+                return np.asarray(h)
+            self._s_absorb()
         if self.weighted is None and self.chunks:
             hi = jnp.concatenate([c[0] for c in self.chunks], axis=2)
             lo = jnp.concatenate([c[1] for c in self.chunks], axis=2)
@@ -605,7 +813,8 @@ class ShardedSortEngine:
         return np.asarray(h)
 
 
-def sharded_counts_for_fn(mesh: Mesh, weighted: bool, one_plane: bool = False):
+def sharded_counts_for_fn(mesh: Mesh, weighted: bool, one_plane: bool = False,
+                          pre_sorted: bool = False):
     """Jitted distributed sort-join (the multi-chip form of vaf-counter's
     global join).  Queries are REPLICATED to every device: each key's
     data lanes live on exactly one device (routing invariant of
@@ -618,7 +827,7 @@ def sharded_counts_for_fn(mesh: Mesh, weighted: bool, one_plane: bool = False):
     def per_device(hi, lo, qhi, qlo, cnt=None):
         out = _counts_for_bs_impl(
             hi[0, 0], lo[0, 0], cnt[0, 0] if weighted else hi[0, 0],
-            qhi, qlo, weighted, one_plane,
+            qhi, qlo, weighted, one_plane, pre_sorted,
         )
         return jax.lax.psum(jax.lax.psum(out, "shard"), "data")
 

@@ -221,12 +221,12 @@ def _hist_impl_tpu(hi, lo, counts, n_bins, max_count, min_keep, has_counts,
 
 
 def hist_core(hi, lo, counts, n_bins, max_count, min_keep, has_counts,
-              one_plane=False):
+              one_plane=False, pre_sorted=False):
     """Pure-XLA histogram core (also reused per-device inside shard_map,
     kmer_tpu/dist/sharded.py): sort, reduce counts per key segment,
     histogram.  Returns (hist[n_bins] i32, n_distinct i32)."""
     return _hist_xla_core(hi, lo, counts, n_bins, max_count, min_keep,
-                          has_counts, one_plane)
+                          has_counts, one_plane, pre_sorted)
 
 
 @partial(jax.jit, static_argnames=("n_bins", "max_count", "min_keep",

@@ -298,3 +298,56 @@ def test_sharded_counts_for_matches_single_device(k):
     eng.compact()
     comp.compact()
     assert np.array_equal(eng.counts_for(qhi, qlo), comp.counts_for(qhi, qlo))
+
+
+@pytest.mark.parametrize("k", [21, 13])
+def test_sharded_stream_sorted_matches_classic(k, monkeypatch):
+    """Stream-sorted mesh accumulation (per-device sorts + bitonic merge
+    ladder under shard_map) must equal the classic chunk path on hist,
+    counts_for, and compact — including mixed state after a mid-stream
+    compact."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    monkeypatch.setattr(sharded, "_MESH_STREAM_CHUNK", 1 << 11)
+    monkeypatch.setattr(sharded, "_MESH_STREAM_MIN", 1 << 8)
+    mesh = sharded.make_mesh(jax.devices()[:8], data=2, shard=4)
+    block, lanes = 4096, 2048
+    rows = [_random_ascii(block) for _ in range(8)]
+    ascii_rows = np.stack(rows)
+
+    classic = sharded.ShardedSortEngine(mesh, k, lanes_per_dest=lanes,
+                                        stream_sorted=False)
+    stream = sharded.ShardedSortEngine(mesh, k, lanes_per_dest=lanes,
+                                       stream_sorted=True)
+    for eng in (classic, stream):
+        eng.add_batch(jnp.asarray(ascii_rows))
+        eng.add_batch(jnp.asarray(ascii_rows[::-1].copy()))
+    assert stream._s_state() and not stream.chunks
+    h1 = classic.hist(256, max_count=1023)
+    h2 = stream.hist(256, max_count=1023)
+    assert np.array_equal(h1, h2)
+    assert classic._n_distinct == stream._n_distinct
+
+    # counts_for off the pre-sorted planes
+    from kmer_tpu.pipeline.counter import _extract_step
+
+    hi0, lo0, _ = _extract_step(jnp.asarray(rows[0]), k)
+    keep = np.asarray(lo0) != 0xFFFFFFFF
+    qhi = np.asarray(hi0)[keep][:40]
+    qlo = np.asarray(lo0)[keep][:40]
+    assert np.array_equal(classic.counts_for(qhi, qlo),
+                          stream.counts_for(qhi, qlo))
+
+    # pre-sorted raw compact equals the classic compact
+    classic.compact()
+    stream.compact()
+    assert not stream._s_state()
+    h1c = classic.hist(1024, max_count=1023, min_keep=2)
+    h2c = stream.hist(1024, max_count=1023, min_keep=2)
+    assert np.array_equal(h1c, h2c)
+
+    # mixed state: more raw batches on top of the compacted planes
+    for eng in (classic, stream):
+        eng.add_batch(jnp.asarray(ascii_rows))
+    assert np.array_equal(classic.hist(256, max_count=1023),
+                          stream.hist(256, max_count=1023))
