@@ -209,6 +209,21 @@ def bench_device_path():
     )
 
 
+def measure_tunnel(n_mb=16):
+    """Single-stream host->device bandwidth right now (the tunnel's
+    bandwidth swings several-fold minute to minute; this stderr line
+    records the weather each end-to-end number was taken in)."""
+    from kmer_tpu.pipeline.counter import _issue_transfer
+
+    buf = np.random.default_rng(0).integers(
+        0, 255, n_mb << 20, dtype=np.uint8)
+    t0 = time.time()
+    d = jnp.asarray(buf)
+    np.asarray(_issue_transfer(d))
+    dt = time.time() - t0
+    return n_mb / dt
+
+
 def bench_end_to_end(reads_path):
     """The full kc-c4 job from the gzipped file on disk: native reader,
     2-bit packed upload, device counting, histogram.  Run twice; the
@@ -242,7 +257,8 @@ def bench_end_to_end(reads_path):
         f"[bench] end-to-end: {mbases:.0f} Mbases in {elapsed:.2f}s "
         f"best-of-{len(times)} {[round(t, 2) for t in times]} "
         f"({value:.1f} Mb/s); warm run {warm_s:.1f}s; "
-        f"{eng._n_distinct} distinct\n"
+        f"{eng._n_distinct} distinct; "
+        f"tunnel {measure_tunnel():.1f} MB/s/stream\n"
     )
 
 

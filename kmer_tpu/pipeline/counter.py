@@ -202,15 +202,16 @@ class _maybe_profile:
         return False
 
 
-def _upload_threads(default: int = 8) -> int:
+def _upload_threads(default: int = 16) -> int:
     """KMER_TPU_UPLOAD_THREADS overrides the uploader thread count.
     Each thread is an independent tunnel stream and per-stream bandwidth
     is latency/window-limited, so aggregate ingest scales with streams
     until the link saturates (measured on the tunneled v5e: 2 threads
     17.6, 4 -> 29.8, 6 -> 35.1 Mb/s end-to-end under congestion; under a
-    quiet link 6 threads matched 2, so more streams never hurt; a
-    stream-sorted sweep measured 8 threads ~0.5s faster than 6 on the
-    256 Mbase end-to-end run and 12 slightly slower)."""
+    quiet link 6 threads matched 2, so more streams never hurt up to
+    ~16.  Paired congestion sweeps: 16 threads beat 8 in both adjacent
+    runs (5.6 vs 8.8 s, 4.0 vs 4.8 s on the 256 Mbase end-to-end job);
+    24 was worse once — 16 is the default)."""
     import os
 
     try:
