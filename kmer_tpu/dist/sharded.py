@@ -499,13 +499,11 @@ class ShardedSortEngine:
         # stream-sorted accumulation (the multi-chip form of
         # KmerCompactor's stream mode): owned chunks fold into sorted
         # per-device runs as they arrive and a binary-counter ladder
+        # (table.stream_ladder, shared with the single-chip compactor)
         # carry-merges them, all dispatched while the host ingests
         self.stream_sorted = (stream_sorted_default()
                               if stream_sorted is None else bool(stream_sorted))
-        self._s_pending = []
-        self._s_pending_lanes = 0
-        self._s_ladder = {}  # log2(per-device run lanes) -> (hi, lo)
-        self._s_merged = None
+        self.stream = self._make_ladder() if self.stream_sorted else None
         self._sort_fn = None
         self._merge_fn = None
 
@@ -531,8 +529,8 @@ class ShardedSortEngine:
         self._bytes = 0
         self.total_kmers = 0
         self.total_dropped = 0
-        self._s_pending, self._s_pending_lanes = [], 0
-        self._s_ladder, self._s_merged = {}, None
+        if self.stream is not None:
+            self.stream.clear()
 
     def route_batch(self, rows, row_bytes: Optional[int] = None,
                     aux=None, ingest: str = "ascii"):
@@ -572,27 +570,28 @@ class ShardedSortEngine:
         if self._bytes > self.budget_bytes:
             self.compact()
 
-    # -- stream-sorted accumulation (see KmerCompactor counterpart) ----
+    # -- stream-sorted accumulation (see KmerCompactor counterpart; the
+    # carry/fold invariants live in table.stream_ladder) ---------------
+
+    def _make_ladder(self):
+        from ..table.stream_ladder import StreamLadder
+
+        return StreamLadder(
+            chunk=_MESH_STREAM_CHUNK,
+            min_pad=_MESH_STREAM_MIN,
+            sort_fn=self._sort_chunk,
+            merge_fn=self._s_merge,
+            pad_fn=self._s_pad,
+            concat_fn=lambda runs: tuple(
+                jnp.concatenate([r[i] for r in runs], axis=2)
+                for i in range(2)
+            ),
+            slice_fn=lambda p, a, b: tuple(x[:, :, a:b] for x in p),
+            size_fn=lambda p: int(p[0].shape[2]),
+        )
 
     def _stream_add(self, hi, lo) -> None:
-        self._s_merged = None
-        self._s_pending.append((hi, lo))
-        self._s_pending_lanes += int(hi.shape[2])
-        while self._s_pending_lanes >= _MESH_STREAM_CHUNK:
-            if len(self._s_pending) == 1:
-                chi, clo = self._s_pending[0]
-            else:
-                chi = jnp.concatenate([p[0] for p in self._s_pending], axis=2)
-                clo = jnp.concatenate([p[1] for p in self._s_pending], axis=2)
-            chunk = (chi[:, :, :_MESH_STREAM_CHUNK],
-                     clo[:, :, :_MESH_STREAM_CHUNK])
-            self._s_pending_lanes -= _MESH_STREAM_CHUNK
-            self._s_pending = (
-                [(chi[:, :, _MESH_STREAM_CHUNK:],
-                  clo[:, :, _MESH_STREAM_CHUNK:])]
-                if self._s_pending_lanes else []
-            )
-            self._s_push(self._sort_chunk(chunk))
+        self.stream.add((hi, lo))
 
     def _sort_chunk(self, planes):
         if self._sort_fn is None:
@@ -604,14 +603,8 @@ class ShardedSortEngine:
             self._merge_fn = sharded_merge_fn(self.mesh, self.one_plane)
         return tuple(self._merge_fn(a[0], a[1], b[0], b[1]))
 
-    def _s_push(self, planes) -> None:
-        lv = int(planes[0].shape[2]).bit_length() - 1
-        while lv in self._s_ladder:
-            planes = self._s_merge(self._s_ladder.pop(lv), planes)
-            lv += 1
-        self._s_ladder[lv] = planes
-
-    def _s_pad(self, planes, target: int):
+    @staticmethod
+    def _s_pad(planes, target: int):
         n = planes[0].shape[2]
         if target == n:
             return planes
@@ -620,45 +613,19 @@ class ShardedSortEngine:
         return tuple(jnp.concatenate([p, pad], axis=2) for p in planes)
 
     def _s_state(self) -> bool:
-        return bool(self._s_pending or self._s_ladder
-                    or self._s_merged is not None)
+        return bool(self.stream)
 
     def _s_planes(self):
-        """Fold the stream state into one per-device sorted plane pair
-        (tail sort, then ascending sentinel-padded merges)."""
-        if self._s_merged is not None:
-            return self._s_merged
-        runs = []
-        if self._s_pending:
-            if len(self._s_pending) == 1:
-                cat = self._s_pending[0]
-            else:
-                cat = tuple(
-                    jnp.concatenate([p[i] for p in self._s_pending], axis=2)
-                    for i in range(2)
-                )
-            n = int(cat[0].shape[2])
-            target = max(_MESH_STREAM_MIN, 1 << max(0, (n - 1)).bit_length())
-            runs.append(self._sort_chunk(self._s_pad(cat, target)))
-        runs.extend(self._s_ladder.values())
-        runs.sort(key=lambda r: r[0].shape[2])
-        cur = runs[0]
-        for r in runs[1:]:
-            cur = self._s_merge(self._s_pad(cur, r[0].shape[2]), r)
-        self._s_pending, self._s_pending_lanes = [], 0
-        self._s_ladder = {int(cur[0].shape[2]).bit_length() - 1: cur}
-        self._s_merged = cur
-        return cur
+        return self.stream.planes()
 
     def _s_absorb(self) -> None:
         """Mixed state (compacted planes + stream runs): hand the merged
         stream planes to the classic chunk path (sorted raw lanes are a
         valid chunk)."""
-        if not self._s_state():
+        if not self.stream:
             return
-        self.chunks.append(self._s_planes())
-        self._s_pending, self._s_pending_lanes = [], 0
-        self._s_ladder, self._s_merged = {}, None
+        self.chunks.append(self.stream.planes())
+        self.stream.clear()
 
     def _merged_planes(self):
         """Per-device (hi, lo, cnt) over raw chunks (implicit count 1)
@@ -685,8 +652,7 @@ class ShardedSortEngine:
                 fn = sharded_compact_fn(self.mesh, self.one_plane,
                                         pre_sorted_raw=True)
                 self._store_weighted(*fn(hi, lo, hi))
-                self._s_pending, self._s_pending_lanes = [], 0
-                self._s_ladder, self._s_merged = {}, None
+                self.stream.clear()
                 return
             self._s_absorb()
         if not self.chunks and self.weighted is None:

@@ -323,50 +323,6 @@ def merge_sorted_halves_xla(hi, lo):
     return jax.lax.fori_loop(0, log2n, _xla_stage_dyn_body(log2n), (hi, lo))
 
 
-def merge_tree(runs, use_pallas=None):
-    """Merge a list of equal-length sorted (hi, lo) runs (lengths a power
-    of two) into one sorted pair of planes.  len(runs) is padded to a
-    power of two with virtual all-sentinel runs: merging a run with a
-    sentinel run is just concatenation (sentinels sort last), so the
-    padding costs one device copy, not merge stages.
-    Returns (hi, lo) of length len(runs_padded) * run_len."""
-    if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
-    assert runs, "merge_tree of no runs"
-    m = runs[0][0].shape[0]
-    assert all(r[0].shape[0] == m for r in runs), "unequal run lengths"
-    n_pad = 1 << max(0, (len(runs) - 1)).bit_length()
-    # None = a virtual all-sentinel run of the current level's length
-    level = list(runs) + [None] * (n_pad - len(runs))
-    length = m
-    while len(level) > 1:
-        nxt = []
-        for i in range(0, len(level), 2):
-            a, b = level[i], level[i + 1]
-            if a is None and b is None:
-                nxt.append(None)
-            elif b is None:
-                pad = jnp.full((length,), SENT, U32)
-                nxt.append((jnp.concatenate([a[0], pad]),
-                            jnp.concatenate([a[1], pad])))
-            else:
-                h = jnp.concatenate([a[0], b[0]])
-                l = jnp.concatenate([a[1], b[1]])
-                nxt.append(merge_sorted_halves(h, l, use_pallas=use_pallas))
-        level = nxt
-        length *= 2
-    out = level[0]
-    if out is None:  # all-sentinel input
-        pad = jnp.full((length,), SENT, U32)
-        return pad, pad
-    return out
-
-
-def pad_pow2(hi, lo):
-    """Pad flat planes to the next power-of-two length with sentinels."""
-    n = hi.shape[0]
-    target = 1 << max(0, (n - 1)).bit_length()
-    if target == n:
-        return hi, lo
-    pad = jnp.full((target - n,), SENT, U32)
-    return jnp.concatenate([hi, pad]), jnp.concatenate([lo, pad])
+# (run folding — chunk slicing, the binary-counter carry, and the
+# sentinel-padded finalize merges — lives in table.stream_ladder, shared
+# by the single-chip compactor and the mesh engine)

@@ -44,7 +44,7 @@ SENT = jnp.uint32(0xFFFFFFFF)
 # lanes as they arrive (the sorts hide under host->device ingest, which
 # is the end-to-end bottleneck and leaves the device idle), and
 # finalization pays only a bitonic merge cascade (kernels/bitonic.py:
-# 0.33s vs lax.sort's 1.38s at 2^28 lanes on a v5e) instead of the one
+# 0.18s vs lax.sort's 1.39s at 2^28 lanes on a v5e) instead of the one
 # giant sort.  The reference's analog is insertion overlapping reading
 # (kc-c4.c:130-179 kt_pipeline); there is no reference analog of the
 # merge itself (khashl inserts in place).
@@ -320,10 +320,7 @@ class KmerCompactor:
         # carry-merges equal-size runs eagerly so the only finalization
         # work left is the top merges + the segment pass.
         self.stream_sorted = bool(stream_sorted)
-        self._pending: List[Tuple[jnp.ndarray, ...]] = []
-        self._pending_lanes = 0
-        self._ladder: dict = {}  # log2(run lanes) -> plane tuple
-        self._merged: Optional[Tuple[jnp.ndarray, ...]] = None
+        self.stream = self._make_ladder() if self.stream_sorted else None
 
     def add_batch(self, keys: u.U64, valid: jnp.ndarray) -> None:
         hi, lo = _sentinelize(keys.hi, keys.lo, valid)
@@ -341,24 +338,29 @@ class KmerCompactor:
             self.compact()
 
     # -- stream-sorted accumulation ------------------------------------
+    # (carry/fold invariants live in table.stream_ladder, shared with
+    # the mesh engine dist.sharded.ShardedSortEngine)
+
+    def _make_ladder(self):
+        from .stream_ladder import StreamLadder
+
+        arity = 1 if self.one_plane else 2
+        return StreamLadder(
+            chunk=_STREAM_CHUNK,
+            min_pad=_STREAM_MIN,
+            sort_fn=self._sort_planes,
+            merge_fn=self._merge_runs,
+            pad_fn=self._pad_run,
+            concat_fn=lambda runs: tuple(
+                jnp.concatenate([r[i] for r in runs]) for i in range(arity)
+            ),
+            slice_fn=lambda p, a, b: tuple(x[a:b] for x in p),
+            size_fn=lambda p: int(p[0].shape[0]),
+        )
 
     def _stream_add(self, hi, lo):
-        self._merged = None
-        planes = (lo,) if self.one_plane else (hi, lo)
-        self._pending.append(planes)
-        self._pending_lanes += int(lo.shape[0])
-        self._bytes += lo.shape[0] * 4 * len(planes)
-        while self._pending_lanes >= _STREAM_CHUNK:
-            arity = len(planes)
-            cat = self._pending[0] if len(self._pending) == 1 else tuple(
-                jnp.concatenate([p[i] for p in self._pending])
-                for i in range(arity)
-            )
-            chunk = tuple(c[:_STREAM_CHUNK] for c in cat)
-            rest = tuple(c[_STREAM_CHUNK:] for c in cat)
-            self._pending_lanes -= _STREAM_CHUNK
-            self._pending = [rest] if self._pending_lanes else []
-            self._push_run(self._sort_planes(chunk))
+        self.stream.add((lo,) if self.one_plane else (hi, lo))
+        self._bytes += int(lo.shape[0]) * (4 if self.one_plane else 8)
 
     def _sort_planes(self, planes):
         if len(planes) == 1:
@@ -379,14 +381,8 @@ class KmerCompactor:
             bitonic.merge_sorted_halves(cat[0], cat[1], use_pallas=up)
         )
 
-    def _push_run(self, planes):
-        lv = int(planes[0].shape[0]).bit_length() - 1
-        while lv in self._ladder:
-            planes = self._merge_runs(self._ladder.pop(lv), planes)
-            lv += 1
-        self._ladder[lv] = planes
-
-    def _pad_run(self, planes, target: int):
+    @staticmethod
+    def _pad_run(planes, target: int):
         n = planes[0].shape[0]
         if target == n:
             return planes
@@ -394,39 +390,10 @@ class KmerCompactor:
         return tuple(jnp.concatenate([p, pad]) for p in planes)
 
     def _has_stream_state(self) -> bool:
-        return bool(self._ladder or self._pending or self._merged is not None)
-
-    def _stream_planes(self):
-        """Fold the whole stream state into ONE sorted plane tuple:
-        sort the sub-chunk tail, then merge every run smallest-first
-        (a smaller `cur` sentinel-pads up to its partner — sentinels
-        sort last, so padding is one concat, not merge stages)."""
-        if self._merged is not None:
-            return self._merged
-        runs = []
-        if self._pending:
-            arity = 1 if self.one_plane else 2
-            cat = self._pending[0] if len(self._pending) == 1 else tuple(
-                jnp.concatenate([p[i] for p in self._pending])
-                for i in range(arity)
-            )
-            n = int(cat[0].shape[0])
-            target = max(_STREAM_MIN, 1 << max(0, (n - 1)).bit_length())
-            runs.append(self._sort_planes(self._pad_run(cat, target)))
-        runs.extend(self._ladder.values())
-        runs.sort(key=lambda r: r[0].shape[0])
-        cur = runs[0]
-        for r in runs[1:]:
-            cur = self._merge_runs(self._pad_run(cur, r[0].shape[0]), r)
-        # replace the ladder with the merged run: memory stays bounded
-        # and later add_raw calls keep carry-merging into it correctly
-        self._pending, self._pending_lanes = [], 0
-        self._ladder = {int(cur[0].shape[0]).bit_length() - 1: cur}
-        self._merged = cur
-        return cur
+        return bool(self.stream)
 
     def _stream_hi_lo(self):
-        planes = self._stream_planes()
+        planes = self.stream.planes()
         lo = planes[-1]
         hi = planes[0] if len(planes) == 2 else lo
         return hi, lo
@@ -434,14 +401,13 @@ class KmerCompactor:
     def _absorb_stream(self) -> None:
         """Mixed state (counted runs + stream runs): hand the merged
         stream planes to the classic concat+sort path as one raw run."""
-        if not (self.stream_sorted and self._has_stream_state()):
+        if not (self.stream_sorted and self.stream):
             return
         hi, lo = self._stream_hi_lo()
         if self.one_plane:
             hi = jnp.where(lo == SENT, SENT, jnp.uint32(0))
         self.runs.append((hi, lo, None))
-        self._pending, self._pending_lanes = [], 0
-        self._ladder, self._merged = {}, None
+        self.stream.clear()
 
     def add_counted(self, keys: u.U64, counts: jnp.ndarray) -> None:
         self.runs.append((keys.hi, keys.lo, counts))
@@ -457,8 +423,7 @@ class KmerCompactor:
                 hi, lo = self._stream_hi_lo()
                 out = _compact_impl(hi, lo, hi, False, self.one_plane,
                                     pre_sorted=True)
-                self._pending, self._pending_lanes = [], 0
-                self._ladder, self._merged = {}, None
+                self.stream.clear()
                 self._store_compacted(out)
                 return
             self._absorb_stream()

@@ -1,0 +1,111 @@
+"""Binary-counter ladder of sorted runs — the shared core of
+stream-sorted accumulation (see table.compactor and dist.sharded).
+
+Arriving raw plane tuples accumulate in `pending`; once `chunk` lanes
+are buffered they are sliced off, sorted (hidden under host ingest,
+which leaves the device idle), and carry-merged with any equal-size
+run like a binary counter increment — so at most one run per power of
+two ever exists and every merge is between equal sizes.
+
+`planes()` folds the whole state into ONE sorted tuple: the sub-chunk
+tail is sentinel-padded to a power of two and sorted, then every run
+merges smallest-first (a smaller `cur` sentinel-pads up to its partner
+— sentinels sort last, so padding costs one concat, not merge stages).
+The fold is NON-destructive: it only caches the result, and the cache
+drops on the next add().  Folding into the ladder itself would compound
+— each add/fold cycle would re-merge the padded result into a run one
+power of two larger, growing resident planes without bound relative to
+the data.
+
+The reference has no analog (khashl inserts in place as it reads,
+/root/reference/kc-c4.c:116-128); this is the TPU-native form of
+"insertion overlaps reading" for a sort-based engine.
+
+Callers parameterize the plane-tuple mechanics (flat (n,) planes for
+the single-chip compactor; per-device (D, S, L) planes under shard_map
+for the mesh engine) via five callables; the carry/fold invariants live
+here once.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Tuple
+
+Planes = Tuple  # tuple of same-shaped arrays; comparisons use them all
+
+
+class StreamLadder:
+    def __init__(
+        self,
+        chunk: int,
+        min_pad: int,
+        sort_fn: Callable[[Planes], Planes],
+        merge_fn: Callable[[Planes, Planes], Planes],
+        pad_fn: Callable[[Planes, int], Planes],
+        concat_fn: Callable[[List[Planes]], Planes],
+        slice_fn: Callable[[Planes, int, Optional[int]], Planes],
+        size_fn: Callable[[Planes], int],
+    ):
+        self.chunk = chunk
+        self.min_pad = min_pad
+        self._sort = sort_fn
+        self._merge = merge_fn
+        self._pad = pad_fn
+        self._concat = concat_fn
+        self._slice = slice_fn
+        self._size = size_fn
+        self.pending: List[Planes] = []
+        self.pending_lanes = 0
+        self.ladder: dict = {}  # log2(run lanes) -> sorted planes
+        self._merged: Optional[Planes] = None
+
+    def __bool__(self) -> bool:
+        return bool(self.pending or self.ladder or self._merged is not None)
+
+    def add(self, planes: Planes) -> None:
+        self._merged = None
+        self.pending.append(planes)
+        self.pending_lanes += self._size(planes)
+        while self.pending_lanes >= self.chunk:
+            cat = (self.pending[0] if len(self.pending) == 1
+                   else self._concat(self.pending))
+            self.pending_lanes -= self.chunk
+            self.pending = (
+                [self._slice(cat, self.chunk, None)]
+                if self.pending_lanes else []
+            )
+            self._push(self._sort(self._slice(cat, 0, self.chunk)))
+
+    def _push(self, planes: Planes) -> None:
+        lv = self._size(planes).bit_length() - 1  # sizes are powers of two
+        while lv in self.ladder:
+            planes = self._merge(self.ladder.pop(lv), planes)
+            lv += 1
+        self.ladder[lv] = planes
+
+    def planes(self) -> Planes:
+        """The whole state as one sorted plane tuple (cached until the
+        next add; never mutates pending/ladder — see module docstring)."""
+        assert self, "planes() on an empty ladder"
+        if self._merged is not None:
+            return self._merged
+        runs = []
+        if self.pending:
+            cat = (self.pending[0] if len(self.pending) == 1
+                   else self._concat(self.pending))
+            n = self._size(cat)
+            target = max(self.min_pad, 1 << max(0, (n - 1).bit_length()))
+            runs.append(self._sort(self._pad(cat, target)))
+        runs.extend(self.ladder.values())
+        runs.sort(key=self._size)
+        cur = runs[0]
+        for r in runs[1:]:
+            # ladder sizes are distinct powers >= chunk and the tail is
+            # <= chunk, so ascending order keeps size(cur) <= size(r)
+            cur = self._merge(self._pad(cur, self._size(r)), r)
+        self._merged = cur
+        return cur
+
+    def clear(self) -> None:
+        self.pending, self.pending_lanes = [], 0
+        self.ladder, self._merged = {}, None

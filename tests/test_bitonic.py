@@ -73,34 +73,66 @@ def test_merge_single_plane(n):
 
 
 @pytest.mark.parametrize("n_runs", [1, 2, 3, 5, 8])
-def test_merge_tree(n_runs):
+def test_stream_ladder_folds_to_sorted(n_runs):
+    """The shared StreamLadder (used by both engines) folds arbitrary
+    run counts to the exact lax.sort order, sentinel padding included."""
+    from kmer_tpu.table.stream_ladder import StreamLadder
+
     rng = np.random.default_rng(n_runs)
     m = 1 << 10
-    runs, all_hi, all_lo = [], [], []
+    ladder = StreamLadder(
+        chunk=1 << 9,
+        min_pad=1 << 6,
+        sort_fn=lambda p: tuple(jax.lax.sort(p, num_keys=2)),
+        merge_fn=lambda a, b: bitonic.merge_sorted_halves(
+            *(jnp.concatenate([x, y]) for x, y in zip(a, b))
+        ),
+        pad_fn=lambda p, t: tuple(
+            jnp.concatenate([x, jnp.full((t - x.shape[0],), 0xFFFFFFFF,
+                                         jnp.uint32)]) if t != x.shape[0]
+            else x
+            for x in p
+        ),
+        concat_fn=lambda runs: tuple(
+            jnp.concatenate([r[i] for r in runs]) for i in range(2)
+        ),
+        slice_fn=lambda p, a, b: tuple(x[a:b] for x in p),
+        size_fn=lambda p: int(p[0].shape[0]),
+    )
+    all_hi, all_lo = [], []
     for _ in range(n_runs):
         hi = rng.integers(0, 1 << 30, m, dtype=np.uint32)
         lo = rng.integers(0, 1 << 32, m, dtype=np.uint32)
-        h, l = jax.lax.sort((jnp.asarray(hi), jnp.asarray(lo)), num_keys=2)
-        runs.append((h, l))
+        ladder.add((jnp.asarray(hi), jnp.asarray(lo)))
         all_hi.append(hi)
         all_lo.append(lo)
-    mh, ml = bitonic.merge_tree(runs)
-    n_pad = 1 << max(0, (n_runs - 1)).bit_length()
-    cat_hi = np.concatenate(all_hi + [np.full(m * (n_pad - n_runs),
-                                              0xFFFFFFFF, np.uint32)])
-    cat_lo = np.concatenate(all_lo + [np.full(m * (n_pad - n_runs),
-                                              0xFFFFFFFF, np.uint32)])
+    mh, ml = ladder.planes()
+    pad = mh.shape[0] - n_runs * m
+    cat_hi = np.concatenate(all_hi + [np.full(pad, 0xFFFFFFFF, np.uint32)])
+    cat_lo = np.concatenate(all_lo + [np.full(pad, 0xFFFFFFFF, np.uint32)])
     rh, rl = jax.lax.sort((jnp.asarray(cat_hi), jnp.asarray(cat_lo)),
                           num_keys=2)
     assert np.array_equal(np.asarray(mh), np.asarray(rh))
     assert np.array_equal(np.asarray(ml), np.asarray(rl))
+    # non-destructive fold: adds after planes() keep every key
+    ladder.add((jnp.asarray(all_hi[0]), jnp.asarray(all_lo[0])))
+    mh2, _ = ladder.planes()
+    assert mh2.shape[0] >= (n_runs + 1) * m
 
 
-def test_pad_pow2():
-    hi = jnp.arange(5, dtype=jnp.uint32)
-    lo = jnp.arange(5, dtype=jnp.uint32)
-    ph, pl = bitonic.pad_pow2(hi, lo)
-    assert ph.shape[0] == 8
-    assert np.all(np.asarray(ph)[5:] == 0xFFFFFFFF)
-    h2, _ = bitonic.pad_pow2(ph, pl)
-    assert h2.shape[0] == 8
+def test_stream_ladder_fold_does_not_compound():
+    """Interleaved add/fold cycles must not grow resident plane size
+    unboundedly (the fold is cache-only, never re-laddered)."""
+    from kmer_tpu.table import compactor as C
+
+    comp = C.KmerCompactor(stream_sorted=True)
+    rng = np.random.default_rng(0)
+    sizes = []
+    for _ in range(6):
+        lo = rng.integers(0, 1 << 32, 100, dtype=np.uint32)
+        hi = rng.integers(0, 1 << 30, 100, dtype=np.uint32)
+        comp.add_raw(jnp.asarray(hi), jnp.asarray(lo))
+        comp.hist(256, None)  # forces a fold every cycle
+        sizes.append(int(comp.stream.planes()[0].shape[0]))
+    # 600 data lanes: every fold pads to the same 2^16 floor, no doubling
+    assert max(sizes) == min(sizes) == C._STREAM_MIN
