@@ -240,11 +240,11 @@ def bench_end_to_end(reads_path):
     t0 = time.time()
     eng, _ = run_once()
     warm_s = time.time() - t0
-    # best of 3 timed passes: the TPU tunnel's transfer bandwidth varies
+    # best of 4 timed passes: the TPU tunnel's transfer bandwidth varies
     # several-fold minute to minute (CLAUDE.md); congestion noise is
     # strictly additive, so the minimum measures the pipeline
     times = []
-    for _ in range(3):
+    for _ in range(4):
         t0 = time.time()
         eng, h = run_once()
         times.append(time.time() - t0)

@@ -359,6 +359,10 @@ class KmerCompactor:
         )
 
     def _stream_add(self, hi, lo):
+        # _bytes counts RAW lanes only, as in classic mode: both modes
+        # peak near 3x that during finalization (classic: concat + sort
+        # in/out temps; stream: ladder + the fold's in/out planes), so
+        # the budget threshold means the same thing in either mode
         self.stream.add((lo,) if self.one_plane else (hi, lo))
         self._bytes += int(lo.shape[0]) * (4 if self.one_plane else 8)
 
