@@ -11,11 +11,14 @@ two ever exists and every merge is between equal sizes.
 tail is sentinel-padded to a power of two and sorted, then every run
 merges smallest-first (a smaller `cur` sentinel-pads up to its partner
 — sentinels sort last, so padding costs one concat, not merge stages).
-The fold is NON-destructive: it only caches the result, and the cache
-drops on the next add().  Folding into the ladder itself would compound
-— each add/fold cycle would re-merge the padded result into a run one
-power of two larger, growing resident planes without bound relative to
-the data.
+The fold replaces the ladder with the result — freeing the source runs
+(a 2^28-lane stream would otherwise keep ~2x the planes alive after
+finalization) — but first SLICES the result down to
+max(min_pad, next_pow2(raw lanes added)): every real key sorts before
+the pad sentinels, so the slice only drops padding, and it is what
+keeps interleaved add/fold cycles from compounding (re-laddering the
+padded result unsliced would re-merge it one power of two larger each
+cycle, growing resident planes without bound relative to the data).
 
 The reference has no analog (khashl inserts in place as it reads,
 /root/reference/kc-c4.c:116-128); this is the TPU-native form of
@@ -56,6 +59,7 @@ class StreamLadder:
         self._size = size_fn
         self.pending: List[Planes] = []
         self.pending_lanes = 0
+        self.data_lanes = 0  # raw lanes ever added (bounds the fold size)
         self.ladder: dict = {}  # log2(run lanes) -> sorted planes
         self._merged: Optional[Planes] = None
 
@@ -66,6 +70,7 @@ class StreamLadder:
         self._merged = None
         self.pending.append(planes)
         self.pending_lanes += self._size(planes)
+        self.data_lanes += self._size(planes)
         while self.pending_lanes >= self.chunk:
             cat = (self.pending[0] if len(self.pending) == 1
                    else self._concat(self.pending))
@@ -85,7 +90,8 @@ class StreamLadder:
 
     def planes(self) -> Planes:
         """The whole state as one sorted plane tuple (cached until the
-        next add; never mutates pending/ladder — see module docstring)."""
+        next add; replaces the ladder with the size-bounded result —
+        see module docstring)."""
         assert self, "planes() on an empty ladder"
         if self._merged is not None:
             return self._merged
@@ -103,9 +109,18 @@ class StreamLadder:
             # ladder sizes are distinct powers >= chunk and the tail is
             # <= chunk, so ascending order keeps size(cur) <= size(r)
             cur = self._merge(self._pad(cur, self._size(r)), r)
+        # bound, then re-ladder: lanes past next_pow2(data_lanes) can
+        # only hold pad sentinels (every real key sorts before them)
+        bound = max(self.min_pad,
+                    1 << max(0, (self.data_lanes - 1).bit_length()))
+        if self._size(cur) > bound:
+            cur = self._slice(cur, 0, bound)
+        self.pending, self.pending_lanes = [], 0
+        self.ladder = {self._size(cur).bit_length() - 1: cur}
         self._merged = cur
         return cur
 
     def clear(self) -> None:
         self.pending, self.pending_lanes = [], 0
+        self.data_lanes = 0
         self.ladder, self._merged = {}, None

@@ -114,10 +114,19 @@ def test_stream_ladder_folds_to_sorted(n_runs):
                           num_keys=2)
     assert np.array_equal(np.asarray(mh), np.asarray(rh))
     assert np.array_equal(np.asarray(ml), np.asarray(rl))
-    # non-destructive fold: adds after planes() keep every key
+    # folding is lossless under further adds: every key survives
     ladder.add((jnp.asarray(all_hi[0]), jnp.asarray(all_lo[0])))
-    mh2, _ = ladder.planes()
+    mh2, ml2 = ladder.planes()
     assert mh2.shape[0] >= (n_runs + 1) * m
+    packed = (np.asarray(mh2).astype(np.uint64) << np.uint64(32)
+              ) | np.asarray(ml2).astype(np.uint64)
+    want = np.concatenate([cat_hi.astype(np.uint64) << np.uint64(32)
+                           | cat_lo.astype(np.uint64),
+                           all_hi[0].astype(np.uint64) << np.uint64(32)
+                           | all_lo[0].astype(np.uint64)])
+    sent = np.uint64(0xFFFFFFFFFFFFFFFF)
+    assert np.array_equal(np.sort(packed[packed != sent]),
+                          np.sort(want[want != sent]))
 
 
 def test_stream_ladder_fold_does_not_compound():
