@@ -231,14 +231,17 @@ def bench_end_to_end(reads_path):
     from kmer_tpu.pipeline.counter import SortCountEngine
 
     def run_once():
+        # returns only scalars: holding the engine across timed passes
+        # would keep its ~2 GB of device planes alive while the next
+        # pass streams (HBM is the binding constraint at this scale)
         eng = SortCountEngine(k=K, block_bases=10_000_000,
                               qual_policy=("resume", K, 3))
         eng.count_paths([reads_path])
-        h = eng.hist(256, max_count=1023)
-        return eng, h
+        eng.hist(256, max_count=1023)
+        return eng.total_bases, eng._n_distinct
 
     t0 = time.time()
-    eng, _ = run_once()
+    total_bases, n_distinct = run_once()
     warm_s = time.time() - t0
     # best of 4 timed passes: the TPU tunnel's transfer bandwidth varies
     # several-fold minute to minute (CLAUDE.md); congestion noise is
@@ -246,10 +249,10 @@ def bench_end_to_end(reads_path):
     times = []
     for _ in range(4):
         t0 = time.time()
-        eng, h = run_once()
+        total_bases, n_distinct = run_once()
         times.append(time.time() - t0)
     elapsed = min(times)
-    mbases = eng.total_bases / 1e6
+    mbases = total_bases / 1e6
     value = mbases / elapsed
     emit("kc-c4 end-to-end throughput from gzipped FASTQ (1 chip)",
          value, BASELINE_MBASES_S)
@@ -257,7 +260,7 @@ def bench_end_to_end(reads_path):
         f"[bench] end-to-end: {mbases:.0f} Mbases in {elapsed:.2f}s "
         f"best-of-{len(times)} {[round(t, 2) for t in times]} "
         f"({value:.1f} Mb/s); warm run {warm_s:.1f}s; "
-        f"{eng._n_distinct} distinct; "
+        f"{n_distinct} distinct; "
         f"tunnel {measure_tunnel():.1f} MB/s/stream\n"
     )
 
@@ -274,26 +277,26 @@ def bench_yak(reads_path):
         eng = SortCountEngine(k=K, block_bases=10_000_000,
                               qual_policy=("resume", K, 3))
         eng.count_paths([reads_path])
-        h = eng.hist(1024, max_count=1023, min_keep=2)
-        return eng, h
+        eng.hist(1024, max_count=1023, min_keep=2)
+        return eng.total_bases, eng._n_distinct
 
     t0 = time.time()
     run_once()
     warm_s = time.time() - t0
     times = []
-    for _ in range(3):  # best-of-3, as in bench_end_to_end
+    for _ in range(3):  # best-of-N, as in bench_end_to_end
         t0 = time.time()
-        eng, h = run_once()
+        total_bases, n_distinct = run_once()
         times.append(time.time() - t0)
     elapsed = min(times)
-    mbases = eng.total_bases / 1e6
+    mbases = total_bases / 1e6
     value = mbases / elapsed
     emit("yak-count two-pass (-b30) end-to-end throughput (1 chip)",
          value, YAK_BASELINE_MBASES_S)
     sys.stderr.write(
         f"[bench] yak: {mbases:.0f} Mbases in {elapsed:.2f}s "
         f"({value:.1f} Mb/s); warm {warm_s:.1f}s; "
-        f"{eng._n_distinct} distinct with count >= 2\n"
+        f"{n_distinct} distinct with count >= 2\n"
     )
 
 
@@ -315,20 +318,20 @@ def bench_vaf(reads_path, k=21):
                               qual_policy=("resume", k, 3))
         eng.count_paths([reads_path])
         qc = eng.counts_for(qhi, qlo)
-        return eng, qc
+        return eng.total_bases, eng.total_kmers, qc
 
     t0 = time.time()
     run_once()
     warm_s = time.time() - t0
     times = []
-    for _ in range(3):  # best-of-3, as in bench_end_to_end
+    for _ in range(3):  # best-of-N, as in bench_end_to_end
         t0 = time.time()
-        eng, qc = run_once()
+        total_bases, total_kmers, qc = run_once()
         times.append(time.time() - t0)
     elapsed = min(times)
-    mbases = eng.total_bases / 1e6
+    mbases = total_bases / 1e6
     value = mbases / elapsed
-    mkmers = eng.total_kmers / 1e6 / elapsed
+    mkmers = total_kmers / 1e6 / elapsed
     emit("vaf-counter counting throughput (1 chip)", value,
          VAF_BASELINE_MBASES_S)
     emit("vaf-counter k-mer throughput (1 chip)", mkmers,

@@ -246,8 +246,7 @@ def _merge_low_strides_pallas1(l):
     return ol.reshape(n)
 
 
-@partial(jax.jit, static_argnames=("use_pallas",))
-def merge_sorted_halves1(lo, use_pallas=True):
+def _merge_core1(lo, use_pallas=True):
     """Single-plane merge_sorted_halves: merge a flat u32 plane whose two
     halves are each ascending-sorted (one-plane compactor keys)."""
     n = lo.shape[0]
@@ -272,8 +271,7 @@ def merge_sorted_halves1(lo, use_pallas=True):
     return lo
 
 
-@partial(jax.jit, static_argnames=("use_pallas",))
-def merge_sorted_halves(hi, lo, use_pallas=True):
+def _merge_core(hi, lo, use_pallas=True):
     """Merge flat planes whose two halves are each ascending-sorted into
     fully sorted planes.  n must be a power of two (callers pad with the
     all-ones sentinel, which sorts last and stays in the tail)."""
@@ -301,6 +299,23 @@ def merge_sorted_halves(hi, lo, use_pallas=True):
     if lo_bits:
         hi, lo = _merge_low_strides_pallas(hi, lo)
     return hi, lo
+
+
+# public jitted forms: the plain ones keep their inputs valid (tests,
+# external callers); the donated ones reuse the input planes' HBM for
+# the output — stream-sorted finalization merges throwaway concat
+# temporaries at 2+ GB a pair, where donation halves the peak (TPU only:
+# other backends ignore donation with a warning on tool stderr)
+merge_sorted_halves = partial(jax.jit, static_argnames=("use_pallas",))(
+    _merge_core)
+merge_sorted_halves1 = partial(jax.jit, static_argnames=("use_pallas",))(
+    _merge_core1)
+merge_sorted_halves_donated = partial(
+    jax.jit, static_argnames=("use_pallas",), donate_argnums=(0, 1))(
+    _merge_core)
+merge_sorted_halves1_donated = partial(
+    jax.jit, static_argnames=("use_pallas",), donate_argnums=(0,))(
+    _merge_core1)
 
 
 def _xla_stage_dyn_body(log2n):

@@ -374,16 +374,20 @@ class KmerCompactor:
     def _merge_runs(self, a, b):
         """Merge two equal-length sorted runs with the bitonic merge
         cascade (kernels/bitonic.py) — only the last log2(n) stages of
-        what a fresh sort would redo."""
+        what a fresh sort would redo.  The concatenated temporaries are
+        donated on TPU (their HBM becomes the output's — the fold peaks
+        at multiple GB-scale plane pairs otherwise)."""
         from ..kernels import bitonic
 
         up = jax.default_backend() == "tpu"
         cat = tuple(jnp.concatenate([x, y]) for x, y in zip(a, b))
         if len(cat) == 1:
-            return (bitonic.merge_sorted_halves1(cat[0], use_pallas=up),)
-        return tuple(
-            bitonic.merge_sorted_halves(cat[0], cat[1], use_pallas=up)
-        )
+            fn1 = (bitonic.merge_sorted_halves1_donated if up
+                   else bitonic.merge_sorted_halves1)
+            return (fn1(cat[0], use_pallas=up),)
+        fn = (bitonic.merge_sorted_halves_donated if up
+              else bitonic.merge_sorted_halves)
+        return tuple(fn(cat[0], cat[1], use_pallas=up))
 
     @staticmethod
     def _pad_run(planes, target: int):
