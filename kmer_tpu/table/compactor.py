@@ -320,6 +320,9 @@ class KmerCompactor:
         # carry-merges equal-size runs eagerly so the only finalization
         # work left is the top merges + the segment pass.
         self.stream_sorted = bool(stream_sorted)
+        from collections import deque
+
+        self._sync_q: "deque" = deque()
         self.stream = self._make_ladder() if self.stream_sorted else None
 
     def add_batch(self, keys: u.U64, valid: jnp.ndarray) -> None:
@@ -356,7 +359,20 @@ class KmerCompactor:
             ),
             slice_fn=lambda p, a, b: tuple(x[a:b] for x in p),
             size_fn=lambda p: int(p[0].shape[0]),
+            on_push=self._throttle_push,
         )
+
+    def _throttle_push(self, planes) -> None:
+        """Bound how far dispatch can run ahead of the device in stream
+        mode: realize a tiny slice of the chunk sorted two chunks ago
+        (device execution is in order, so that sync proves the device
+        is at most ~2 chunks behind — every queued op holds its buffers,
+        and an unthrottled fast reader OOMs HBM at bench scale).  The
+        readback is ~one tunnel round trip and only blocks when the
+        device is genuinely behind the slack window."""
+        self._sync_q.append(planes[0][:8])
+        if len(self._sync_q) > 2:
+            np.asarray(self._sync_q.popleft())
 
     def _stream_add(self, hi, lo):
         # _bytes counts RAW lanes only, as in classic mode: both modes

@@ -48,6 +48,7 @@ class StreamLadder:
         concat_fn: Callable[[List[Planes]], Planes],
         slice_fn: Callable[[Planes, int, Optional[int]], Planes],
         size_fn: Callable[[Planes], int],
+        on_push: Optional[Callable[[Planes], None]] = None,
     ):
         self.chunk = chunk
         self.min_pad = min_pad
@@ -57,6 +58,11 @@ class StreamLadder:
         self._concat = concat_fn
         self._slice = slice_fn
         self._size = size_fn
+        # called with each freshly-sorted chunk: engines hook dispatch
+        # backpressure here (without it, a fast reader can enqueue every
+        # chunk's sort+merge before the device runs any, holding all
+        # their buffers at once — observed as an HBM OOM at 256 Mbases)
+        self._on_push = on_push
         self.pending: List[Planes] = []
         self.pending_lanes = 0
         self.data_lanes = 0  # raw lanes ever added (bounds the fold size)
@@ -79,7 +85,10 @@ class StreamLadder:
                 [self._slice(cat, self.chunk, None)]
                 if self.pending_lanes else []
             )
-            self._push(self._sort(self._slice(cat, 0, self.chunk)))
+            run = self._sort(self._slice(cat, 0, self.chunk))
+            if self._on_push is not None:
+                self._on_push(run)
+            self._push(run)
 
     def _push(self, planes: Planes) -> None:
         lv = self._size(planes).bit_length() - 1  # sizes are powers of two
