@@ -65,6 +65,44 @@ def emit(metric, value, baseline, unit="Mbases/s"):
     }), flush=True)
 
 
+def _settle(seconds=3.0):
+    """Let queued device deallocations land before the next pass.  The
+    tunneled TPU backend reclaims freed HBM asynchronously: back-to-back
+    GB-scale engine passes transiently hold ~2 passes' memory and die
+    with RESOURCE_EXHAUSTED (observed on pass 2-5 of the e2e metric),
+    while 8 consecutive passes run green with this barrier."""
+    import gc
+
+    gc.collect()
+    np.asarray(jnp.zeros((8,), jnp.uint32) + 1)  # device round trip
+    time.sleep(seconds)
+
+
+def _run_passes(run_once, n_timed):
+    """One warm (compile) pass + n timed passes with dealloc barriers
+    between them; a pass that hits a transient device OOM settles
+    longer and retries once.  Returns (last_result, warm_s, times)."""
+    def attempt():
+        t0 = time.time()
+        try:
+            return run_once(), time.time() - t0
+        except Exception as e:  # retry only transient device OOMs
+            if "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+            sys.stderr.write("[bench] transient device OOM; retrying\n")
+            _settle(15.0)
+            t0 = time.time()
+            return run_once(), time.time() - t0
+
+    out, warm_s = attempt()
+    times = []
+    for _ in range(n_timed):
+        _settle()
+        out, dt = attempt()
+        times.append(dt)
+    return out, warm_s, times
+
+
 def make_blocks():
     """Reads sampled from a synthetic genome so counts have structure.
 
@@ -189,13 +227,8 @@ def bench_device_path():
             comp.add_raw(hi, lo)
         return comp.hist(256, None)
 
-    t0 = time.time()
-    run_once()
-    warm_s = time.time() - t0
-
-    t0 = time.time()
-    hist, n_distinct = run_once()
-    elapsed = time.time() - t0
+    (_hist, n_distinct), warm_s, times = _run_passes(run_once, 1)
+    elapsed = times[0]
 
     mbases = N_BLOCKS * BLOCK / 1e6
     value = mbases / elapsed
@@ -240,17 +273,10 @@ def bench_end_to_end(reads_path):
         eng.hist(256, max_count=1023)
         return eng.total_bases, eng._n_distinct
 
-    t0 = time.time()
-    total_bases, n_distinct = run_once()
-    warm_s = time.time() - t0
     # best of 4 timed passes: the TPU tunnel's transfer bandwidth varies
     # several-fold minute to minute (CLAUDE.md); congestion noise is
     # strictly additive, so the minimum measures the pipeline
-    times = []
-    for _ in range(4):
-        t0 = time.time()
-        total_bases, n_distinct = run_once()
-        times.append(time.time() - t0)
+    (total_bases, n_distinct), warm_s, times = _run_passes(run_once, 4)
     elapsed = min(times)
     mbases = total_bases / 1e6
     value = mbases / elapsed
@@ -280,14 +306,7 @@ def bench_yak(reads_path):
         eng.hist(1024, max_count=1023, min_keep=2)
         return eng.total_bases, eng._n_distinct
 
-    t0 = time.time()
-    run_once()
-    warm_s = time.time() - t0
-    times = []
-    for _ in range(3):  # best-of-N, as in bench_end_to_end
-        t0 = time.time()
-        total_bases, n_distinct = run_once()
-        times.append(time.time() - t0)
+    (total_bases, n_distinct), warm_s, times = _run_passes(run_once, 3)
     elapsed = min(times)
     mbases = total_bases / 1e6
     value = mbases / elapsed
@@ -320,14 +339,7 @@ def bench_vaf(reads_path, k=21):
         qc = eng.counts_for(qhi, qlo)
         return eng.total_bases, eng.total_kmers, qc
 
-    t0 = time.time()
-    run_once()
-    warm_s = time.time() - t0
-    times = []
-    for _ in range(3):  # best-of-N, as in bench_end_to_end
-        t0 = time.time()
-        total_bases, total_kmers, qc = run_once()
-        times.append(time.time() - t0)
+    (total_bases, total_kmers, qc), warm_s, times = _run_passes(run_once, 3)
     elapsed = min(times)
     mbases = total_bases / 1e6
     value = mbases / elapsed
@@ -343,13 +355,49 @@ def bench_vaf(reads_path, k=21):
     )
 
 
-def main():
-    bench_device_path()
-    reads = ensure_reads_file()
-    bench_end_to_end(reads)
-    bench_yak(reads)
-    bench_vaf(reads)
+METRICS = ("device", "e2e", "yak", "vaf")
+
+
+def run_metric(name):
+    if name == "device":
+        bench_device_path()
+    elif name == "e2e":
+        bench_end_to_end(ensure_reads_file())
+    elif name == "yak":
+        bench_yak(ensure_reads_file())
+    elif name == "vaf":
+        bench_vaf(ensure_reads_file())
+    else:
+        raise SystemExit(f"unknown metric {name!r}")
+
+
+def main(argv):
+    if len(argv) == 3 and argv[1] == "--only":
+        run_metric(argv[2])
+        return 0
+    if os.environ.get("KMER_TPU_BENCH_INLINE"):
+        for name in METRICS:
+            run_metric(name)
+        return 0
+    # One subprocess per metric: the tunneled TPU backend accumulates
+    # HBM across big jobs even after the client frees every buffer
+    # (observed: metrics 1-2 pass, metric 3's identical program then
+    # dies with RESOURCE_EXHAUSTED; jax.live_arrays() is empty between
+    # metrics), so each metric gets a fresh PJRT client.  The compile
+    # cache (~/.cache/kmer_tpu_jax) keeps the per-child warmup small.
+    import subprocess
+
+    ensure_reads_file()  # generate shared inputs once, in the parent
+    ensure_pattern_file()
+    worst = 0
+    for name in METRICS:
+        rc = subprocess.call(
+            [sys.executable, os.path.abspath(__file__), "--only", name])
+        if rc:
+            sys.stderr.write(f"[bench] metric {name!r} failed rc={rc}\n")
+            worst = worst or rc
+    return worst
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main(sys.argv))
