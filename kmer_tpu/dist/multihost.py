@@ -123,17 +123,6 @@ class MultihostSortEngine:
         while True:
             item = next(local_it, None)
             has = item is not None
-            if jax.process_count() > 1:
-                # agree on continuation: every host must step together
-                from jax.experimental import multihost_utils
-
-                flags = multihost_utils.process_allgather(
-                    np.asarray(1 if has else 0, np.int32)
-                )
-                if int(np.sum(flags)) == 0:
-                    break
-            elif not has:
-                break
             if has:
                 local, nb, ns, rb = item
                 local_bases += nb
@@ -141,6 +130,27 @@ class MultihostSortEngine:
             else:
                 local = np.zeros((self.n_local, self.row_bases), np.uint8)
                 rb = None
+            if jax.process_count() > 1:
+                # agree on continuation AND row stride in one collective:
+                # every host must run the SAME program each step (SPMD),
+                # so the row-sliced fast path engages only when every
+                # host reports the identical row_bytes — an exhausted
+                # host's filler batch (rb None -> -1) downgrades the
+                # step to the generic path for everyone (the same rule
+                # as MeshYakEngine._count_multiprocess)
+                from jax.experimental import multihost_utils
+
+                state = multihost_utils.process_allgather(
+                    np.asarray([1 if has else 0, rb if rb else -1],
+                               np.int64)
+                )
+                if int(state[..., 0].sum()) == 0:
+                    break
+                rbs = state[..., 1].ravel()
+                rb = int(rbs[0])
+                rb = rb if rb > 0 and (rbs == rb).all() else None
+            elif not has:
+                break
             global_rows = jax.make_array_from_process_local_data(
                 self._sharding, local
             )

@@ -248,32 +248,18 @@ def sharded_extract_step_fn(mesh: Mesh, k: int, lanes_per_dest: int,
     assert ingest != "packed_structural" or (row_bytes and row_bytes > k)
 
     def per_device(*args):
-        from ..pipeline.counter import _unpack_ascii
+        from ..pipeline.counter import _structural_ascii, _unpack_ascii
 
         if ingest == "ascii":
             ascii_row = args[0]
         elif ingest == "packed":
             packed_row, mask_row = args
             ascii_row = _unpack_ascii(packed_row[0], mask_row[0])[None]
-        else:  # packed_structural
+        else:  # packed_structural: shared separator/tail predicate
             packed_row, n_used = args
-            p = packed_row[0]
-            shifts = jnp.arange(4, dtype=jnp.uint8) * 2
-            codes = ((p[:, None] >> shifts[None, :]) & 3).reshape(-1)
-            pos = jnp.arange(4 * p.shape[0], dtype=jnp.uint32)
-            inv = (
-                pos % jnp.uint32(row_bytes) == jnp.uint32(row_bytes - 1)
-            ) | (pos >= n_used[0, 0].astype(jnp.uint32))
-            lut = jnp.where(
-                codes == 0,
-                jnp.uint8(65),
-                jnp.where(
-                    codes == 1,
-                    jnp.uint8(67),
-                    jnp.where(codes == 2, jnp.uint8(71), jnp.uint8(84)),
-                ),
-            )
-            ascii_row = jnp.where(inv, jnp.uint8(0), lut)[None]
+            ascii_row = _structural_ascii(
+                packed_row[0], n_used[0, 0].astype(jnp.uint32), row_bytes
+            )[None]
         n_in = ascii_row.shape[1]
         if jax.default_backend() == "tpu" and k < 32:
             # the fused Pallas extraction (kernels/extract_tpu.py); pad
@@ -493,8 +479,9 @@ class ShardedSortEngine:
         self.chunks = []
         self.weighted = None  # (hi, lo, cnt) compacted (D, S, L) planes
         self._bytes = 0  # per-device run bytes
+        self._inflight = None  # one-batch dispatch pipeline (add_batch)
         self.total_kmers = 0
-        self.total_dropped = 0  # always 0 after add_batch (auto-retry)
+        self.total_dropped = 0  # always 0 once flushed (auto-retry)
         self.total_retries = 0
         # stream-sorted accumulation (the multi-chip form of
         # KmerCompactor's stream mode): owned chunks fold into sorted
@@ -527,23 +514,18 @@ class ShardedSortEngine:
         self.chunks = []
         self.weighted = None
         self._bytes = 0
+        self._inflight = None
         self.total_kmers = 0
         self.total_dropped = 0
         if self.stream is not None:
             self.stream.clear()
 
-    def route_batch(self, rows, row_bytes: Optional[int] = None,
-                    aux=None, ingest: str = "ascii"):
-        """Extract + route one batch WITHOUT accumulating: returns the
-        per-device owned (hi, lo) chunk planes, handling send-buffer
-        overflow by doubling the lanes and replaying (the static-shape
-        form of the reference's buffer realloc, kc-c4.c:78-80 — routing
-        never drops).  Consumers that keep their own per-device state
-        (MeshYakEngine's bloom-gated tables) build on this.
-
-        ingest "packed"/"packed_structural": rows are (n_dev, W/4) 2-bit
-        code planes and aux is the (n_dev, W/8) validity bitmask /
-        (n_dev, 1) used-byte counts (see sharded_extract_step_fn)."""
+    def _dispatch(self, rows, row_bytes: Optional[int], aux,
+                  ingest: str):
+        """Extract + route one batch WITHOUT resolving its overflow
+        check: returns a pending record whose counters (globally psum'd
+        inside the step — identical on every process, so deferred
+        resolution stays SPMD-consistent) are read by _resolve."""
         rb = row_bytes if row_bytes and row_bytes > self.k else None
         if ingest == "packed_structural" and rb is None:
             raise ValueError("structural packed ingest needs row_bytes")
@@ -551,17 +533,51 @@ class ShardedSortEngine:
         args = (rows,) if ingest == "ascii" else (rows, aux)
         hi, lo, nk, nd = self._step_for(self._lanes_for(row_len),
                                         rb, ingest)(*args)
+        return (hi, lo, nk, nd, args, row_len, rb, ingest)
+
+    def _resolve(self, pending):
+        """Block on a pending batch's drop counter, replaying with
+        doubled send lanes on overflow (the static-shape form of the
+        reference's buffer realloc, kc-c4.c:78-80 — routing never
+        drops).  Returns the per-device owned (hi, lo) chunk planes."""
+        hi, lo, nk, nd, args, row_len, rb, ingest = pending
         while int(nd) > 0:
             self._lane_mult[row_len] = 2 * self._lane_mult.get(row_len, 1)
             self.total_retries += 1
             hi, lo, nk, nd = self._step_for(
                 self._lanes_for(row_len), rb, ingest)(*args)
-        self.total_kmers += int(nk)
+        self._total_kmers += int(nk)
         return hi, lo
+
+    def route_batch(self, rows, row_bytes: Optional[int] = None,
+                    aux=None, ingest: str = "ascii"):
+        """Extract + route one batch WITHOUT accumulating: returns the
+        per-device owned (hi, lo) chunk planes, never dropping (see
+        _resolve).  Consumers that keep their own per-device state
+        (MeshYakEngine's bloom-gated tables) build on this.
+
+        ingest "packed"/"packed_structural": rows are (n_dev, W/4) 2-bit
+        code planes and aux is the (n_dev, W/8) validity bitmask /
+        (n_dev, 1) used-byte counts (see sharded_extract_step_fn)."""
+        self._flush_inflight()
+        return self._resolve(self._dispatch(rows, row_bytes, aux, ingest))
 
     def add_batch(self, rows, row_bytes: Optional[int] = None,
                   aux=None, ingest: str = "ascii") -> None:
-        hi, lo = self.route_batch(rows, row_bytes, aux, ingest)
+        # one-batch-deep dispatch pipeline: resolve the PREVIOUS batch's
+        # overflow counter (its step has already retired — the device
+        # queue is in order — so the readback does not wait for the
+        # batch just dispatched) while this batch computes.  This halves
+        # the host-sync stalls the tunnel round trip otherwise inserts
+        # between consecutive mesh batches, and bounds in-flight state
+        # at one batch + its input rows.
+        pending = self._dispatch(rows, row_bytes, aux, ingest)
+        prev, self._inflight = self._inflight, pending
+        if prev is not None:
+            self._commit(prev)
+
+    def _commit(self, pending) -> None:
+        hi, lo = self._resolve(pending)
         if self.stream_sorted:
             self._stream_add(hi, lo)
         else:
@@ -569,6 +585,20 @@ class ShardedSortEngine:
         self._bytes += hi.shape[2] * 8
         if self._bytes > self.budget_bytes:
             self.compact()
+
+    def _flush_inflight(self) -> None:
+        prev, self._inflight = self._inflight, None
+        if prev is not None:
+            self._commit(prev)
+
+    @property
+    def total_kmers(self) -> int:
+        self._flush_inflight()
+        return self._total_kmers
+
+    @total_kmers.setter
+    def total_kmers(self, v: int) -> None:
+        self._total_kmers = int(v)
 
     # -- stream-sorted accumulation (see KmerCompactor counterpart; the
     # carry/fold invariants live in table.stream_ladder) ---------------
@@ -644,6 +674,7 @@ class ShardedSortEngine:
         )
 
     def compact(self) -> None:
+        self._flush_inflight()
         if self.stream_sorted and self._s_state():
             if self.weighted is None and not self.chunks:
                 # pure stream state: compact straight off the merged
@@ -713,6 +744,7 @@ class ShardedSortEngine:
     def counts_for(self, query_hi, query_lo):
         """Total multiplicity of each query key (0 if absent), in query
         order — the distributed analog of KmerCompactor.counts_for."""
+        self._flush_inflight()
         if (not self.chunks and self.weighted is None
                 and not self._s_state()):
             return np.zeros(len(query_hi), np.int64)
@@ -745,6 +777,7 @@ class ShardedSortEngine:
         return np.asarray(out)[:q].astype(np.int64)[inverse]
 
     def hist(self, n_bins: int, max_count=None, min_keep: int = 1):
+        self._flush_inflight()
         if (not self.chunks and self.weighted is None
                 and not self._s_state()):
             self._n_distinct = 0  # no input: empty histogram, like the

@@ -12,9 +12,12 @@ a caller-provided path.  Output is CramRec objects exposing the same
 surface BamRecord gives the CIGAR walk (flag/tid/pos/cigar/l_seq/
 base_at/end_pos), so tools/bam_vaf_counter.py works unchanged.
 
-Scope notes: .crai indexed access is not implemented (the tool's
-sequential fallback path is used, as the reference does without an
-index); CRAM 3.1 codecs (rans4x16, tok3, fqzcomp) raise a clear error.
+Scope notes: .crai indexed access IS implemented (CraiIndex +
+CramReader.query seek straight to the covering slices, reproducing
+htslib's cram_range record filter — sam.c:1695, cram_decode.c:3475-3497);
+without an index the tool falls back to the sequential scan, as the
+reference does.  CRAM 3.1 codecs (rans4x16, tok3, fqzcomp) raise a
+clear error.
 """
 
 from __future__ import annotations
@@ -166,6 +169,20 @@ def rans_decode(data: bytes, out_size: int) -> bytes:
     nat = native.rans_decode_native(data, out_size)
     if nat is not None:
         return nat
+    try:
+        return _rans_decode_py(data, out_size)
+    except (IndexError, struct.error) as e:
+        # every read/peek in the freq walk and the stream loop indexes
+        # the raw buffer; a truncated or corrupt block must surface as
+        # the descriptive error the callers document, not a bare
+        # IndexError traceback
+        raise ValueError(
+            f"truncated or corrupt rANS block ({len(data)} bytes, "
+            f"expected {out_size} uncompressed)"
+        ) from e
+
+
+def _rans_decode_py(data: bytes, out_size: int) -> bytes:
     c = Cursor(data)
     order = c.u8()
     c.take(8)  # in/out sizes (trusted from the block header)

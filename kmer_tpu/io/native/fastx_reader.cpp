@@ -328,10 +328,12 @@ void* ktp_open(const char* path) {
           }
         }
         fclose(f);
+        f = nullptr;
         if (!r->comp.empty()) return r;
       }
       delete r;  // slurp failed: fall through to the zlib path
-      f = fopen(path, "rb");
+      if (f) fclose(f);  // still open when libdeflate_alloc_decompressor
+      f = fopen(path, "rb");  // failed (the ld branch never ran)
       if (!f) return nullptr;
     }
     fclose(f);

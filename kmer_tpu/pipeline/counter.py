@@ -298,19 +298,15 @@ def _extract_step(ascii_u8: jnp.ndarray, k: int):
     return hi, lo, n_kmers
 
 
-def _unpack_ascii(packed: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-    """Expand the native reader's 2-bit base codes + invalid bitmask
-    (io/native/fastx_reader.cpp ktp_read_block_packed) into the ASCII
-    byte stream the plain reader would have produced: code 0..3 ->
-    'A'/'C'/'G'/'T', masked slots -> NUL (an invalid base either way).
-    One cheap elementwise pass on device; the payoff is 0.375 bytes per
-    base over the host->device link instead of 1."""
-    n4 = packed.shape[0]
+def _unpack_codes(packed: jnp.ndarray) -> jnp.ndarray:
+    """(n/4,) packed 2-bit base codes -> (n,) codes 0..3."""
     shifts = jnp.arange(4, dtype=jnp.uint8) * 2
-    codes = ((packed[:, None] >> shifts[None, :]) & 3).reshape(4 * n4)
-    bits = jnp.arange(8, dtype=jnp.uint8)
-    inv = ((mask[:, None] >> bits[None, :]) & 1).reshape(8 * mask.shape[0])
-    lut = jnp.where(
+    return ((packed[:, None] >> shifts[None, :]) & 3).reshape(-1)
+
+
+def _codes_ascii(codes: jnp.ndarray) -> jnp.ndarray:
+    """base code 0..3 -> ASCII 'A'/'C'/'G'/'T'."""
+    return jnp.where(
         codes == 0,
         jnp.uint8(65),
         jnp.where(
@@ -319,7 +315,38 @@ def _unpack_ascii(packed: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
             jnp.where(codes == 2, jnp.uint8(71), jnp.uint8(84)),
         ),
     )
-    return jnp.where(inv[: 4 * n4] == 1, jnp.uint8(0), lut)
+
+
+def _unpack_ascii(packed: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Expand the native reader's 2-bit base codes + invalid bitmask
+    (io/native/fastx_reader.cpp ktp_read_block_packed) into the ASCII
+    byte stream the plain reader would have produced: code 0..3 ->
+    'A'/'C'/'G'/'T', masked slots -> NUL (an invalid base either way).
+    One cheap elementwise pass on device; the payoff is 0.375 bytes per
+    base over the host->device link instead of 1."""
+    n4 = packed.shape[0]
+    codes = _unpack_codes(packed)
+    bits = jnp.arange(8, dtype=jnp.uint8)
+    inv = ((mask[:, None] >> bits[None, :]) & 1).reshape(8 * mask.shape[0])
+    return jnp.where(inv[: 4 * n4] == 1, jnp.uint8(0), _codes_ascii(codes))
+
+
+def _structural_ascii(packed: jnp.ndarray, n_used, row_bytes: int,
+                      ) -> jnp.ndarray:
+    """Packed unpack without a transferred mask: the block is uniform
+    rows with no in-read invalid bases (see _iter_packed2), so invalid
+    slots are exactly the per-row separators plus the tail past n_used
+    — rebuilt from an iota instead of 0.125 B/base of host link.  The
+    ONE definition of that predicate, shared by the single-chip step
+    and the mesh engine's shard_map body (dist/sharded.py); the host
+    (numpy) twin for pre-assembled mesh batches lives in
+    MeshSortCountEngine._assemble_packed."""
+    codes = _unpack_codes(packed)
+    pos = jnp.arange(codes.shape[0], dtype=jnp.uint32)
+    inv = (pos % jnp.uint32(row_bytes) == jnp.uint32(row_bytes - 1)) | (
+        pos >= n_used
+    )
+    return jnp.where(inv, jnp.uint8(0), _codes_ascii(codes))
 
 
 @partial(jax.jit, static_argnames=("k", "row_bytes"))
@@ -334,28 +361,8 @@ def _extract_step_packed(packed: jnp.ndarray, mask: jnp.ndarray, k: int,
 @partial(jax.jit, static_argnames=("k", "row_bytes"))
 def _extract_step_packed_structural(packed: jnp.ndarray, n_used, k: int,
                                     row_bytes: int):
-    """Packed ingest without a transferred mask: the block is uniform
-    rows with no in-read invalid bases (see _iter_packed2), so invalid
-    slots are exactly the per-row separators plus the tail past n_used
-    — rebuilt here from an iota instead of 0.125 B/base of host link."""
-    n4 = packed.shape[0]
-    shifts = jnp.arange(4, dtype=jnp.uint8) * 2
-    codes = ((packed[:, None] >> shifts[None, :]) & 3).reshape(4 * n4)
-    pos = jnp.arange(4 * n4, dtype=jnp.uint32)
-    inv = (pos % jnp.uint32(row_bytes) == jnp.uint32(row_bytes - 1)) | (
-        pos >= n_used
-    )
-    lut = jnp.where(
-        codes == 0,
-        jnp.uint8(65),
-        jnp.where(
-            codes == 1,
-            jnp.uint8(67),
-            jnp.where(codes == 2, jnp.uint8(71), jnp.uint8(84)),
-        ),
-    )
-    ascii_u8 = jnp.where(inv, jnp.uint8(0), lut)
-    return _extract_step_rows(ascii_u8, k, row_bytes)
+    return _extract_step_rows(
+        _structural_ascii(packed, n_used, row_bytes), k, row_bytes)
 
 
 @partial(jax.jit, static_argnames=("k", "row_bytes"))

@@ -629,6 +629,12 @@ def _lex_lower_bound(s_hi, s_lo, qhi, qlo):
         mhi = jnp.take(s_hi, m)
         mlo = jnp.take(s_lo, m)
         less = (mhi < qhi) | ((mhi == qhi) & (mlo < qlo))
+        # mid == n only once low == high == n (query > every key); the
+        # clamped probe re-reads keys[n-1] there and, left unchecked,
+        # pushes low past n on every remaining trip — off-by-one for
+        # any query equal to the dataset maximum when no sentinel lane
+        # follows it (planes sliced to exactly next_pow2(data lanes))
+        less = less & (mid < n)
         return jnp.where(less, mid + 1, low), jnp.where(less, high, mid)
 
     low, _ = jax.lax.fori_loop(0, steps, body, (low, high))

@@ -98,6 +98,52 @@ class TestCountsFor:
         for i, q in enumerate(queries.tolist()):
             assert got[i] == want_counts.get(q, 0), i
 
+    def test_counts_for_max_key_no_sentinel_tail(self):
+        # regression: when the sorted planes end in a REAL key (no
+        # sentinel padding — stream mode slices to next_pow2(data
+        # lanes)), the lower-bound binary search's clamped probe at
+        # index n-1 used to push low past n, over-counting by 1 any
+        # query equal to the dataset maximum
+        from kmer_tpu.table.compactor import _counts_for_raw_impl
+
+        lo = jnp.asarray(np.array([1, 2, 3, 4, 5, 6, 7, 9], np.uint32))
+        hi = jnp.zeros(8, jnp.uint32)
+        qlo = jnp.asarray(np.array([9, 10, 1, 8], np.uint32))
+        qhi = jnp.zeros(4, jnp.uint32)
+        for pre_sorted in (False, True):
+            got = np.asarray(
+                _counts_for_raw_impl(hi, lo, qhi, qlo, False, pre_sorted)
+            )
+            assert got.tolist() == [1, 0, 1, 0], pre_sorted
+        # two-plane max: query also equal to the max hi plane
+        hi2 = jnp.asarray(np.array([0, 0, 1, 2, 2, 2, 3, 3], np.uint32))
+        got = np.asarray(
+            _counts_for_raw_impl(
+                hi2, lo, jnp.asarray(np.array([3, 3], np.uint32)),
+                jnp.asarray(np.array([9, 7], np.uint32)), False, True)
+        )
+        assert got.tolist() == [1, 1]
+
+    def test_counts_for_max_key_stream_exact_pow2(self):
+        # engine-level form of the same regression: exactly min_pad
+        # (2^16) lanes through the stream ladder leave zero sentinel
+        # tail; the max key must still count exactly once
+        from kmer_tpu.table import compactor as comp_mod
+
+        n = comp_mod._STREAM_MIN
+        keys = np.arange(1, n + 1, dtype=np.uint64)  # max key = n
+        c = KmerCompactor(stream_sorted=True)
+        c.add_raw(
+            jnp.asarray((keys >> np.uint64(32)).astype(np.uint32)),
+            jnp.asarray((keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+        )
+        q = np.array([n, n + 1, 1], dtype=np.uint64)
+        got = c.counts_for(
+            (q >> np.uint64(32)).astype(np.uint32),
+            (q & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+        )
+        assert got.tolist() == [1, 0, 1]
+
     def test_counts_for_after_compaction(self):
         c = KmerCompactor()
         d = np.repeat(np.arange(10, 20, dtype=np.uint64), 3)

@@ -306,6 +306,19 @@ def test_cram_records_match_bam(cram_fixture, monkeypatch, native):
         os.path.join(FIXTURES, "sampleA_aln.bam")).records())
 
 
+def test_rans_truncated_block_descriptive_error(monkeypatch):
+    """A truncated/corrupt rANS block through the pure-Python decoder
+    must raise the documented ValueError, not a bare IndexError from a
+    freq-table peek (kmer_tpu/io/cram.py rans_decode)."""
+    monkeypatch.setenv("KMER_TPU_NO_NATIVE", "1")
+    from kmer_tpu.io.cram import rans_decode
+
+    # order-0 header + in/out sizes, then a freq walk cut off mid-table
+    blob = bytes([0]) + (100).to_bytes(4, "little") * 2 + bytes([65, 200])
+    with pytest.raises(ValueError, match="rANS"):
+        rans_decode(blob, 100)
+
+
 def test_cram_vaf_parity(patterns, cram_fixture, tmp_path):
     """bam-vaf-counter on CRAM input, byte-identical to the htslib-backed
     reference on the same CRAM (bam-vaf-counter.c:24 via htslib cram/)."""
