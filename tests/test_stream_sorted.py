@@ -112,6 +112,33 @@ def test_stream_then_more_adds_and_mixed_counted(monkeypatch):
     assert d1 == d2
 
 
+def test_stream_interleaved_fold_add_stays_bounded(monkeypatch):
+    """Repeated hist (fold) / add cycles must stay bit-equivalent to the
+    classic engine AND keep resident ladder lanes bounded by
+    next_pow2(raw lanes added): the fold re-ladders its padded result,
+    and without the size-bounding slice each cycle would re-merge one
+    power of two larger (compounding growth — the round-2 regression
+    the slice fixed)."""
+    monkeypatch.setattr(C, "_STREAM_CHUNK", 1 << 12)
+    monkeypatch.setattr(C, "_STREAM_MIN", 1 << 8)
+    rng = np.random.default_rng(23)
+    batches = _random_batches(rng, 10, 500, 3000)
+    classic = C.KmerCompactor()
+    stream = C.KmerCompactor(stream_sorted=True)
+    for i in range(0, 10, 2):
+        _fill(classic, batches[i:i + 2])
+        _fill(stream, batches[i:i + 2])
+        h1, d1 = classic.hist(256, None)
+        h2, d2 = stream.hist(256, None)
+        assert np.array_equal(h1, h2) and d1 == d2
+        lad = stream.stream
+        resident = sum(p[0].shape[0] for p in lad.ladder.values()) + (
+            lad.pending_lanes)
+        bound = max(C._STREAM_MIN,
+                    1 << max(0, (lad.data_lanes - 1).bit_length()))
+        assert resident <= bound, (i, resident, bound)
+
+
 def test_stream_budget_triggers_compact(monkeypatch):
     monkeypatch.setattr(C, "_STREAM_CHUNK", 1 << 12)
     rng = np.random.default_rng(5)
