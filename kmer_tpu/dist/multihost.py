@@ -168,6 +168,9 @@ class MultihostSortEngine:
         else:
             self.total_bases += local_bases
             self.total_seqs += local_seqs
+        # resolve the deferred last batch so retry totals are final (and
+        # every process leaves count_paths at the same collective step)
+        self.eng._flush_inflight()
         if self.eng.total_retries and jax.process_index() == 0:
             import sys
 

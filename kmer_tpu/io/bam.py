@@ -118,6 +118,12 @@ class BamReader:
         if len(raw) < 4:
             return None
         block_size = struct.unpack("<i", raw)[0]
+        if block_size < 32:
+            # corrupt record body: stop at the first bad record, like
+            # the native scanner (io/native/bam_count.cpp block_size
+            # guard) — a struct.error traceback here would make the
+            # tool's output depend on whether the native path was used
+            return None
         data = self._bgzf.read(block_size)
         if len(data) < block_size:
             return None

@@ -61,7 +61,17 @@ class BgzfReader:
         within = voffset & 0xFFFF
         if coffset != self._block_coffset:
             blk = self._read_block_at(coffset)
-            self._block = blk if blk is not None else b""
+            if blk is None:
+                # unreadable target (e.g. stale .bai pointing past EOF):
+                # adopt the sought position with no successor so read()
+                # returns empty and tell_voffset() reports THIS offset —
+                # keeping the old block's coffset/next here would serve
+                # bytes from an unrelated file region
+                self._block = b""
+                self._block_coffset = coffset
+                self._next_coffset = None
+            else:
+                self._block = blk
         self._within = within
 
     def tell_voffset(self) -> int:

@@ -142,6 +142,14 @@ def read_vaf_file(path: str, max_snps: int = 100000) -> VafSample:
         )
         if df.shape[1] != 5:
             raise ValueError("ragged VAF rows")
+        n_body_lines = sum(1 for ln in body.split(b"\n") if ln.strip())
+        if len(df) != n_body_lines:
+            # on_bad_lines="skip" silently drops rows whose field count
+            # differs from the first row's (e.g. an extra annotation
+            # column appended by another tool) — the reference's sscanf
+            # keeps such rows (first 9 fields, correlation-matrix.c:63),
+            # so any skip must divert to the exact fallback loop below
+            raise ValueError("VAF rows with mismatched field counts")
         if len(df) > max_snps:
             sys.stderr.write(
                 f"Warning: too many SNPs (max {max_snps}), truncating\n"

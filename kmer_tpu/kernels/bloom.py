@@ -50,7 +50,10 @@ class BloomSpec(NamedTuple):
 
 def make_bits(spec: BloomSpec) -> jnp.ndarray:
     total_bits = 1 << (spec.n_shift - spec.owner_bits)
-    assert spec.n_shift <= 31, "single-shard bloom limited to 2^31 bits"
+    assert spec.n_shift - spec.owner_bits <= 31, (
+        "per-shard bloom limited to 2^31 bits (engines clamp -b via "
+        "pipeline.yak._clamp_bf_shift)"
+    )
     local_shift = spec.n_shift - spec.pre
     assert BLK_SHIFT <= local_shift, "bloom smaller than one block per subtable"
     assert spec.owner_bits <= spec.pre

@@ -26,15 +26,19 @@ U32 = jnp.uint32
 I32 = jnp.int32
 
 
-def build_peq(patterns_codes, pat_len):
-    """Peq bitmasks: (P, 4) uint32; bit i set iff pattern[i] == base.
+def build_peq(patterns_codes, pat_len, n_alpha: int = 4):
+    """Peq bitmasks: (P, n_alpha) uint32; bit i set iff
+    pattern[i] == letter.
 
-    patterns_codes: (P, Lp) uint8 2-bit codes (>=4 never matches).
+    patterns_codes: (P, Lp) uint8 alphabet codes (>= n_alpha never
+    matches).  n_alpha defaults to the 2-bit ACGT alphabet; ed-vaf-
+    counter passes the distinct-pattern-byte alphabet instead so that
+    matching is byte-exact like edlib's (no case folding, N == N).
     """
     P, Lp = patterns_codes.shape
     bit = (jnp.arange(Lp, dtype=U32))[None, :]
     masks = []
-    for c in range(4):
+    for c in range(n_alpha):
         is_c = (patterns_codes == c) & (
             jnp.arange(Lp)[None, :] < pat_len[:, None]
         )
@@ -46,7 +50,7 @@ def build_peq(patterns_codes, pat_len):
 def myers_hw_counts(peq, pat_len, reads_codes, read_len, max_e: int):
     """Counts of optimal end locations per (read, pattern).
 
-    peq: (P, 4) uint32, pat_len: (P,) int32
+    peq: (P, n_alpha) uint32, pat_len: (P,) int32
     reads_codes: (R, L) uint8, read_len: (R,) int32
     Returns (R, P) int32: numLocations if best distance <= max_e else 0.
     """
@@ -69,9 +73,9 @@ def myers_hw_counts(peq, pat_len, reads_codes, read_len, max_e: int):
     def step(carry, inputs):
         pv, mv, score, best, cnt = carry
         c, valid = inputs  # c: (R,) uint8; valid: (R,) bool
-        # Eq per (read, pattern): 4-way select, no gather
+        # Eq per (read, pattern): n_alpha-way select, no gather
         eq = jnp.zeros((R, P), U32)
-        for base in range(4):
+        for base in range(peq_t.shape[0]):
             eq = jnp.where((c == base)[:, None], peq_t[base][None, :], eq)
         xv = eq | mv
         xh = (((eq & pv) + pv) ^ pv) | eq
@@ -104,7 +108,8 @@ def myers_hw_counts(peq, pat_len, reads_codes, read_len, max_e: int):
     return jnp.where(best <= max_e, cnt, 0)
 
 
-def hw_counts_long_pattern(pat_codes, reads_codes, read_len, max_e: int):
+def hw_counts_long_pattern(pat_codes, reads_codes, read_len, max_e: int,
+                           n_alpha: int = 4):
     """Host fallback for patterns longer than 32 bases (the u32-lane
     kernel's word limit; edlib handles any length via multi-word
     vectors, edlib.cpp:412).  The same recurrence as myers_hw_counts
@@ -112,7 +117,7 @@ def hw_counts_long_pattern(pat_codes, reads_codes, read_len, max_e: int):
     over reads with numpy — the per-text-position loop stays in Python
     but each step is a handful of (R,)-wide numpy ops.
 
-    pat_codes: iterable of 2-bit codes (>=4 never matches).
+    pat_codes: iterable of alphabet codes (>= n_alpha never matches).
     reads_codes: (R, L) uint8; read_len: (R,) lengths.
     Returns a list of R counts (numLocations if best <= max_e else 0).
     """
@@ -121,10 +126,10 @@ def hw_counts_long_pattern(pat_codes, reads_codes, read_len, max_e: int):
     m = len(pat_codes)
     W = (m + 63) // 64
     ONE = np.uint64(1)
-    # peq per word: (W, 4) uint64
-    peq = np.zeros((W, 4), np.uint64)
+    # peq per word: (W, n_alpha) uint64
+    peq = np.zeros((W, n_alpha), np.uint64)
     for i, c in enumerate(pat_codes):
-        if c < 4:
+        if c < n_alpha:
             peq[i // 64, c] |= ONE << np.uint64(i % 64)
     last_bits = m - 64 * (W - 1)
     full_last = (
@@ -149,8 +154,8 @@ def hw_counts_long_pattern(pat_codes, reads_codes, read_len, max_e: int):
     for t in range(int(read_len.max()) if R else 0):
         c = reads_codes[:, t]
         valid = t < read_len
-        cc = np.minimum(c, 3)
-        eq = np.where(c < 4, peq[:, cc], np.uint64(0))  # (W, R)
+        cc = np.minimum(c, n_alpha - 1)
+        eq = np.where(c < n_alpha, peq[:, cc], np.uint64(0))  # (W, R)
         xv = eq | mv
         # (eq & pv) + pv with ripple carry across words
         xh = np.empty_like(pv)

@@ -74,6 +74,23 @@ def histogram_by_matmul(bins: jnp.ndarray, mask: jnp.ndarray, n_bins: int) -> jn
     Python branch."""
     b = jnp.where(mask, jnp.minimum(bins, n_bins - 1), 0)
     if jax.default_backend() == "tpu":
+        chunk = 1 << 23
+        if b.shape[0] > chunk:
+            # each chunk's f32 bin sums stay < 2^24 (exact); converting
+            # to i32 BEFORE the cross-chunk sum keeps a >2^24-lane bin
+            # exact too (one unchunked call would silently lose counts)
+            pad = (-b.shape[0]) % chunk
+            if pad:
+                b = jnp.concatenate([b, jnp.zeros((pad,), b.dtype)])
+            hs = jax.lax.map(
+                lambda bc: jnp.sum(
+                    jax.nn.one_hot(bc, n_bins, dtype=jnp.float32), axis=0
+                ).astype(I32),
+                b.reshape(-1, chunk),
+            )
+            h = jnp.sum(hs, axis=0)
+            # padding parked in bin 0, which callers never read
+            return h
         h = jnp.sum(jax.nn.one_hot(b, n_bins, dtype=jnp.float32), axis=0)
         return h.astype(I32)
     return jnp.zeros((n_bins,), I32).at[b].add(1)

@@ -68,6 +68,28 @@ def _yak_ingest(
     return table, bits, n_new
 
 
+def _clamp_bf_shift(bf_shift: int, owner_bits: int = 0) -> int:
+    """Largest supported bloom size is 2^31 bits per shard (byte-per-bit
+    device layout; kernels/bloom.py make_bits).  The reference accepts
+    -b up to 64-BLK_SHIFT and simply allocates host RAM (yak-count.c:75)
+    — an oversized request here clamps with a warning instead of
+    crashing.  For single-file two-pass runs the FINAL histogram is
+    bloom-size independent (a key's own first insert admits its second
+    occurrence regardless of collisions, and shrink(count>=2) drops
+    false-positive-admitted singletons after the recount), so the clamp
+    only perturbs the two-file mode's false-positive set (PARITY.md).
+    """
+    cap = 31 + owner_bits
+    if bf_shift > cap:
+        from ..utils.log import warn
+
+        warn("yak_count",
+             f"bloom size 2^{bf_shift} exceeds the per-device budget; "
+             f"using 2^{cap} bits")
+        return cap
+    return bf_shift
+
+
 class YakEngine:
     def __init__(
         self,
@@ -98,6 +120,8 @@ class YakEngine:
             and (bf_shift - pre) >= BLK_SHIFT
         )
         if self.use_bloom:
+            bf_shift = _clamp_bf_shift(bf_shift)
+            self.bf_shift = bf_shift
             self.spec = bloom.BloomSpec(pre, bf_shift, bf_n_hash)
             self.bits = bloom.make_bits(self.spec)
         else:
@@ -284,6 +308,8 @@ class MeshYakEngine:
             and pre >= self.owner_bits
         )
         if self.use_bloom:
+            bf_shift = _clamp_bf_shift(bf_shift, self.owner_bits)
+            self.bf_shift = bf_shift
             self.spec = bloom.BloomSpec(pre, bf_shift, bf_n_hash,
                                         self.owner_bits)
             local = bloom.make_bits(self.spec)

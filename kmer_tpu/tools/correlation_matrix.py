@@ -34,7 +34,16 @@ def pearson_depth_aware_np(x, dx, y, dy, min_snps, min_depth):
     loop (adding 0.0 for masked-out lanes leaves the running sum's bits
     unchanged), NOT np.sum (pairwise reduction, different rounding).
     ~100x the pure-Python loops for large cohorts (the reference caps
-    at 1000 samples x 100K SNPs)."""
+    at 1000 samples x 100K SNPs).
+
+    Samples with DIFFERENT row counts: the reference loops to sample
+    i's n_snps (correlation-matrix.c:155) over malloc'd MAX_SNPS
+    arrays, so rows past sample j's count read fresh-mmap zero pages —
+    depth 0 fails >= min_depth and excludes them.  Net effect: the
+    correlation runs over the first min(n_i, n_j) rows, reproduced
+    here by truncation (no broadcast error, no UB dependence)."""
+    n = min(x.shape[0], y.shape[0])
+    x, dx, y, dy = x[:n], dx[:n], y[:n], dy[:n]
     m = (dx >= min_depth) & (dy >= min_depth)
     valid_count = int(np.count_nonzero(m))
     if valid_count < min_snps:

@@ -20,7 +20,6 @@ import jax.numpy as jnp
 
 from ..io.fastx import FastxReader
 from ..io.formats import read_patterns, write_vaf_file
-from ..kernels.encode import SEQ_NT4_NP
 from ..kernels.myers import build_peq, myers_hw_counts
 from ..utils.cli import c_atoi, ketopt
 from ..utils.log import minfo
@@ -40,8 +39,25 @@ def _bucket_for(length: int) -> int:
     return b
 
 
-def _encode(seq: bytes) -> np.ndarray:
-    return SEQ_NT4_NP[np.frombuffer(seq, np.uint8)]
+def _alphabet_lut(kmers):
+    """edlib compares RAW bytes (no case folding, 'N' == 'N'): its
+    transformSequences maps each distinct byte to its own letter
+    (edlib.cpp:1417).  Reproduce that with the alphabet of distinct
+    PATTERN bytes; read bytes outside it map to one catch-all code that
+    matches nothing (equality against a pattern byte is all that
+    counting needs)."""
+    alpha = sorted(set(b"".join(kmers)))
+    n_alpha = max(1, len(alpha))
+    assert n_alpha <= 255, "pattern bytes exceed the uint8 code space"
+    # (the 255 buffer fill below stays a never-match code)
+    lut = np.full(256, n_alpha, np.uint8)
+    for idx, byte in enumerate(alpha):
+        lut[byte] = idx
+    return lut, n_alpha
+
+
+def _encode(seq: bytes, lut) -> np.ndarray:
+    return lut[np.frombuffer(seq, np.uint8)]
 
 
 def _openable(fn) -> bool:
@@ -66,8 +82,9 @@ def count_fastq(fn, patterns, max_e, totals):
     for p in patterns:
         kmers.append(p.ref_kmer.encode())
         kmers.append(p.alt_kmer.encode())
+    lut, n_alpha = _alphabet_lut(kmers)
     long_idx = [i for i, x in enumerate(kmers) if len(x) > _KERNEL_MAX_PAT]
-    long_codes = {i: _encode(kmers[i]).tolist() for i in long_idx}
+    long_codes = {i: _encode(kmers[i], lut).tolist() for i in long_idx}
     lp = max(
         (len(x) for x in kmers if len(x) <= _KERNEL_MAX_PAT), default=1
     )
@@ -77,14 +94,14 @@ def count_fastq(fn, patterns, max_e, totals):
         if len(x) > _KERNEL_MAX_PAT:
             plen[i] = lp  # kernel lane is a dummy; host path counts it
             continue
-        pc[i, : len(x)] = _encode(x)
+        pc[i, : len(x)] = _encode(x, lut)
         plen[i] = len(x)
     # pad pattern axis to a lane multiple
     P = len(kmers)
     Ppad = max(128, ((P + 127) // 128) * 128)
     pc = np.vstack([pc, np.full((Ppad - P, lp), 255, np.uint8)])
     plen_pad = np.concatenate([plen, np.full(Ppad - P, lp, np.int32)])
-    peq = build_peq(jnp.asarray(pc), jnp.asarray(plen_pad))
+    peq = build_peq(jnp.asarray(pc), jnp.asarray(plen_pad), n_alpha)
     plen_j = jnp.asarray(plen_pad)
 
     acc = np.zeros((Ppad,), np.int64)
@@ -114,7 +131,8 @@ def count_fastq(fn, patterns, max_e, totals):
             for i in long_idx:
                 acc[i] += sum(
                     hw_counts_long_pattern(
-                        long_codes[i], codes[:nb], lens[:nb], max_e
+                        long_codes[i], codes[:nb], lens[:nb], max_e,
+                        n_alpha,
                     )
                 )  # host path: only the filled rows
 
@@ -129,7 +147,7 @@ def count_fastq(fn, patterns, max_e, totals):
                 0,
             ]
         codes, lens, nb = batches[bucket]
-        codes[nb, :L] = _encode(seq)
+        codes[nb, :L] = _encode(seq, lut)
         codes[nb, L:] = 255
         lens[nb] = L
         batches[bucket][2] = nb + 1

@@ -18,7 +18,13 @@ U64_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
 def encode_kmer(seq: bytes, k: int) -> int:
-    """2-bit encode; returns -1 (reference: UINT64_MAX) if any N."""
+    """2-bit encode; returns -1 (reference: UINT64_MAX) if any N.
+    A sequence shorter than k also returns -1: the C encode_kmer
+    (vaf-counter.c:117-126, snp-pattern-gen.c:130-141) walks into the
+    NUL terminator, whose seq_nt4 code is 4 — so a too-short pattern
+    k-mer is skipped, never an error."""
+    if len(seq) < k:
+        return -1
     kmer = 0
     for i in range(k):
         c = int(SEQ_NT4_NP[seq[i]])

@@ -70,6 +70,43 @@ def test_ed_vaf_parity(patterns, tmp_path, max_e):
     assert _read(tmp_path / "tpu.vaf") == _read(tmp_path / "ref.vaf")
 
 
+@pytest.mark.parametrize("max_e", [0, 1, 2])
+def test_ed_vaf_byte_exact_alphabet(tmp_path, max_e):
+    """edlib compares RAW bytes — no case folding, and 'N' == 'N'
+    (edlib.cpp:1417 alphabet transform).  A lowercase read copy must
+    NOT match an uppercase pattern, and an N in a read must match a
+    pattern N; the former SEQ_NT4 case-folding encode diverged on
+    both (regression)."""
+    ref = _need("ed-vaf-counter")
+    pat = str(tmp_path / "pat.txt")
+    with open(pat, "w") as f:
+        f.write("chr1\t100\t101\trs1\tA\tC\t"
+                "ACGTACGTACGTACGTACGTA\tACGTACGTACCTACGTACGTA\n")
+        f.write("chr1\t200\t201\trs2\tG\tT\t"
+                "GGGGGNGGGGGGGGGGGGGGG\tGGGGGNGGGGTGGGGGGGGGG\n")
+    fq = str(tmp_path / "r.fq.gz")
+    import gzip
+
+    with gzip.open(fq, "wb") as f:
+        for i, r in enumerate([
+            b"ACGTACGTACGTACGTACGTAGGG",   # exact ref1
+            b"acgtacgtacgtacgtacgta",      # lowercase: must not match
+            b"TTGGGGGNGGGGGGGGGGGGGGGTT",  # read N == pattern N
+            b"ACGTACGTACCTACGTACGTA",      # alt1
+        ]):
+            f.write(b"@r%d\n%s\n+\n%s\n" % (i, r, b"I" * len(r)))
+    subprocess.run(
+        [ref, "-p", pat, "-o", str(tmp_path / "ref.vaf"),
+         "-e", str(max_e), fq],
+        capture_output=True, check=True,
+    )
+    from kmer_tpu.tools.ed_vaf_counter import main
+
+    assert not main(["-p", pat, "-o", str(tmp_path / "tpu.vaf"),
+                     "-e", str(max_e), fq])
+    assert _read(tmp_path / "tpu.vaf") == _read(tmp_path / "ref.vaf")
+
+
 def test_bam_vaf_parity_indexed_and_sequential(patterns, tmp_path):
     ref = _need("bam-vaf-counter")
     bam = os.path.join(FIXTURES, "sampleA_aln.bam")
