@@ -26,6 +26,7 @@ count-array reduction of kc-c4.c:227-230).
 from __future__ import annotations
 
 import math
+from functools import lru_cache
 from typing import Optional
 
 import jax
@@ -82,6 +83,19 @@ def _bucketize(keys: u.U64, valid, dest, n_dest: int, lanes: int):
     return s_hi, s_lo, ok, n_drop
 
 
+# the 5-plane CountTable PartitionSpec, shared by every table
+# shard_map below (one definition: an arity change that missed a
+# copy would only surface as a trace-time spec mismatch)
+_TABLE_SPEC = (
+    P("data", "shard", None),
+    P("data", "shard", None),
+    P("data", "shard", None),
+    P("data", "shard", None),
+    P("data", "shard"),
+)
+
+
+@lru_cache(maxsize=None)
 def sharded_count_step_fn(mesh: Mesh, k: int, max_count: Optional[int],
                           lanes_per_dest: int):
     """Build the jitted multi-chip counting step.
@@ -124,13 +138,7 @@ def sharded_count_step_fn(mesh: Mesh, k: int, max_count: Optional[int],
         )
         return planes, n_new_tot, n_drop_tot
 
-    table_spec = (
-        P("data", "shard", None),
-        P("data", "shard", None),
-        P("data", "shard", None),
-        P("data", "shard", None),
-        P("data", "shard"),
-    )
+    table_spec = _TABLE_SPEC
     fn = shard_map(
         per_device,
         mesh=mesh,
@@ -141,6 +149,7 @@ def sharded_count_step_fn(mesh: Mesh, k: int, max_count: Optional[int],
     return jax.jit(fn, donate_argnums=(0,))
 
 
+@lru_cache(maxsize=None)
 def sharded_hist_fn(mesh: Mesh, n_bins: int):
     """Jitted global histogram: local bincount + psum over both axes
     (the reduction of kc-c4.c:219-233)."""
@@ -152,13 +161,7 @@ def sharded_hist_fn(mesh: Mesh, n_bins: int):
         h = ct.hist(local, n_bins)
         return jax.lax.psum(jax.lax.psum(h, "shard"), "data")
 
-    table_spec = (
-        P("data", "shard", None),
-        P("data", "shard", None),
-        P("data", "shard", None),
-        P("data", "shard", None),
-        P("data", "shard"),
-    )
+    table_spec = _TABLE_SPEC
     fn = shard_map(
         per_device, mesh=mesh, in_specs=(table_spec,), out_specs=P(),
         check_vma=False,
@@ -214,6 +217,7 @@ def _bucketize_by_sort(keys: u.U64, valid, dest, n_dest: int, lanes: int,
     return rows_hi, rows_lo, n_drop
 
 
+@lru_cache(maxsize=None)
 def sharded_extract_step_fn(mesh: Mesh, k: int, lanes_per_dest: int,
                             row_bytes: Optional[int] = None,
                             ingest: str = "ascii"):
@@ -322,6 +326,7 @@ def sharded_extract_step_fn(mesh: Mesh, k: int, lanes_per_dest: int,
     return jax.jit(fn)
 
 
+@lru_cache(maxsize=None)
 def sharded_hist_from_chunks_fn(mesh: Mesh, n_bins: int, max_count=None,
                                 min_keep: int = 1, weighted: bool = False,
                                 one_plane: bool = False,
@@ -354,6 +359,7 @@ def sharded_hist_from_chunks_fn(mesh: Mesh, n_bins: int, max_count=None,
     return jax.jit(fn)
 
 
+@lru_cache(maxsize=None)
 def sharded_compact_fn(mesh: Mesh, one_plane: bool = False,
                        pre_sorted_raw: bool = False):
     """Jitted per-device compaction: fold each device's (keys, counts)
@@ -398,6 +404,7 @@ _MESH_STREAM_CHUNK = 1 << 22
 _MESH_STREAM_MIN = 1 << 12
 
 
+@lru_cache(maxsize=None)
 def sharded_sort_chunk_fn(mesh: Mesh, one_plane: bool = False):
     """Sort each device's (1, 1, L) owned-key planes locally —
     stream-sorted mode's per-chunk sort, dispatched while the host is
@@ -417,6 +424,7 @@ def sharded_sort_chunk_fn(mesh: Mesh, one_plane: bool = False):
     return jax.jit(fn)
 
 
+@lru_cache(maxsize=None)
 def sharded_merge_fn(mesh: Mesh, one_plane: bool = False):
     """Merge two equal-length per-device sorted runs with the bitonic
     merge cascade (kernels/bitonic.py), device-locally under shard_map —
@@ -812,6 +820,7 @@ class ShardedSortEngine:
         return np.asarray(h)
 
 
+@lru_cache(maxsize=None)
 def sharded_counts_for_fn(mesh: Mesh, weighted: bool, one_plane: bool = False,
                           pre_sorted: bool = False):
     """Jitted distributed sort-join (the multi-chip form of vaf-counter's
@@ -839,13 +848,6 @@ def sharded_counts_for_fn(mesh: Mesh, weighted: bool, one_plane: bool = False,
     return jax.jit(fn)
 
 
-_TABLE_SPEC = (
-    P("data", "shard", None),
-    P("data", "shard", None),
-    P("data", "shard", None),
-    P("data", "shard", None),
-    P("data", "shard"),
-)
 
 
 def _local_table(table_planes):
@@ -864,6 +866,7 @@ def _pack_table(local: ct.CountTable):
     )
 
 
+@lru_cache(maxsize=None)
 def sharded_yak_ingest_fn(mesh: Mesh, spec, create_new: bool,
                           use_bloom: bool, max_count: int):
     """Jitted per-device bloom-gate + table-insert over routed owned
@@ -904,6 +907,7 @@ def sharded_yak_ingest_fn(mesh: Mesh, spec, create_new: bool,
     return jax.jit(fn, donate_argnums=(0, 1))
 
 
+@lru_cache(maxsize=None)
 def sharded_clear_fn(mesh: Mesh):
     """Per-device count zeroing (yak_ch_clear, yak-count.c:190-204)."""
 
@@ -915,6 +919,7 @@ def sharded_clear_fn(mesh: Mesh):
     return jax.jit(fn, donate_argnums=(0,))
 
 
+@lru_cache(maxsize=None)
 def sharded_rebuild_fn(mesh: Mesh, new_capacity: int, min_count: int = 0,
                        max_count=None):
     """Per-device rebuild into fresh tables of new_capacity keeping
@@ -932,6 +937,7 @@ def sharded_rebuild_fn(mesh: Mesh, new_capacity: int, min_count: int = 0,
     return jax.jit(fn, donate_argnums=(0,))
 
 
+@lru_cache(maxsize=None)
 def sharded_chunk_valid_max_fn(mesh: Mesh):
     """Replicated MAX over devices of non-sentinel lanes in a routed
     chunk — the pre-insert sizing input (a batch can at worst create one
@@ -952,6 +958,7 @@ def sharded_chunk_valid_max_fn(mesh: Mesh):
     return jax.jit(fn)
 
 
+@lru_cache(maxsize=None)
 def sharded_nfull_stats_fn(mesh: Mesh):
     """Replicated (max, sum) of the per-device table occupancy — grow
     decisions and the post-shrink distinct total, multi-process-safe."""

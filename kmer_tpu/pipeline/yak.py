@@ -301,12 +301,24 @@ class MeshYakEngine:
         self.capacity_block = self.row_bases + 4096
         self.cap_local = init_capacity
         self.tables = sharded.make_sharded_tables(self.mesh, init_capacity)
-        self.use_bloom = (
+        bloom_wanted = (
             bf_n_hash > 0
             and bf_shift > pre
             and (bf_shift - pre) >= BLK_SHIFT
-            and pre >= self.owner_bits
         )
+        self.use_bloom = bloom_wanted and pre >= self.owner_bits
+        if bloom_wanted and not self.use_bloom:
+            # the per-device bloom partition needs at least one prefix
+            # bit per owner (kernels/bloom.py owner_bits <= pre); with
+            # fewer, pass 1 admits every key — observable in two-file
+            # mode (PARITY.md divergence 10 scope), so say so
+            from ..utils.log import warn
+
+            warn("yak_count",
+                 f"-p{pre} has fewer prefix bits than the {self.n_dev}"
+                 f"-device mesh needs ({self.owner_bits}); bloom "
+                 "prefilter disabled (two-file admission differs from "
+                 "a single-chip run)")
         if self.use_bloom:
             bf_shift = _clamp_bf_shift(bf_shift, self.owner_bits)
             self.bf_shift = bf_shift
@@ -396,11 +408,6 @@ class MeshYakEngine:
         while True:
             item = next(it, None)
             has = item is not None
-            flags = multihost_utils.process_allgather(
-                np.asarray(1 if has else 0, np.int32)
-            )
-            if int(np.sum(flags)) == 0:
-                break
             if has:
                 local, _nb, ns, rb = item
             else:
@@ -408,19 +415,24 @@ class MeshYakEngine:
                     np.zeros((self.n_local, self.row_bases), np.uint8), 0,
                     None,
                 )
-            # row stride only applies when EVERY host's rows share it
-            rbs = multihost_utils.process_allgather(
-                np.asarray(rb if rb else -1, np.int64)
+            # ONE collective agrees on continuation, row stride (the
+            # fast path engages only when EVERY host shares it), and
+            # the global sequence total (same rule and shape as
+            # MultihostSortEngine.count_paths)
+            state = multihost_utils.process_allgather(
+                np.asarray([1 if has else 0, rb if rb else -1, ns],
+                           np.int64)
             )
-            rb = int(rbs.ravel()[0])
-            rb = rb if rb > 0 and (rbs.ravel() == rb).all() else None
+            if int(state[..., 0].sum()) == 0:
+                break
+            rbs = state[..., 1].ravel()
+            rb = int(rbs[0])
+            rb = rb if rb > 0 and (rbs == rb).all() else None
             batch = jax.make_array_from_process_local_data(
                 self._global_sharding, local
             )
-            ns_all = multihost_utils.process_allgather(
-                np.asarray(ns, np.int64)
-            )
-            self._step_rows(batch, rb, int(ns_all.sum()), create_new)
+            self._step_rows(batch, rb, int(state[..., 2].sum()),
+                            create_new)
 
     def _step(self, rows, rbs, n_seqs: int, create_new: bool) -> None:
         width = max(r.shape[0] for r in rows)

@@ -303,6 +303,29 @@ def fuzz_pipeline(rounds=5, seed=0):
                     print(f"[FAIL] round {t} correlation-matrix")
                     fails += 1
                     continue
+                # classifier: fixed threshold (-v keeps UNMATCHED rows
+                # in the diff) and the NGSCheckMate predefined model
+                # (-P reads depths back from the VAF headers)
+                bad = False
+                for mode in (["-v"], ["-P", "-v"]):
+                    subprocess.run(
+                        [os.path.join(REFBIN, "match-classifier"), "-c",
+                         f"{d}/ref.corr", "-o", f"{d}/ref.match", *mode,
+                         f"{d}/ref0.vaf", f"{d}/ref1.vaf"],
+                        capture_output=True, check=True)
+                    with contextlib.redirect_stdout(io.StringIO()):
+                        rc = get_tool("match-classifier")(
+                            ["-c", f"{d}/ref.corr", "-o", f"{d}/tpu.match",
+                             *mode, f"{d}/ref0.vaf", f"{d}/ref1.vaf"])
+                    assert not rc
+                    if (open(f"{d}/tpu.match").read()
+                            != open(f"{d}/ref.match").read()):
+                        print(f"[FAIL] round {t} match-classifier {mode}")
+                        fails += 1
+                        bad = True
+                        break
+                if bad:
+                    continue
                 print(f"[ok] pipeline round {t} k={k}")
     print(f"pipeline done: {rounds - fails}/{rounds} clean")
     return fails
@@ -521,7 +544,8 @@ def fuzz_vcf(rounds=10, seed=0):
             with open(f"{d}/p.txt") as f:
                 for line in f:
                     c = line.split("\t")
-                    pats.append((int(c[1]), c[3], c[4]))
+                    # 8-col pattern row: chr start end rsid ref alt kmers
+                    pats.append((int(c[1]), c[4], c[5]))
             glen = 8000
             n_samples = int(rng.integers(1, 4))
             with open(f"{d}/a.vcf", "w") as f:

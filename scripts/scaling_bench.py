@@ -12,12 +12,13 @@ Usage: python scripts/scaling_bench.py [--bases-per-device 8388608]
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # --cpu N must take effect before backend init; the container's TPU
 # plugin overrides the JAX_PLATFORMS env var, so set the config directly
@@ -52,7 +53,12 @@ def run(devices, block, n_batches, lanes):
     rng = np.random.default_rng(0)
     batches = [jnp.asarray(make_rows(rng, n, block)) for _ in range(n_batches)]
     eng = sharded.ShardedSortEngine(mesh, K, lanes_per_dest=lanes)
-    eng.add_batch(batches[0])  # warm / compile
+    # warm at the SAME accumulated shapes as the timed run: the final
+    # hist (and each first-time stream-merge level) compiles at the
+    # n_batches state, so a 1-batch warmup would leave 1-4 min remote
+    # compiles inside the timed section (CLAUDE.md)
+    for b in batches:
+        eng.add_batch(b)
     _ = eng.hist(256, max_count=1023)
     eng.reset()
     t0 = time.time()
