@@ -19,14 +19,18 @@ state, then sets all probed bits.  Within-batch duplicate handling
 (first occurrence sets, later occurrences pass) is reconstructed by the
 caller via first-occurrence ranking (see count_table.insert_gated);
 cross-key bit sharing *within one batch* is the only divergence from
-the sequential reference, and it is invisible in yak-count's final
-output (pass-2 recount + shrink make the result bloom-independent).
+the sequential reference; it is invisible in single-file yak-count
+output (pass-2 recount + shrink drop FP-admitted singletons) and
+observable only in two-file mode (PARITY.md divergence 10) — which
+insert_sequential closes exactly when engines opt in
+(KMER_TPU_EXACT_BLOOM=1).
 """
 
 from __future__ import annotations
 
 from typing import NamedTuple, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from . import u64 as u
@@ -101,6 +105,55 @@ def insert(
         ixs = jnp.where(valid, ix, n)
         bits = bits.at[ixs].max(jnp.uint8(1), mode="drop")
     return bits, preset & valid
+
+
+def insert_sequential(
+    bits: jnp.ndarray, keys: u.U64, valid: jnp.ndarray, spec: BloomSpec
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """insert() with the reference's SEQUENTIAL test-and-set semantics
+    (yak_bf_insert runs lane by lane, yak-count.c:91-108): preset[i] is
+    True iff every probe bit of lane i was set either before the batch
+    OR by a strictly earlier lane of the same batch.  The batched
+    insert() tests only the pre-batch state, which admits strictly
+    fewer false positives — observable in two-file yak-count
+    (PARITY.md divergence 10); this closes that gap when engines opt
+    in (KMER_TPU_EXACT_BLOOM=1).
+
+    Formulation without a serial loop: an in-batch probe bit b of lane
+    i counts as set iff min{lane j probing b} < i — ONE (bit, lane)
+    sort groups each bit's probes with the first setter at the segment
+    start, and a payload sort restores probe order.  Costs two
+    3-plane sorts + one gather of n_hashes x lanes — only the exact
+    mode pays it."""
+    idxs = _probe_indices(keys, spec)
+    n = bits.shape[0]
+    n_lanes = keys.lo.shape[0]
+    pos32 = jnp.arange(n_lanes, dtype=jnp.uint32)
+    sent = jnp.uint32(0xFFFFFFFF)
+    fb = jnp.concatenate(
+        [jnp.where(valid, ix.astype(jnp.uint32), sent) for ix in idxs]
+    )
+    fl = jnp.tile(pos32, spec.n_hashes)
+    fpos = jnp.arange(fb.shape[0], dtype=jnp.uint32)
+    s_bit, s_lane, s_pos = jax.lax.sort((fb, fl, fpos), num_keys=2)
+    p = jnp.arange(fb.shape[0], dtype=jnp.int32)
+    starts = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), s_bit[1:] != s_bit[:-1]]
+    )
+    start_pos = jax.lax.cummax(jnp.where(starts, p, jnp.int32(0)))
+    first_lane = jnp.take(s_lane, start_pos)
+    in_batch = (first_lane < s_lane).astype(jnp.uint32)
+    # restore probe order: positions are unique, 1-key sort on them
+    _, verdict = jax.lax.sort((s_pos, in_batch), num_keys=1)
+    by_probe = verdict.reshape(spec.n_hashes, n_lanes)
+    preset = valid
+    for h, ix in enumerate(idxs):
+        pre = bits[jnp.where(valid, ix, 0)] == 1
+        preset = preset & (pre | (by_probe[h] == 1))
+    for ix in idxs:
+        ixs = jnp.where(valid, ix, n)
+        bits = bits.at[ixs].max(jnp.uint8(1), mode="drop")
+    return bits, preset
 
 
 def test(bits: jnp.ndarray, keys: u.U64, valid: jnp.ndarray, spec: BloomSpec) -> jnp.ndarray:

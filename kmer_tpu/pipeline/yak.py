@@ -32,7 +32,7 @@ BLK_SHIFT = bloom.BLK_SHIFT
 
 @partial(
     jax.jit,
-    static_argnames=("spec", "create_new", "use_bloom"),
+    static_argnames=("spec", "create_new", "use_bloom", "exact_bloom"),
     donate_argnums=(0, 1),
 )
 def _yak_ingest(
@@ -43,6 +43,7 @@ def _yak_ingest(
     spec: Optional[bloom.BloomSpec],
     create_new: bool,
     use_bloom: bool,
+    exact_bloom: bool = False,
 ):
     """Bloom-gate + table-insert one block of sentinelized key planes
     (from pipeline.counter._extract_step, i.e. the Pallas extraction on
@@ -56,7 +57,13 @@ def _yak_ingest(
     kmer = u.U64(hi, lo)
     if create_new:
         if use_bloom:
-            bits, preset = bloom.insert(bits, kmer, valid, spec)
+            # exact_bloom: the reference's sequential test-and-set
+            # semantics (KMER_TPU_EXACT_BLOOM=1; lanes arrive in read
+            # order on the single-chip path, so "earlier lane" means
+            # exactly what yak_bf_insert's loop order means)
+            ins = (bloom.insert_sequential if exact_bloom
+                   else bloom.insert)
+            bits, preset = ins(bits, kmer, valid, spec)
             table, n_new = ct.insert_gated(
                 table, kmer, valid, preset, YAK_MAX_COUNT
             )
@@ -127,6 +134,11 @@ class YakEngine:
         else:
             self.spec = None
             self.bits = jnp.zeros((8,), jnp.uint8)  # dummy carry
+        import os
+
+        self.exact_bloom = bool(self.use_bloom) and os.environ.get(
+            "KMER_TPU_EXACT_BLOOM", ""
+        ).strip() in ("1", "true", "on", "yes")
         self.tot = 0  # cumulative distinct insertions (yak's h->tot)
 
     def _maybe_grow(self, incoming: int = 0):
@@ -199,6 +211,7 @@ class YakEngine:
             self.table, self.bits, n_new = _yak_ingest(
                 self.table, self.bits, hi, lo,
                 self.spec, create_new, self.use_bloom,
+                self.exact_bloom,
             )
             if create_new:
                 self.tot += int(n_new)

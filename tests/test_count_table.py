@@ -129,3 +129,45 @@ class TestHistAndRebuild:
         got = dict_counts(t2)
         assert got == {int(i): int(i) for i in range(5, 16)}
         assert int(t2.n_full) == 11
+
+
+class TestBloomSequential:
+    def test_insert_sequential_matches_lane_by_lane_oracle(self):
+        """insert_sequential must reproduce the reference's sequential
+        test-and-set (yak_bf_insert lane order) exactly; the batched
+        insert provably diverges on the same collision-heavy input."""
+        from kmer_tpu.kernels import bloom
+
+        spec = bloom.BloomSpec(pre=0, n_shift=9, n_hashes=4)  # ONE block
+        rng = np.random.default_rng(42)
+        n = 3000
+        raw = rng.integers(0, 1 << 62, n, dtype=np.uint64)
+        keys = u.U64(
+            jnp.asarray((raw >> np.uint64(32)).astype(np.uint32)),
+            jnp.asarray((raw & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+        )
+        valid = np.ones(n, bool)
+        valid[rng.integers(0, n, 50)] = False
+        validj = jnp.asarray(valid)
+
+        idxs = [np.asarray(ix) for ix in bloom._probe_indices(keys, spec)]
+        bits0 = bloom.make_bits(spec)
+
+        # lane-by-lane oracle
+        ob = np.zeros(bits0.shape[0], np.uint8)
+        want = np.zeros(n, bool)
+        for i in range(n):
+            if not valid[i]:
+                continue
+            probes = [int(ix[i]) for ix in idxs]
+            want[i] = all(ob[p] == 1 for p in probes)
+            for p in probes:
+                ob[p] = 1
+
+        sb, sp = bloom.insert_sequential(bits0, keys, validj, spec)
+        assert np.array_equal(np.asarray(sp), want)
+        assert np.array_equal(np.asarray(sb), ob)
+        # the batched preset must differ somewhere here, or this test
+        # has no teeth (one 512-bit block, 4 probes x ~3k keys)
+        _, bp = bloom.insert(bloom.make_bits(spec), keys, validj, spec)
+        assert not np.array_equal(np.asarray(bp), want)

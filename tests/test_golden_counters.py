@@ -223,6 +223,23 @@ def test_counter_parity(refbin, capsys, engine_mode, tool, args):
     assert got == want
 
 
+def test_yak_two_file_exact_bloom_parity(refbin, capsys, monkeypatch):
+    """Two-file yak with a bloom SMALL enough to really gate (-b19:
+    2^9 bits/subtable, the reference's own minimum geometry) under
+    KMER_TPU_EXACT_BLOOM=1 — the sequential test-and-set semantics
+    (kernels/bloom.insert_sequential) make admission byte-identical
+    even when in-batch cross-key collisions occur (PARITY.md
+    divergence 10 closed by the opt-in)."""
+    monkeypatch.setenv("KMER_TPU_FORCE_MESH", "0")
+    monkeypatch.setenv("KMER_TPU_EXACT_BLOOM", "1")
+    args = ["-k31", "-b19",
+            os.path.join(FIXTURES, "sampleA1.fq.gz"),
+            os.path.join(FIXTURES, "sampleB.fq.gz")]
+    want = run_ref(refbin, "yak-count", args)
+    got = run_ours("yak-count", args, capsys)
+    assert got == want
+
+
 def test_long_chromosome_split_parity(tmp_path):
     """A sequence much longer than the block size must split into
     (k-1)-overlap chunks with no window lost or duplicated — checked
