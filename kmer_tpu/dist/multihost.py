@@ -63,7 +63,7 @@ def _local_batches(paths: Sequence[str], k: int, block: int,
         b = buf if buf.shape[0] == block else np.pad(buf, (0, block - buf.shape[0]))
         rows.append(b)
         rbs.append(rb)
-        nb += int(b_nb) - int(b_ns)
+        nb += int(b_nb)  # _iter_packed reports TRUE bases already
         ns += int(b_ns)
         if len(rows) == n_local_rows:
             yield (np.stack(rows), nb, ns,

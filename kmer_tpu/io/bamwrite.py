@@ -91,14 +91,6 @@ def _reg2bin(beg: int, end: int) -> int:
     return 0
 
 
-def _ref_span(cigar: List[Tuple[int, int]], pos: int) -> int:
-    ref_len = 0
-    for op, ln in cigar:
-        if op in (0, 2, 3, 7, 8):
-            ref_len += ln
-    return pos + max(ref_len, 1)
-
-
 def write_bai(bam_path: str, bai_path: str) -> None:
     """Build a .bai index by re-reading the BAM (test-scale; mirrors
     htslib sam_index_build's binning + 16 kb linear index)."""
@@ -117,7 +109,7 @@ def write_bai(bam_path: str, bai_path: str) -> None:
         vend = rdr._bgzf.tell_voffset()
         if rec.tid < 0 or rec.pos < 0:
             continue
-        end = _ref_span(rec.cigar, rec.pos)
+        end = rec.end_pos()  # bam_endpos (io/bam.py)
         b = _reg2bin(rec.pos, end)
         chunks = bins[rec.tid].setdefault(b, [])
         if chunks and chunks[-1][1] == vbeg:

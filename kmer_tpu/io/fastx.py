@@ -114,6 +114,7 @@ class FastxReader:
     def __init__(self, path: str, qual_policy=None, ref_block: int = 0):
         self._fp = _open_maybe_gz(path)
         self._buf = b""
+        self._pos = 0  # integer cursor into _buf (compacted on refill)
         self._eof = False
         self._qual_policy = qual_policy
         self._ref_block = ref_block
@@ -134,21 +135,28 @@ class FastxReader:
         if not chunk:
             self._eof = True
             return False
+        if self._pos:
+            # compact ONCE per refill — re-slicing the tail per line
+            # made the reader O(chunk^2): 0.6 MB/s measured on 100 bp
+            # FASTQ, and this is the mandatory stdin path
+            self._buf = self._buf[self._pos:]
+            self._pos = 0
         self._buf += chunk
         return True
 
     def _readline(self) -> Optional[bytes]:
         while True:
-            nl = self._buf.find(b"\n")
+            nl = self._buf.find(b"\n", self._pos)
             if nl >= 0:
-                line = self._buf[:nl]
-                self._buf = self._buf[nl + 1 :]
+                line = self._buf[self._pos:nl]
+                self._pos = nl + 1
                 if line.endswith(b"\r"):
                     line = line[:-1]
                 return line
             if not self._fill():
-                if self._buf:
-                    line, self._buf = self._buf, b""
+                if self._pos < len(self._buf):
+                    line = self._buf[self._pos:]
+                    self._buf, self._pos = b"", 0
                     return line
                 return None
 

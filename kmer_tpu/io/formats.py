@@ -176,9 +176,13 @@ def read_vaf_file(path: str, max_snps: int = 100000) -> VafSample:
                     f"Warning: too many SNPs (max {max_snps}), truncating\n"
                 )
                 break
-            s.snps.append((t[0], int(t[1]), t[2]))
-            s.vaf.append(float(t[8]))
-            s.depth.append(int(t[7]))
+            try:
+                row = (t[0], int(t[1]), t[2]), float(t[8]), int(t[7])
+            except ValueError:
+                continue  # non-numeric field: sscanf returns != 9, row skipped
+            s.snps.append(row[0])
+            s.vaf.append(row[1])
+            s.depth.append(row[2])
     return s
 
 

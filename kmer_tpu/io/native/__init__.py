@@ -27,14 +27,21 @@ _tried = False
 
 
 def _build() -> bool:
+    # -mavx2 rather than -march=native: the .so persists next to the
+    # sources, so a native build on an AVX-512 node would SIGILL when
+    # the repo moves to an older node (NFS / copied checkouts) — the
+    # mtime freshness check cannot see ISA mismatches.  The hot packing
+    # loop is hand-written AVX2 behind #ifdef __AVX2__, so the portable
+    # baseline costs nothing measurable.
+    tmp = _SO + f".tmp.{os.getpid()}"
     cmd = [
         "g++",
         "-O3",
-        "-march=native",
+        "-mavx2",
         "-shared",
         "-fPIC",
         "-o",
-        _SO,
+        tmp,
         *_SRCS,
         "-lz",
     ]
@@ -45,8 +52,17 @@ def _build() -> bool:
         cmd.append("-ldeflate")
     try:
         r = subprocess.run(cmd, capture_output=True, timeout=120)
-        return r.returncode == 0
+        if r.returncode != 0:
+            return False
+        # atomic publish: concurrent builders/readers never see a
+        # half-written .so (g++ -o writes in place otherwise)
+        os.replace(tmp, _SO)
+        return True
     except (OSError, subprocess.TimeoutExpired):
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 
@@ -64,7 +80,16 @@ def _load() -> Optional[ctypes.CDLL]:
         try:
             lib = ctypes.CDLL(_SO)
         except OSError:
-            return None
+            # a stale or corrupt .so that passed the mtime check (e.g.
+            # an interrupted legacy in-place build, or an incompatible
+            # binary from another machine): rebuild once rather than
+            # silently dropping every future run to the Python reader
+            if not _build():
+                return None
+            try:
+                lib = ctypes.CDLL(_SO)
+            except OSError:
+                return None
         lib.ktp_open.restype = ctypes.c_void_p
         lib.ktp_open.argtypes = [ctypes.c_char_p]
         lib.ktp_close.argtypes = [ctypes.c_void_p]
@@ -130,8 +155,11 @@ def iter_packed2bit_native(paths, k: int, block_bases: int, capacity: int,
                            qual_policy=None):
     """Bit-packed variant of iter_packed_native for bandwidth-limited
     host->device links: yields (packed_u8[cap/4], mask_u8[cap/8],
-    n_bytes_packed, n_seqs, row_bytes).  capacity is rounded up to a
-    multiple of 8."""
+    n_bytes_used, n_bases, n_seqs, row_bytes).  n_bytes_used is the
+    packed-region layout boundary (bases + separators of every piece);
+    n_bases/n_seqs are TRUE per-read totals (each read once, split
+    halos not re-counted — the reference's accounting).  capacity is
+    rounded up to a multiple of 8."""
     lib = _load()
     assert lib is not None
     capacity = (capacity + 7) & ~7
@@ -167,7 +195,8 @@ def iter_packed2bit_native(paths, k: int, block_bases: int, capacity: int,
                 yield (
                     packed,
                     mask,
-                    int(n_bases.value) + int(n_seqs.value),
+                    int(used),
+                    int(n_bases.value),
                     int(n_seqs.value),
                     int(row_bytes.value) or None,
                 )
@@ -236,9 +265,11 @@ def iter_packed_native(
     paths, k: int, block_bases: int, capacity: int, qual_policy=None
 ) -> Iterator[Tuple[np.ndarray, int, int, Optional[int]]]:
     """Native equivalent of pipeline.counter._iter_packed: yields
-    (ascii_u8[capacity], n_bytes_packed, n_seqs, row_bytes) buffers;
-    row_bytes is L+1 when every packed read had length L (uniform-read
-    fast path), else None.  qual_policy as in io.fastx.FastxReader."""
+    (ascii_u8[capacity], n_bytes_used, n_bases, n_seqs, row_bytes);
+    n_bytes_used is the buffer layout boundary, n_bases/n_seqs are TRUE
+    per-read totals (see iter_packed2bit_native).  row_bytes is L+1
+    when every packed read had length L (uniform-read fast path), else
+    None.  qual_policy as in io.fastx.FastxReader."""
     lib = _load()
     assert lib is not None
     for path in paths:
@@ -270,7 +301,8 @@ def iter_packed_native(
                 rb = int(row_bytes.value) or None
                 yield (
                     buf,
-                    int(n_bases.value) + int(n_seqs.value),
+                    int(used),
+                    int(n_bases.value),
                     int(n_seqs.value),
                     rb,
                 )

@@ -22,12 +22,17 @@ struct Freqs {
     uint16_t cum[257];
     uint8_t lut[1 << TF_SHIFT];  // slot -> symbol
 
-    void finish() {
+    // false when the table does not cover the 4096 slots (corrupt /
+    // truncated block): decoding through uncovered lut slots would
+    // read uninitialized stack/thread-local memory and "succeed"
+    bool finish() {
         cum[0] = 0;
         for (int i = 0; i < 256; ++i) cum[i + 1] = cum[i] + freq[i];
+        if (cum[256] != (1u << TF_SHIFT)) return false;
         for (int s = 0; s < 256; ++s)
-            for (uint32_t j = cum[s]; j < cum[s + 1u] && j < (1u << TF_SHIFT); ++j)
+            for (uint32_t j = cum[s]; j < cum[s + 1u]; ++j)
                 lut[j] = (uint8_t)s;
+        return true;
     }
 };
 
@@ -70,8 +75,7 @@ static bool read_freqs(Cur &c, Freqs &f) {
         if (j == 0) break;
     }
     if (!c.ok) return false;
-    f.finish();
-    return true;
+    return f.finish();
 }
 
 static inline void advance(uint32_t &x, const Freqs &f, uint8_t s,

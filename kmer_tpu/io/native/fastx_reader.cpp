@@ -10,6 +10,7 @@
 //
 // C ABI for ctypes.
 
+#include <sys/stat.h>
 #include <zlib.h>
 
 #if defined(KTP_HAVE_LIBDEFLATE)
@@ -305,41 +306,52 @@ void* ktp_open(const char* path) {
   // gzip files take the libdeflate whole-member path: slurp the
   // compressed bytes (page-cache read, ~GB/s) and decode members
   // lazily in fill_libdeflate().  Plain files keep zlib's transparent
-  // gzopen passthrough.
-  if (FILE* f = fopen(path, "rb")) {
-    uint8_t magic[2];
-    size_t got = fread(magic, 1, 2, f);
-    if (got == 2 && magic[0] == 0x1f && magic[1] == 0x8b) {
-      auto* r = new Reader();
-      r->ld = libdeflate_alloc_decompressor();
-      if (r->ld) {
-        if (fseek(f, 0, SEEK_END) == 0) {
-          long sz = ftell(f);
-          if (sz > 0) {
-            r->comp.resize((size_t)sz);
-            fseek(f, 0, SEEK_SET);
-            if (fread(r->comp.data(), 1, (size_t)sz, f) != (size_t)sz)
-              r->comp.clear();
-            if (r->comp.size() >= 4) {
-              const uint8_t* t = r->comp.data() + r->comp.size() - 4;
-              r->trailer_isize = (uint32_t)t[0] | ((uint32_t)t[1] << 8) |
-                                 ((uint32_t)t[2] << 16) | ((uint32_t)t[3] << 24);
+  // gzopen passthrough.  ONLY for regular files of sane size: a FIFO /
+  // process substitution (`tool <(zcat ...)`) cannot be reopened after
+  // the magic sniff (reopening blocks for a new writer — deadlock),
+  // and slurping an arbitrarily large single-member .gz would hold
+  // compressed + uncompressed bytes in RAM; both stream through zlib
+  // instead, like the reference's gzread.
+  struct stat st;
+  bool slurpable = stat(path, &st) == 0 && S_ISREG(st.st_mode) &&
+                   (uint64_t)st.st_size <= (1ull << 30);
+  if (slurpable) {
+    if (FILE* f = fopen(path, "rb")) {
+      uint8_t magic[2];
+      size_t got = fread(magic, 1, 2, f);
+      if (got == 2 && magic[0] == 0x1f && magic[1] == 0x8b) {
+        auto* r = new Reader();
+        r->ld = libdeflate_alloc_decompressor();
+        if (r->ld) {
+          if (fseek(f, 0, SEEK_END) == 0) {
+            long sz = ftell(f);
+            if (sz > 0) {
+              r->comp.resize((size_t)sz);
+              fseek(f, 0, SEEK_SET);
+              if (fread(r->comp.data(), 1, (size_t)sz, f) != (size_t)sz)
+                r->comp.clear();
+              if (r->comp.size() >= 4) {
+                const uint8_t* t = r->comp.data() + r->comp.size() - 4;
+                r->trailer_isize = (uint32_t)t[0] | ((uint32_t)t[1] << 8) |
+                                   ((uint32_t)t[2] << 16) |
+                                   ((uint32_t)t[3] << 24);
+              }
             }
           }
+          fclose(f);
+          f = nullptr;
+          if (!r->comp.empty()) return r;
         }
-        fclose(f);
-        f = nullptr;
-        if (!r->comp.empty()) return r;
+        delete r;  // slurp failed: fall through to the zlib path
+        if (f) fclose(f);  // still open when the decompressor alloc failed
+      } else {
+        fclose(f);  // not gzip (or unreadable): zlib passthrough below
       }
-      delete r;  // slurp failed: fall through to the zlib path
-      if (f) fclose(f);  // still open when libdeflate_alloc_decompressor
-      f = fopen(path, "rb");  // failed (the ld branch never ran)
-      if (!f) return nullptr;
+    } else {
+      return nullptr;  // regular file that cannot be opened
     }
-    fclose(f);
-  } else {
-    return nullptr;
   }
+  // non-regular (FIFO/pipe) or oversized inputs stream through zlib
 #endif
   gzFile fp = gzopen(path, "r");
   if (!fp) return nullptr;
@@ -369,9 +381,14 @@ void ktp_close(void* h) {
 
 // Fill `out` (capacity bytes) with NUL-separated sequences.
 // Returns bytes used (sequences + separators), 0 at EOF.
-// n_seqs/n_bases report what was packed this call; sequences shorter
-// than k are skipped; sequences longer than capacity-1 are emitted in
-// (k-1)-overlap chunks (possibly across calls via the carry buffer).
+// n_seqs/n_bases report TRUE read counts: each read >= k counts once
+// (at its first emitted piece) and its bases count once — a split
+// piece's (k-1)-base halo is not re-counted.  This matches the
+// reference's per-read accounting (vaf-counter.c:505-507 total_bases
+// += l / total_seqs++ per kseq read) no matter how pieces land in
+// buffers.  Sequences shorter than k are skipped; sequences longer
+// than the remaining room are emitted in (k-1)-overlap chunks
+// (possibly across calls via the carry buffer).
 // row_bytes (may be null): set to L+1 when every piece packed this call
 // had the same length L (uniform Illumina reads — enables the caller's
 // fixed-row window slicing), else 0.
@@ -405,8 +422,10 @@ int64_t ktp_read_block(void* h, uint8_t* out, int64_t capacity, int32_t k,
       std::memcpy(out + used, src->data() + off, remain);
       used += remain;
       out[used++] = 0;
-      *n_bases += remain;
-      ++*n_seqs;
+      // off > 0 means this piece continues a split read: its first
+      // k-1 bases are the halo already counted with the previous piece
+      *n_bases += off == 0 ? remain : remain - (k - 1);
+      if (off == 0) ++*n_seqs;
       if (first_len < 0) first_len = remain;
       else if (remain != first_len) uniform = false;
       if (src == &r->carry) {
@@ -420,8 +439,8 @@ int64_t ktp_read_block(void* h, uint8_t* out, int64_t capacity, int32_t k,
         std::memcpy(out + used, src->data() + off, piece);
         used += piece;
         out[used++] = 0;
-        *n_bases += piece;
-        ++*n_seqs;
+        *n_bases += off == 0 ? piece : piece - (k - 1);
+        if (off == 0) ++*n_seqs;
         if (first_len < 0) first_len = piece;
         else if (piece != first_len) uniform = false;
         off += piece - (k - 1);

@@ -54,7 +54,13 @@ def _iter_packed(
     paths: Sequence[str], k: int, block_bases: int, capacity: int,
     qual_policy=None,
 ) -> Iterator[Tuple[np.ndarray, int, int, Optional[int]]]:
-    """Yield (ascii_u8[<=capacity], n_bytes_packed, n_seqs, row_bytes).
+    """Yield (ascii_u8[<=capacity], n_bases, n_seqs, row_bytes).
+
+    n_bases/n_seqs are TRUE per-read totals — each read >= k counts
+    once, with its full length, regardless of how buffer-boundary
+    splitting cut it into (k-1)-overlap pieces (the reference counts
+    per kseq read, vaf-counter.c:505-507; a piece-based count inflated
+    both totals on long-read input).
 
     row_bytes is L+1 when every read packed into the buffer has the same
     length L (uniform Illumina reads) — consumers can then drop the
@@ -68,10 +74,10 @@ def _iter_packed(
         from ..io import native
 
         if native.available():
-            for buf, n, n_seqs, rb in native.iter_packed_native(
+            for buf, used, n_bases, n_seqs, rb in native.iter_packed_native(
                 paths, k, block_bases, capacity, qual_policy
             ):
-                yield _trim_to_class(buf, n), n, n_seqs, rb
+                yield _trim_to_class(buf, used), n_bases, n_seqs, rb
             return
     max_len = capacity - 1
     step = max_len - (k - 1)
@@ -88,11 +94,14 @@ def _iter_packed(
                 seqs.append(s)
         lens = {len(s) for s in seqs}
         rb = (lens.pop() + 1) if len(lens) == 1 else None
+        # true totals (reads once, full lengths once) ride the block's
+        # FIRST pack; continuation packs report zero
+        n_seqs = sum(1 for s in blk.seqs if len(s) >= k)
+        n_bases = blk.sum_len
         blk = fastx.Block(seqs, blk.sum_len, blk.n_kmers)
-        n_seqs = len(seqs)
         for buf, n in packing.pack_block(blk, capacity):
-            yield _trim_to_class(buf, n), n, n_seqs, rb
-            n_seqs = 0
+            yield _trim_to_class(buf, n), n_bases, n_seqs, rb
+            n_seqs = n_bases = 0
 
 
 def _use_packed_ingest(paths) -> bool:
@@ -118,9 +127,11 @@ def _use_packed_ingest(paths) -> bool:
 def _iter_packed2(paths, k: int, block_bases: int, capacity: int,
                   qual_policy=None):
     """Packed-ingest analog of _iter_packed: yields (packed, mask,
-    n_bytes, n_seqs, row_bytes) with buffers trimmed to the smallest
-    size class (slots past the packed region are mask-invalid, so
-    trimming never changes the k-mer multiset).
+    n_bytes_used, n_bases, n_seqs, row_bytes) with buffers trimmed to
+    the smallest size class (slots past the packed region are
+    mask-invalid, so trimming never changes the k-mer multiset).
+    n_bytes_used is the packed-region layout boundary; n_bases/n_seqs
+    are true per-read totals (see _iter_packed).
 
     mask is None when it is purely STRUCTURAL — uniform rows with no
     N/invalid bases, so every set bit is a row separator or the tail
@@ -130,7 +141,7 @@ def _iter_packed2(paths, k: int, block_bases: int, capacity: int,
     serialized tunnel link (0.25 B/base instead of 0.375)."""
     from ..io import native
 
-    for packed, mask, n, n_seqs, rb in native.iter_packed2bit_native(
+    for packed, mask, n, n_bases, n_seqs, rb in native.iter_packed2bit_native(
         paths, k, block_bases, capacity, qual_policy
     ):
         for cls in (1 << 16, 1 << 20, 1 << 23):
@@ -142,7 +153,7 @@ def _iter_packed2(paths, k: int, block_bases: int, capacity: int,
             expected = (slots - n) + n // rb
             if int(_POPCNT8[mask].sum(dtype=np.int64)) == expected:
                 mask = None
-        yield packed, mask, n, n_seqs, rb
+        yield packed, mask, n, n_bases, n_seqs, rb
 
 
 @jax.jit
@@ -173,14 +184,14 @@ def _to_device_ascii(item):
 
 
 def _to_device_packed(item):
-    p, m, n, ns, rb = item
+    p, m, n, nb, ns, rb = item
     p = jnp.asarray(p)
     s = _issue_transfer(p)
     if m is not None:
         m = jnp.asarray(m)
         s = _issue_transfer(m)
     np.asarray(s)
-    return p, m, n, ns, rb
+    return p, m, n, nb, ns, rb
 
 
 class _maybe_profile:
@@ -445,18 +456,18 @@ class SortCountEngine:
             else:
                 it = map(_to_device_packed, it)
             with _maybe_profile():
-                for packed, mask, n_bases, n_seqs, row_bytes in it:
+                for packed, mask, n_used, n_bases, n_seqs, row_bytes in it:
                     rb = row_bytes if row_bytes and row_bytes > self.k else None
                     if mask is None:
                         hi, lo, n_kmers = _extract_step_packed_structural(
-                            packed, jnp.uint32(n_bases), self.k, rb
+                            packed, jnp.uint32(n_used), self.k, rb
                         )
                     else:
                         hi, lo, n_kmers = _extract_step_packed(
                             packed, mask, self.k, rb
                         )
                     self.compactor.add_raw(hi, lo)
-                    self.total_bases += int(n_bases) - int(n_seqs)
+                    self.total_bases += int(n_bases)
                     self.total_seqs += n_seqs
                     self._nk_dev.append(n_kmers)
                     if progress is not None:
@@ -477,7 +488,7 @@ class SortCountEngine:
                 else:
                     hi, lo, n_kmers = _extract_step(buf, self.k)
                 self.compactor.add_raw(hi, lo)
-                self.total_bases += int(n_bases) - int(n_seqs)
+                self.total_bases += int(n_bases)
                 self.total_seqs += n_seqs
                 self._nk_dev.append(n_kmers)
                 if progress is not None:
@@ -657,13 +668,13 @@ class MeshSortCountEngine:
                                    self.capacity, self.qual_policy)
             for item in src:
                 if packed_mode:
-                    packed, mask, n_bases, n_seqs, rb = item
-                    items.append((packed, mask, int(n_bases), rb))
+                    packed, mask, n_used, n_bases, n_seqs, rb = item
+                    items.append((packed, mask, int(n_used), rb))
                 else:
                     buf, n_bases, n_seqs, rb = item
                     rows.append(np.asarray(buf))
                     rbs.append(rb)
-                nb += int(n_bases) - int(n_seqs)
+                nb += int(n_bases)  # true per-read totals (_iter_packed)
                 ns += int(n_seqs)
                 if len(rows) + len(items) == self.n_dev:
                     got = (self._assemble_packed(items) if packed_mode

@@ -186,13 +186,13 @@ class YakEngine:
             it = _prefetch(it)
         for item in it:
             if packed_mode:
-                packed, mask, _n_bases, n_seqs, row_bytes = item
+                packed, mask, n_used, _n_bases, n_seqs, row_bytes = item
                 rb = row_bytes if row_bytes and row_bytes > self.k else None
                 if mask is None:
                     from .counter import _extract_step_packed_structural
 
                     hi, lo, _nk = _extract_step_packed_structural(
-                        packed, jnp.uint32(_n_bases), self.k, rb
+                        packed, jnp.uint32(n_used), self.k, rb
                     )
                 else:
                     hi, lo, _nk = _extract_step_packed(packed, mask,

@@ -3,6 +3,7 @@
 the pure-Python packer on the committed fixtures."""
 
 import os
+import tempfile
 
 import numpy as np
 import pytest
@@ -15,10 +16,10 @@ FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
 
 def _python_blocks(path, k, block_bases, capacity):
     for blk in fastx.read_blocks([path], k, block_bases):
-        n_seqs = len(blk.seqs)
+        n_seqs, n_bases = len(blk.seqs), blk.sum_len
         for buf, n in packing.pack_block(blk, capacity):
-            yield buf, n, n_seqs
-            n_seqs = 0
+            yield buf, n, n_bases, n_seqs, None
+            n_seqs = n_bases = 0
 
 
 @pytest.mark.parametrize(
@@ -39,19 +40,21 @@ def test_native_reader_matches_python(fixture, k, block_bases):
         """Reconstruct the ordered read stream (block boundaries are a
         packing policy, not semantics — reads are atomic and windows
         never straddle the NUL separators)."""
-        out, total_seqs = [], 0
-        for buf, n, n_seqs, *rest in blocks:
+        out, total_seqs, total_bases = [], 0, 0
+        for buf, n, n_bases, n_seqs, rb in blocks:
             assert not buf[n:].any()
-            if rest and rest[0]:
+            if rb:
                 # declared-uniform blocks must actually be uniform rows
-                assert n % rest[0] == 0
+                assert n % rb == 0
             out.extend(bytes(buf[:n]).split(b"\x00")[:-1])
             total_seqs += n_seqs
-        return [r for r in out if r], total_seqs
+            total_bases += n_bases
+        return [r for r in out if r], total_seqs, total_bases
 
-    g_reads, g_seqs = reads(got)
-    w_reads, w_seqs = reads(want)
+    g_reads, g_seqs, g_bases = reads(got)
+    w_reads, w_seqs, w_bases = reads(want)
     assert g_seqs == w_seqs
+    assert g_bases == w_bases  # true per-read bases, halos not recounted
     assert g_reads == w_reads
 
 
@@ -78,10 +81,10 @@ def test_packed2bit_matches_ascii_reader():
     assert len(a_blocks) == len(p_blocks)
     shifts = np.arange(4, dtype=np.uint8) * 2
     bits = np.arange(8, dtype=np.uint8)
-    for (buf, n, ns, rb), (packed, mask, n2, ns2, rb2) in zip(
+    for (buf, n, nb, ns, rb), (packed, mask, n2, nb2, ns2, rb2) in zip(
         a_blocks, p_blocks
     ):
-        assert (n, ns, rb) == (n2, ns2, rb2)
+        assert (n, nb, ns, rb) == (n2, nb2, ns2, rb2)
         codes_a = nt4[buf]
         codes_p = ((packed[:, None] >> shifts[None, :]) & 3).reshape(-1)
         inv = ((mask[:, None] >> bits[None, :]) & 1).reshape(-1)
@@ -134,7 +137,7 @@ def test_structural_mask_elision(monkeypatch, tmp_path):
                     s[60] = ord("N")
                 f.write(b"@r%d\n%s\n+\n%s\n" % (i, s.tobytes(), b"I" * 120))
     k = 21
-    masks = {p: [m is None for _, m, _, _, _ in
+    masks = {p: [m is None for _, m, _, _, _, _ in
                  _iter_packed2([p], k, 1 << 16, (1 << 16) + 4096)]
              for p in (clean, dirty)}
     assert all(masks[clean]) and not any(masks[dirty])
@@ -193,3 +196,92 @@ def test_mesh_packed_ingest_equivalence(monkeypatch, tmp_path):
         assert (e1.total_bases, e1.total_seqs, e1.total_kmers) == (
             eng.total_bases, eng.total_seqs, eng.total_kmers,
         ), path
+
+
+def test_split_reads_counted_once():
+    """A read split at a buffer boundary must count ONE read with its
+    full length — piece-based counting inflated n_seqs by the number of
+    splits and n_bases by (k-1) per split (the reference counts per
+    kseq read, vaf-counter.c:505-507).  Both the native reader and the
+    pure-Python fallback must agree."""
+    import gzip
+
+    import numpy as np
+
+    from kmer_tpu.pipeline.counter import _iter_packed
+
+    rng = np.random.default_rng(9)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "long.fq.gz")
+        n_reads, want_bases = 40, 0
+        with gzip.open(path, "wb") as f:
+            for i in range(n_reads):
+                L = int(rng.integers(5000, 30000))
+                want_bases += L
+                s = rng.choice(list(b"ACGT"), L).astype(np.uint8).tobytes()
+                f.write(b"@r%d\n%s\n+\n%s\n" % (i, s, b"I" * L))
+        k, block = 31, 100_000  # small buffers force splits
+        for force_py in (False, True):
+            env = dict(os.environ)
+            if force_py and not native.available():
+                continue
+            seqs = bases = 0
+            if force_py:
+                import unittest.mock as mock
+
+                with mock.patch.object(native, "available",
+                                       lambda: False):
+                    for _b, nb, ns, _rb in _iter_packed(
+                            [path], k, block, block + 4096):
+                        bases += nb
+                        seqs += ns
+            else:
+                for _b, nb, ns, _rb in _iter_packed(
+                        [path], k, block, block + 4096):
+                    bases += nb
+                    seqs += ns
+            assert seqs == n_reads, (force_py, seqs)
+            assert bases == want_bases, (force_py, bases)
+
+
+def test_native_reader_fifo_input():
+    """A FIFO (process substitution: `tool <(zcat ...)`) must stream:
+    the libdeflate slurp path reopened the file after sniffing the
+    gzip magic, which deadlocks on a pipe (regression).  Plain and
+    gzip content both arrive through the zlib streaming path."""
+    import gzip
+    import threading
+
+    if not native.available():
+        pytest.skip("native reader not buildable")
+    recs = [b"@r%d\n%s\n+\n%s\n" % (i, b"ACGT" * 30, b"I" * 120)
+            for i in range(50)]
+    for compressed in (False, True):
+        payload = b"".join(recs)
+        if compressed:
+            payload = gzip.compress(payload)
+        with tempfile.TemporaryDirectory() as d:
+            fifo = os.path.join(d, "p.fifo")
+            os.mkfifo(fifo)
+
+            def writer():
+                with open(fifo, "wb") as f:
+                    f.write(payload)
+
+            t = threading.Thread(target=writer, daemon=True)
+            t.start()
+            total = []
+            done = threading.Event()
+
+            def reader():
+                for _b, _used, nb, _ns, _rb in native.iter_packed_native(
+                        [fifo], 21, 1 << 16, (1 << 16) + 4096):
+                    total.append(nb)
+                done.set()
+
+            rt = threading.Thread(target=reader, daemon=True)
+            rt.start()
+            assert done.wait(timeout=60), (
+                f"native reader hung on FIFO (compressed={compressed})"
+            )
+            assert sum(total) == 50 * 120, compressed
