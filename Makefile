@@ -20,7 +20,7 @@ DEFLATE_CPPFLAGS := $(if $(DEFLATE),-DKTP_HAVE_LIBDEFLATE,)
 DEFLATE_LIBS := $(if $(DEFLATE),-ldeflate,)
 
 kmer_tpu/io/native/libkmerio.so: kmer_tpu/io/native/fastx_reader.cpp kmer_tpu/io/native/bam_count.cpp kmer_tpu/io/native/cram_rans.cpp
-	g++ -O3 -mavx2 $(DEFLATE_CPPFLAGS) -shared -fPIC -o $@ $^ -lz $(DEFLATE_LIBS)
+	g++ -O3 $(DEFLATE_CPPFLAGS) -shared -fPIC -o $@ $^ -lz $(DEFLATE_LIBS)
 
 test:
 	$(PY) -m pytest tests/ -q

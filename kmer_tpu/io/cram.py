@@ -171,11 +171,12 @@ def rans_decode(data: bytes, out_size: int) -> bytes:
         return nat
     try:
         return _rans_decode_py(data, out_size)
-    except (IndexError, struct.error) as e:
+    except (IndexError, KeyError, struct.error) as e:
         # every read/peek in the freq walk and the stream loop indexes
-        # the raw buffer; a truncated or corrupt block must surface as
-        # the descriptive error the callers document, not a bare
-        # IndexError traceback
+        # the raw buffer (and the order-1 loop keys per-context tables
+        # by decoded symbols); a truncated or corrupt block must
+        # surface as the descriptive error the callers document, not a
+        # bare IndexError/KeyError traceback
         raise ValueError(
             f"truncated or corrupt rANS block ({len(data)} bytes, "
             f"expected {out_size} uncompressed)"

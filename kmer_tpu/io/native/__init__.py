@@ -27,17 +27,16 @@ _tried = False
 
 
 def _build() -> bool:
-    # -mavx2 rather than -march=native: the .so persists next to the
-    # sources, so a native build on an AVX-512 node would SIGILL when
-    # the repo moves to an older node (NFS / copied checkouts) — the
-    # mtime freshness check cannot see ISA mismatches.  The hot packing
-    # loop is hand-written AVX2 behind #ifdef __AVX2__, so the portable
-    # baseline costs nothing measurable.
+    # No ISA flags beyond the platform baseline: the .so persists next
+    # to the sources, so any -march/-mavx build could SIGILL after the
+    # checkout moves to an older node (the mtime freshness check cannot
+    # see ISA mismatches).  The hot packing loop carries its own
+    # __attribute__((target("avx2"))) + __builtin_cpu_supports runtime
+    # dispatch, so the portable build loses nothing on AVX2 hosts.
     tmp = _SO + f".tmp.{os.getpid()}"
     cmd = [
         "g++",
         "-O3",
-        "-mavx2",
         "-shared",
         "-fPIC",
         "-o",
@@ -52,18 +51,19 @@ def _build() -> bool:
         cmd.append("-ldeflate")
     try:
         r = subprocess.run(cmd, capture_output=True, timeout=120)
-        if r.returncode != 0:
-            return False
-        # atomic publish: concurrent builders/readers never see a
-        # half-written .so (g++ -o writes in place otherwise)
-        os.replace(tmp, _SO)
-        return True
+        if r.returncode == 0:
+            # atomic publish: concurrent builders/readers never see a
+            # half-written .so (g++ -o writes in place otherwise)
+            os.replace(tmp, _SO)
+            return True
+        return False
     except (OSError, subprocess.TimeoutExpired):
+        return False
+    finally:
         try:
-            os.unlink(tmp)
+            os.unlink(tmp)  # no-op after a successful os.replace
         except OSError:
             pass
-        return False
 
 
 def _load() -> Optional[ctypes.CDLL]:

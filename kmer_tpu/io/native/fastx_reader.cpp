@@ -17,8 +17,9 @@
 #include <libdeflate.h>
 #endif
 
-#if defined(__AVX2__)
+#if defined(__x86_64__) || defined(__i386__)
 #include <immintrin.h>
+#define KTP_X86 1
 #endif
 
 #include <cstdint>
@@ -297,6 +298,56 @@ struct Reader {
   }
 };
 
+#if defined(KTP_X86)
+// 32 ASCII bytes -> 8 packed bytes + 32 mask bits per iteration.
+// Codes via bit tricks instead of the table: (c>>1)&3 maps
+// A,C,T/U,G -> 0,1,2,3; its 2-bit gray code x^(x>>1) is exactly
+// seq_nt4 (A0 C1 G2 T3).  Validity = uppercase in {A,C,G,T,U}.
+// Returns how many input bytes were consumed (a multiple of 32).
+__attribute__((target("avx2")))
+int64_t pack_avx2(const uint8_t* s, int64_t used, uint8_t* packed,
+                  uint8_t* mask) {
+  const __m256i vDF = _mm256_set1_epi8((char)0xDF);
+  const __m256i vA = _mm256_set1_epi8('A'), vC = _mm256_set1_epi8('C');
+  const __m256i vG = _mm256_set1_epi8('G'), vT = _mm256_set1_epi8('T');
+  const __m256i vU = _mm256_set1_epi8('U');
+  const __m256i v3 = _mm256_set1_epi8(3), v1 = _mm256_set1_epi8(1);
+  const __m256i w14 = _mm256_set1_epi16(0x0401);   // bytes [1,4]
+  const __m256i w116 = _mm256_set1_epi32(0x00100001);  // i16 [1,16]
+  const __m256i pick0 = _mm256_setr_epi8(
+      0, 4, 8, 12, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1,
+      0, 4, 8, 12, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1);
+  int64_t i = 0;
+  for (; i + 32 <= used; i += 32) {
+    __m256i v = _mm256_loadu_si256((const __m256i*)(s + i));
+    __m256i up = _mm256_and_si256(v, vDF);
+    __m256i valid = _mm256_or_si256(
+        _mm256_or_si256(_mm256_cmpeq_epi8(up, vA), _mm256_cmpeq_epi8(up, vC)),
+        _mm256_or_si256(
+            _mm256_or_si256(_mm256_cmpeq_epi8(up, vG),
+                            _mm256_cmpeq_epi8(up, vT)),
+            _mm256_cmpeq_epi8(up, vU)));
+    uint32_t inv = ~(uint32_t)_mm256_movemask_epi8(valid);
+    std::memcpy(mask + (i >> 3), &inv, 4);
+    __m256i code2 =
+        _mm256_and_si256(_mm256_srli_epi16(v, 1), v3);
+    __m256i gray = _mm256_xor_si256(
+        code2, _mm256_and_si256(_mm256_srli_epi16(code2, 1), v1));
+    __m256i code = _mm256_and_si256(gray, valid);
+    __m256i t16 = _mm256_maddubs_epi16(code, w14);
+    __m256i t32 = _mm256_madd_epi16(t16, w116);
+    __m256i b = _mm256_shuffle_epi8(t32, pick0);
+    __m128i lo = _mm256_castsi256_si128(b);
+    __m128i hi = _mm256_extracti128_si256(b, 1);
+    uint32_t p0 = (uint32_t)_mm_cvtsi128_si32(lo);
+    uint32_t p1 = (uint32_t)_mm_cvtsi128_si32(hi);
+    std::memcpy(packed + (i >> 2), &p0, 4);
+    std::memcpy(packed + (i >> 2) + 4, &p1, 4);
+  }
+  return i;
+}
+#endif
+
 }  // namespace
 
 extern "C" {
@@ -491,49 +542,11 @@ int64_t ktp_read_block_packed(void* h, uint8_t* packed, uint8_t* mask,
   }
   const uint8_t* s = r->scratch.data();
   int64_t i = 0;
-#if defined(__AVX2__)
-  // 32 ASCII bytes -> 8 packed bytes + 32 mask bits per iteration.
-  // Codes via bit tricks instead of the table: (c>>1)&3 maps
-  // A,C,T/U,G -> 0,1,2,3; its 2-bit gray code x^(x>>1) is exactly
-  // seq_nt4 (A0 C1 G2 T3).  Validity = uppercase in {A,C,G,T,U}.
-  {
-    const __m256i vDF = _mm256_set1_epi8((char)0xDF);
-    const __m256i vA = _mm256_set1_epi8('A'), vC = _mm256_set1_epi8('C');
-    const __m256i vG = _mm256_set1_epi8('G'), vT = _mm256_set1_epi8('T');
-    const __m256i vU = _mm256_set1_epi8('U');
-    const __m256i v3 = _mm256_set1_epi8(3), v1 = _mm256_set1_epi8(1);
-    const __m256i w14 = _mm256_set1_epi16(0x0401);   // bytes [1,4]
-    const __m256i w116 = _mm256_set1_epi32(0x00100001);  // i16 [1,16]
-    const __m256i pick0 = _mm256_setr_epi8(
-        0, 4, 8, 12, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1,
-        0, 4, 8, 12, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1);
-    for (; i + 32 <= used; i += 32) {
-      __m256i v = _mm256_loadu_si256((const __m256i*)(s + i));
-      __m256i up = _mm256_and_si256(v, vDF);
-      __m256i valid = _mm256_or_si256(
-          _mm256_or_si256(_mm256_cmpeq_epi8(up, vA), _mm256_cmpeq_epi8(up, vC)),
-          _mm256_or_si256(
-              _mm256_or_si256(_mm256_cmpeq_epi8(up, vG),
-                              _mm256_cmpeq_epi8(up, vT)),
-              _mm256_cmpeq_epi8(up, vU)));
-      uint32_t inv = ~(uint32_t)_mm256_movemask_epi8(valid);
-      std::memcpy(mask + (i >> 3), &inv, 4);
-      __m256i code2 =
-          _mm256_and_si256(_mm256_srli_epi16(v, 1), v3);
-      __m256i gray = _mm256_xor_si256(
-          code2, _mm256_and_si256(_mm256_srli_epi16(code2, 1), v1));
-      __m256i code = _mm256_and_si256(gray, valid);
-      __m256i t16 = _mm256_maddubs_epi16(code, w14);
-      __m256i t32 = _mm256_madd_epi16(t16, w116);
-      __m256i b = _mm256_shuffle_epi8(t32, pick0);
-      __m128i lo = _mm256_castsi256_si128(b);
-      __m128i hi = _mm256_extracti128_si256(b, 1);
-      uint32_t p0 = (uint32_t)_mm_cvtsi128_si32(lo);
-      uint32_t p1 = (uint32_t)_mm_cvtsi128_si32(hi);
-      std::memcpy(packed + (i >> 2), &p0, 4);
-      std::memcpy(packed + (i >> 2) + 4, &p1, 4);
-    }
-  }
+#if defined(KTP_X86)
+  // runtime-dispatched (the .so is built WITHOUT -mavx2 so it loads and
+  // runs on any x86-64; the target attribute scopes AVX2 codegen to
+  // this one function, and __builtin_cpu_supports gates the call)
+  if (__builtin_cpu_supports("avx2")) i = pack_avx2(s, used, packed, mask);
 #endif
   for (; i < used; ++i) {
     uint8_t c = nt4[s[i]];

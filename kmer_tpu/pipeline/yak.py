@@ -97,6 +97,23 @@ def _clamp_bf_shift(bf_shift: int, owner_bits: int = 0) -> int:
     return bf_shift
 
 
+def _bloom_geometry_ok(bf_shift: int, pre: int, owner_bits: int = 0) -> bool:
+    """True when a (possibly clamped) bloom still satisfies make_bits'
+    one-block-per-subtable invariant (BLK_SHIFT <= n_shift - pre).  A
+    large -p with a clamped -b can violate it (e.g. -b37 -p25 clamps to
+    31 bits, leaving 2^6 bits per subtable) — the engine then disables
+    the bloom with a warning instead of crashing in make_bits."""
+    clamped = min(bf_shift, 31 + owner_bits)
+    if clamped - pre >= BLK_SHIFT:
+        return True
+    from ..utils.log import warn
+
+    warn("yak_count",
+         f"clamped bloom (2^{clamped} bits) leaves fewer than one "
+         f"512-bit block per -p{pre} subtable; bloom prefilter disabled")
+    return False
+
+
 class YakEngine:
     def __init__(
         self,
@@ -125,6 +142,7 @@ class YakEngine:
             bf_n_hash > 0
             and bf_shift > pre
             and (bf_shift - pre) >= BLK_SHIFT
+            and _bloom_geometry_ok(bf_shift, pre)
         )
         if self.use_bloom:
             bf_shift = _clamp_bf_shift(bf_shift)
@@ -319,7 +337,9 @@ class MeshYakEngine:
             and bf_shift > pre
             and (bf_shift - pre) >= BLK_SHIFT
         )
-        self.use_bloom = bloom_wanted and pre >= self.owner_bits
+        self.use_bloom = (bloom_wanted and pre >= self.owner_bits
+                          and _bloom_geometry_ok(bf_shift, pre,
+                                                 self.owner_bits))
         if bloom_wanted and not self.use_bloom:
             # the per-device bloom partition needs at least one prefix
             # bit per owner (kernels/bloom.py owner_bits <= pre); with

@@ -199,13 +199,10 @@ def _hist_impl_tpu(hi, lo, counts, n_bins, max_count, min_keep, has_counts,
         bins, final = seghist.segment_bins_sorted(
             s_hi, s_lo, tile_rows=tile_rows, bins_cfg=bins_cfg
         )
-    chunk = min(1 << 23, n)
-    b = bins.reshape(-1, chunk)
-    ones = jnp.ones((chunk,), jnp.bool_)
-    partial_hists = jax.lax.map(
-        lambda row: segops.histogram_by_matmul(row.astype(I32), ones, n_bins), b
-    )
-    total = jnp.sum(partial_hists, axis=0)
+    # histogram_by_matmul self-chunks at 2^23 lanes (exact f32 sums,
+    # i32 cross-chunk accumulation) — ONE definition of that invariant
+    total = segops.histogram_by_matmul(
+        bins.astype(I32), jnp.ones((bins.shape[0],), jnp.bool_), n_bins)
     total = total.at[0].set(0)
     # the still-open final run (not sentinel padding) closes here
     fin_sent = (final[0] == -1) & (final[1] == -1)
@@ -286,17 +283,9 @@ def _hist_xla_core(hi, lo, counts, n_bins, max_count, min_keep, has_counts,
         mask = is_end & ~is_sent & (seg_count >= min_keep)
         if max_count is not None:
             seg_count = jnp.minimum(seg_count, I32(max_count))
-    # chunked one-hot histogram (exact f32 sums need < 2^24 lanes/chunk);
-    # lax.map keeps the compiled program size independent of n
-    chunk = min(1 << 23, n)
-    padded = ((n + chunk - 1) // chunk) * chunk
-    b = jnp.where(mask, jnp.minimum(seg_count, n_bins - 1), 0)
-    b = jnp.concatenate([b, jnp.zeros((padded - n,), I32)]).reshape(-1, chunk)
-    ones = jnp.ones((chunk,), jnp.bool_)
-    partial_hists = jax.lax.map(
-        lambda row: segops.histogram_by_matmul(row, ones, n_bins), b
-    )
-    total = jnp.sum(partial_hists, axis=0)
+    # histogram_by_matmul self-chunks at 2^23 lanes (exact f32 sums,
+    # i32 cross-chunk accumulation) — ONE definition of that invariant
+    total = segops.histogram_by_matmul(seg_count, mask, n_bins)
     # bin 0 collected masked lanes; it is never printed but zero it anyway
     total = total.at[0].set(0)
     n_distinct = jnp.sum(mask.astype(I32))

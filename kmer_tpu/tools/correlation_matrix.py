@@ -38,12 +38,17 @@ def pearson_depth_aware_np(x, dx, y, dy, min_snps, min_depth):
 
     Samples with DIFFERENT row counts: the reference loops to sample
     i's n_snps (correlation-matrix.c:155) over malloc'd MAX_SNPS
-    arrays, so rows past sample j's count read fresh-mmap zero pages —
-    depth 0 fails >= min_depth and excludes them.  Net effect: the
-    correlation runs over the first min(n_i, n_j) rows, reproduced
-    here by truncation (no broadcast error, no UB dependence)."""
-    n = min(x.shape[0], y.shape[0])
-    x, dx, y, dy = x[:n], dx[:n], y[:n], dy[:n]
+    arrays, so rows past sample j's count read fresh-mmap zero pages
+    (vaf 0.0, depth 0).  Reproduce exactly: truncate/zero-pad the
+    SECOND sample to the first's length — with min_depth >= 1 the
+    zero-depth tail is excluded, and with -d 0 it participates with
+    vaf 0.0 just as the zero pages do in the C."""
+    n = x.shape[0]
+    if y.shape[0] < n:
+        y = np.concatenate([y, np.zeros(n - y.shape[0], y.dtype)])
+        dy = np.concatenate([dy, np.zeros(n - dy.shape[0], dy.dtype)])
+    else:
+        y, dy = y[:n], dy[:n]
     m = (dx >= min_depth) & (dy >= min_depth)
     valid_count = int(np.count_nonzero(m))
     if valid_count < min_snps:

@@ -145,3 +145,36 @@ def test_full_pipeline_parity(refbin, tmp_path, engine_mode):
     assert _read(f"{d}/tpu.m4").replace(b"tpu_", b"") == _read(
         f"{d}/ref.m4"
     ).replace(b"ref_", b"")
+
+
+@pytest.mark.parametrize("min_depth", [0, 1, 5])
+def test_correlation_unequal_sample_lengths(refbin, tmp_path, min_depth):
+    """VAF files with DIFFERENT row counts: the reference pairs sample
+    i's rows with fresh-mmap zero pages past sample j's count
+    (malloc'd MAX_SNPS arrays, correlation-matrix.c:45-46,155), so
+    -d >= 1 excludes the tail while -d 0 includes it with vaf 0.0 —
+    both must be byte-identical (regression: truncating to the common
+    length broke -d 0, crashing broke everything)."""
+    import random
+
+    random.seed(7)
+    vafs = []
+    for si, n in enumerate((50, 100, 80)):
+        p = str(tmp_path / f"s{si}.vaf")
+        with open(p, "w") as f:
+            f.write("# Average depth: 10.00\n")
+            f.write("#CHR\tPOS\tRSID\tREF\tALT\tREF_COUNT\tALT_COUNT"
+                    "\tTOTAL_COUNT\tVAF\n")
+            for i in range(n):
+                rc, ac = random.randint(0, 20), random.randint(0, 20)
+                t = rc + ac
+                vaf = (ac / t) if t else 0.0
+                f.write(f"chr1\t{1000 + i}\trs{i}\tA\tC\t{rc}\t{ac}\t{t}"
+                        f"\t{vaf:.4f}\n")
+        vafs.append(p)
+    d = str(tmp_path)
+    run_ref(refbin, "correlation-matrix",
+            ["-d", str(min_depth), "-o", f"{d}/ref.corr"] + vafs)
+    run_ours("correlation-matrix",
+             ["-d", str(min_depth), "-o", f"{d}/tpu.corr"] + vafs)
+    assert _read(f"{d}/tpu.corr") == _read(f"{d}/ref.corr")
