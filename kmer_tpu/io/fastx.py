@@ -6,9 +6,10 @@ state machine (/root/reference/kseq.h:187-232).  Returns sequences as
 raw bytes; quality is parsed (to advance the stream) but not retained —
 no reference tool uses qualities.
 
-Reading is chunk-buffered (1 MiB) with memoryview splitting rather than
-per-line Python iteration; for higher throughput a C++ reader can slot
-in behind the same Block interface (see kmer_tpu/io/native).
+Reading is chunk-buffered (1 MiB) with an integer cursor into the
+buffer (compacted once per refill — per-line tail re-slicing was
+O(chunk^2)); for higher throughput the C++ reader slots in behind the
+same Block interface (see kmer_tpu/io/native).
 """
 
 from __future__ import annotations
