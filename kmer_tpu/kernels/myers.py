@@ -108,14 +108,140 @@ def myers_hw_counts(peq, pat_len, reads_codes, read_len, max_e: int):
     return jnp.where(best <= max_e, cnt, 0)
 
 
+def build_peq_multiword(patterns_codes, pat_len, n_alpha: int, n_words: int):
+    """Multi-word Peq bitmasks: (P, W, n_alpha) uint32; bit i%32 of
+    word i//32 set iff pattern[i] == letter (edlib's buildPeq over
+    W words, edlib.cpp:112, one uint32 lane per word here)."""
+    P, Lp = patterns_codes.shape
+    pos = jnp.arange(Lp)
+    word = (pos // 32)[None, :]
+    bit = (pos % 32).astype(U32)[None, :]
+    in_pat = pos[None, :] < pat_len[:, None]
+    masks = []
+    for c in range(n_alpha):
+        hot = jnp.where(
+            (patterns_codes == c) & in_pat, U32(1) << bit, U32(0)
+        )  # (P, Lp)
+        per_word = [
+            jnp.sum(jnp.where(word == w, hot, U32(0)), axis=1)
+            for w in range(n_words)
+        ]
+        masks.append(jnp.stack(per_word, axis=1))  # (P, W)
+    return jnp.stack(masks, axis=2)  # (P, W, n_alpha)
+
+
+@partial(jax.jit, static_argnames=("max_e", "n_words"))
+def myers_hw_counts_multiword(peq, pat_len, reads_codes, read_len,
+                              max_e: int, n_words: int):
+    """Multi-word variant of myers_hw_counts for patterns longer than
+    32 bases: W uint32 words per (read, pattern) lane with ripple
+    carries unrolled over the static word count, all inside one
+    lax.scan over text positions (edlib's WORD_SIZE-block column loop,
+    edlib.cpp:412, data-parallel over the (reads x patterns) plane).
+
+    peq: (P, W, n_alpha) uint32 from build_peq_multiword
+    pat_len: (P,) int32; reads_codes: (R, L) uint8; read_len: (R,) int32
+    Returns (R, P) int32: numLocations if best distance <= max_e else 0.
+    """
+    W = n_words
+    P = peq.shape[0]
+    R, L = reads_codes.shape
+    m = pat_len.astype(I32)
+    hw_word = (m - 1) // 32          # (P,) word holding the top bit
+    hb = ((m - 1) % 32).astype(U32)  # (P,) bit within that word
+    # per-(pattern, word) occupancy mask: all pattern bits in word w
+    wlo = jnp.arange(W, dtype=I32) * 32  # (W,)
+    nbits = jnp.clip(m[:, None] - wlo[None, :], 0, 32)  # (P, W)
+    mfull = jnp.where(
+        nbits >= 32,
+        U32(0xFFFFFFFF),
+        (U32(1) << nbits.astype(U32)) - U32(1),
+    )  # (P, W)
+
+    pv0 = tuple(jnp.broadcast_to(mfull[:, w], (R, P)) for w in range(W))
+    mv0 = tuple(jnp.zeros((R, P), U32) for _ in range(W))
+    score0 = jnp.broadcast_to(m, (R, P))
+    best0 = jnp.full((R, P), 0x3FFFFFFF, I32)
+    cnt0 = jnp.zeros((R, P), I32)
+
+    peq_wa = tuple(
+        tuple(peq[:, w, a] for a in range(peq.shape[2])) for w in range(W)
+    )  # [W][n_alpha] -> (P,)
+    mfull_w = tuple(mfull[:, w][None, :] for w in range(W))  # (1, P) each
+
+    def step(carry, inputs):
+        pv, mv, score, best, cnt = carry
+        c, valid = inputs  # c: (R,) uint8; valid: (R,) bool
+        eq = []
+        for w in range(W):
+            e = jnp.zeros((R, P), U32)
+            for base, col in enumerate(peq_wa[w]):
+                e = jnp.where((c == base)[:, None], col[None, :], e)
+            eq.append(e)
+        xv = [eq[w] | mv[w] for w in range(W)]
+        # ((eq & pv) + pv) with ripple carry across words, low -> high
+        xh = []
+        carry_u = jnp.zeros((R, P), U32)
+        for w in range(W):
+            a = eq[w] & pv[w]
+            s1 = a + pv[w]
+            c1 = s1 < a
+            s = s1 + carry_u
+            c2 = s < s1
+            carry_u = (c1 | c2).astype(U32)
+            xh.append((s ^ pv[w]) | eq[w])
+        ph = [mv[w] | ~(xh[w] | pv[w]) for w in range(W)]
+        mh = [pv[w] & xh[w] for w in range(W)]
+        # score delta from the per-pattern top bit (word hw_word, bit hb)
+        inc = jnp.zeros((R, P), I32)
+        dec = jnp.zeros((R, P), I32)
+        for w in range(W):
+            sel = (hw_word == w)[None, :]
+            inc = inc | jnp.where(
+                sel, ((ph[w] >> hb[None, :]) & U32(1)).astype(I32), 0
+            )
+            dec = dec | jnp.where(
+                sel, ((mh[w] >> hb[None, :]) & U32(1)).astype(I32), 0
+            )
+        new_score = score + inc - dec
+        # shift left by one with cross-word carry (HW mode: bit 0 of
+        # word 0 stays 0 — free start in the text)
+        ph2 = [ph[0] << 1] + [
+            (ph[w] << 1) | (ph[w - 1] >> 31) for w in range(1, W)
+        ]
+        mh2 = [mh[0] << 1] + [
+            (mh[w] << 1) | (mh[w - 1] >> 31) for w in range(1, W)
+        ]
+        new_pv = [(mh2[w] | ~(xv[w] | ph2[w])) & mfull_w[w] for w in range(W)]
+        new_mv = [ph2[w] & xv[w] for w in range(W)]
+        v = valid[:, None]
+        pv = tuple(jnp.where(v, new_pv[w], pv[w]) for w in range(W))
+        mv = tuple(jnp.where(v, new_mv[w], mv[w]) for w in range(W))
+        score = jnp.where(v, new_score, score)
+        better = v & (score < best)
+        same = v & (score == best)
+        cnt = jnp.where(better, 1, jnp.where(same, cnt + 1, cnt))
+        best = jnp.where(better, score, best)
+        return (pv, mv, score, best, cnt), None
+
+    cs = reads_codes.T  # (L, R)
+    valids = jnp.arange(L, dtype=I32)[:, None] < read_len[None, :]
+    (pv, mv, score, best, cnt), _ = jax.lax.scan(
+        step, (pv0, mv0, score0, best0, cnt0), (cs, valids)
+    )
+    return jnp.where(best <= max_e, cnt, 0)
+
+
 def hw_counts_long_pattern(pat_codes, reads_codes, read_len, max_e: int,
                            n_alpha: int = 4):
-    """Host fallback for patterns longer than 32 bases (the u32-lane
+    """Host cross-check for patterns longer than 32 bases (the u32-lane
     kernel's word limit; edlib handles any length via multi-word
     vectors, edlib.cpp:412).  The same recurrence as myers_hw_counts
     over W = ceil(m/64) uint64 words with ripple carries, vectorized
     over reads with numpy — the per-text-position loop stays in Python
-    but each step is a handful of (R,)-wide numpy ops.
+    but each step is a handful of (R,)-wide numpy ops.  The production
+    long-pattern path is myers_hw_counts_multiword; this stays as the
+    independent oracle for it (tests/test_myers.py).
 
     pat_codes: iterable of alphabet codes (>= n_alpha never matches).
     reads_codes: (R, L) uint8; read_len: (R,) lengths.

@@ -20,7 +20,12 @@ import jax.numpy as jnp
 
 from ..io.fastx import FastxReader
 from ..io.formats import read_patterns, write_vaf_file
-from ..kernels.myers import build_peq, myers_hw_counts
+from ..kernels.myers import (
+    build_peq,
+    build_peq_multiword,
+    myers_hw_counts,
+    myers_hw_counts_multiword,
+)
 from ..utils.cli import c_atoi, ketopt
 from ..utils.log import minfo
 
@@ -29,7 +34,7 @@ from ..utils.log import minfo
 # (nanopore/PacBio) process exactly like the reference's edlib
 _MIN_BUCKET = 1024
 _BATCH_BYTES = 1 << 21  # rows per bucket = _BATCH_BYTES // bucket
-_KERNEL_MAX_PAT = 32  # u32-lane word limit; longer patterns -> host path
+_KERNEL_MAX_PAT = 32  # one-word limit; longer -> multi-word kernel batch
 
 
 def _bucket_for(length: int) -> int:
@@ -84,7 +89,23 @@ def count_fastq(fn, patterns, max_e, totals):
         kmers.append(p.alt_kmer.encode())
     lut, n_alpha = _alphabet_lut(kmers)
     long_idx = [i for i, x in enumerate(kmers) if len(x) > _KERNEL_MAX_PAT]
-    long_codes = {i: _encode(kmers[i], lut).tolist() for i in long_idx}
+    if long_idx:
+        # one multi-word kernel batch covers every long pattern
+        # (kmer_tpu.kernels.myers.myers_hw_counts_multiword)
+        lp_long = max(len(kmers[i]) for i in long_idx)
+        n_words = (lp_long + 31) // 32
+        PL = len(long_idx)
+        PLpad = max(128, ((PL + 127) // 128) * 128)
+        pcl = np.full((PLpad, lp_long), 255, np.uint8)
+        plenl = np.full(PLpad, lp_long, np.int32)
+        for j, i in enumerate(long_idx):
+            x = kmers[i]
+            pcl[j, : len(x)] = _encode(x, lut)
+            plenl[j] = len(x)
+        peq_long = build_peq_multiword(
+            jnp.asarray(pcl), jnp.asarray(plenl), n_alpha, n_words
+        )
+        plenl_j = jnp.asarray(plenl)
     lp = max(
         (len(x) for x in kmers if len(x) <= _KERNEL_MAX_PAT), default=1
     )
@@ -123,18 +144,18 @@ def count_fastq(fn, patterns, max_e, totals):
             np.int64
         )
         for i in long_idx:
-            ksum[i] = 0  # dummy kernel lane; the host path owns it
+            ksum[i] = 0  # dummy kernel lane; the multi-word batch owns it
         acc[:] += ksum
         if long_idx:
-            from ..kernels.myers import hw_counts_long_pattern
-
-            for i in long_idx:
-                acc[i] += sum(
-                    hw_counts_long_pattern(
-                        long_codes[i], codes[:nb], lens[:nb], max_e,
-                        n_alpha,
-                    )
-                )  # host path: only the filled rows
+            lcounts = myers_hw_counts_multiword(
+                peq_long, plenl_j, jnp.asarray(codes), jnp.asarray(lens),
+                max_e, n_words,
+            )
+            lsum = np.asarray(
+                jnp.sum(lcounts, axis=0, dtype=jnp.int32)
+            ).astype(np.int64)
+            for j, i in enumerate(long_idx):
+                acc[i] += int(lsum[j])
 
     for _name, seq in FastxReader(fn):
         L = len(seq)
