@@ -36,31 +36,101 @@ class Pattern(Snp):
     alt_count: int = 0
 
 
+class _ScanFail(Exception):
+    pass
+
+
+_WS = frozenset(b" \t\n\r\x0b\x0c")
+
+
+class _Scanner:
+    """Byte-exact fscanf emulator for the fixed formats the reference
+    readers use.  Tokens are whitespace-delimited ACROSS newlines,
+    %Ns width caps split long tokens mid-token (the tail feeds the
+    next directive), " %c" takes one char (possibly the second char of
+    a multi-char token), and the first failed directive ends the whole
+    load — later records are dropped, exactly like the C loops."""
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.n = len(data)
+        self.p = 0
+
+    def _skip_ws(self):
+        d, n = self.d, self.n
+        p = self.p
+        while p < n and d[p] in _WS:
+            p += 1
+        self.p = p
+
+    def s(self, width: int) -> str:
+        """%<width>s: >=1 non-whitespace chars, at most width."""
+        self._skip_ws()
+        d, n = self.d, self.n
+        st = p = self.p
+        while p < n and d[p] not in _WS and p - st < width:
+            p += 1
+        if p == st:
+            raise _ScanFail
+        self.p = p
+        return d[st:p].decode("latin-1")
+
+    def i(self) -> int:
+        """%d: optional sign + >=1 digits."""
+        self._skip_ws()
+        d, n = self.d, self.n
+        st = p = self.p
+        if p < n and d[p] in b"+-":
+            p += 1
+        dst = p
+        while p < n and 0x30 <= d[p] <= 0x39:
+            p += 1
+        if p == dst:
+            raise _ScanFail
+        self.p = p
+        return int(d[st:p])
+
+    def c(self) -> str:
+        """' %c': skip whitespace, then exactly one char."""
+        self._skip_ws()
+        if self.p >= self.n:
+            raise _ScanFail
+        ch = self.d[self.p]
+        self.p += 1
+        return chr(ch)
+
+
 def read_bed_snps(path: str) -> List[Snp]:
-    """6-column whitespace-separated SNP BED
-    (fscanf loop, snp-pattern-gen.c:271)."""
+    """6-column SNP BED, via the reference's exact
+    `fscanf("%254s%d%d%254s %c %c")` token semantics
+    (snp-pattern-gen.c:271)."""
+    with open(path, "rb") as f:
+        sc = _Scanner(f.read())
     out = []
-    with open(path) as f:
-        for line in f:
-            t = line.split()
-            if len(t) < 6:
-                continue
-            out.append(Snp(t[0], int(t[1]), int(t[2]), t[3], t[4][0], t[5][0]))
-    return out
+    while True:
+        try:
+            out.append(Snp(sc.s(254), sc.i(), sc.i(), sc.s(254),
+                           sc.c(), sc.c()))
+        except _ScanFail:
+            return out
 
 
 def read_patterns(path: str) -> List[Pattern]:
-    """8-column pattern file (load_patterns, vaf-counter.c:149-184)."""
+    """8-column pattern file, via the reference's exact
+    `fscanf("%255s%d%d%255s %c %c%127s%127s")` token semantics
+    (load_patterns — vaf-counter.c:164, ed-vaf-counter.c:62,
+    bam-vaf-counter.c:80, vcf-vaf-counter.c:52): k-mers longer than
+    127 bases split mid-token and derail the remaining records, just
+    like the C tools."""
+    with open(path, "rb") as f:
+        sc = _Scanner(f.read())
     out = []
-    with open(path) as f:
-        for line in f:
-            t = line.split()
-            if len(t) < 8:
-                continue
-            out.append(
-                Pattern(t[0], int(t[1]), int(t[2]), t[3], t[4][0], t[5][0], t[6], t[7])
-            )
-    return out
+    while True:
+        try:
+            out.append(Pattern(sc.s(255), sc.i(), sc.i(), sc.s(255),
+                               sc.c(), sc.c(), sc.s(127), sc.s(127)))
+        except _ScanFail:
+            return out
 
 
 def write_pattern_row(fp: TextIO, s: Snp, ref_kmer: str, alt_kmer: str) -> None:

@@ -85,8 +85,18 @@ def count_fastq(fn, patterns, max_e, totals):
     # kernel's 32-base word go through the host multi-word path
     kmers = []
     for p in patterns:
-        kmers.append(p.ref_kmer.encode())
-        kmers.append(p.alt_kmer.encode())
+        r = p.ref_kmer.encode("latin-1")
+        a = p.alt_kmer.encode("latin-1")
+        # the reference caches kmer_len = strlen(ref_kmer) once and
+        # passes it for BOTH searches (ed-vaf-counter.c:77,143-146):
+        # an alt k-mer longer than its ref is truncated to the ref's
+        # length; a shorter one is searched over the ref's length —
+        # its buffer's terminating NUL then padding (bytes past the
+        # NUL are uninitialized in the C tool; see PARITY.md)
+        m = len(r)
+        a = a[:m] if len(a) >= m else a + b"\x00" * (m - len(a))
+        kmers.append(r)
+        kmers.append(a)
     lut, n_alpha = _alphabet_lut(kmers)
     long_idx = [i for i, x in enumerate(kmers) if len(x) > _KERNEL_MAX_PAT]
     if long_idx:

@@ -331,6 +331,70 @@ def fuzz_pipeline(rounds=5, seed=0):
     return fails
 
 
+def fuzz_edvaf(rounds=10, seed=0):
+    """Randomized ed-vaf-counter parity vs the compiled edlib reference:
+    mixed short/long patterns (1- and multi-word Myers lanes in one
+    batch), raw-byte alphabets (N, lowercase), read lengths spanning
+    the 1024/4096 buckets, planted near-matches at every -e."""
+    import contextlib
+
+    from kmer_tpu.tools import get_tool
+
+    fails = 0
+    for t in range(rounds):
+        rng = np.random.default_rng(seed + 7000 * t)
+        with tempfile.TemporaryDirectory() as d:
+            glen = int(rng.integers(4000, 20000))
+            galpha = list("ACGT") + (["N", "a", "c"] if rng.random() < 0.4
+                                     else [])
+            g = "".join(rng.choice(galpha, size=glen))
+            ks = rng.choice([5, 21, 31, 32, 33, 41, 63, 65, 97, 129],
+                            size=int(rng.integers(1, 10)))
+            with open(f"{d}/p.txt", "w") as f:
+                for si, k in enumerate(ks):
+                    k = int(k)
+                    pos = int(rng.integers(k // 2, glen - k // 2 - 1))
+                    ref_km = g[pos - k // 2 : pos - k // 2 + k]
+                    ref = g[pos]
+                    alt = str(rng.choice([c for c in "ACGT" if c != ref.upper()]))
+                    alt_km = ref_km[: k // 2] + alt + ref_km[k // 2 + 1 :]
+                    f.write(f"chr1\t{pos}\t{pos+1}\trs{si}\t{ref}\t{alt}\t"
+                            f"{ref_km}\t{alt_km}\n")
+            max_e = int(rng.integers(0, 4))
+            with open(f"{d}/r.fq", "w") as f:
+                for ri in range(int(rng.integers(5, 60))):
+                    L = int(rng.integers(1, 3000))
+                    st = int(rng.integers(0, max(glen - L, 1)))
+                    read = list(g[st : st + L])
+                    for _ in range(rng.poisson(1.0)):
+                        if read:
+                            read[int(rng.integers(0, len(read)))] = str(
+                                rng.choice(list("ACGTNacgt")))
+                    f.write(f"@r{ri}\n{''.join(read)}\n+\n{'I'*len(read)}\n")
+            subprocess.run(
+                [os.path.join(REFBIN, "ed-vaf-counter"), "-p", f"{d}/p.txt",
+                 "-o", f"{d}/ref.vaf", "-e", str(max_e), f"{d}/r.fq"],
+                capture_output=True, check=True)
+            with contextlib.redirect_stdout(io.StringIO()):
+                rc = get_tool("ed-vaf-counter")(
+                    ["-p", f"{d}/p.txt", "-o", f"{d}/tpu.vaf",
+                     "-e", str(max_e), f"{d}/r.fq"])
+            assert not rc
+            if open(f"{d}/tpu.vaf").read() != open(f"{d}/ref.vaf").read():
+                fails += 1
+                sub = subprocess.run(["diff", f"{d}/tpu.vaf", f"{d}/ref.vaf"],
+                                     capture_output=True)
+                print(f"[FAIL] edvaf round {t} -e{max_e} ks={sorted(set(int(x) for x in ks))}\n"
+                      + sub.stdout.decode()[:500])
+                os.system(f"cp {d}/p.txt /tmp/fuzz_edvaf_fail_{t}.pat; "
+                          f"cp {d}/r.fq /tmp/fuzz_edvaf_fail_{t}.fq")
+            else:
+                print(f"[ok] edvaf round {t} -e{max_e} "
+                      f"ks={sorted(set(int(x) for x in ks))}")
+    print(f"edvaf done: {rounds - fails}/{rounds} clean")
+    return fails
+
+
 def _gen_sam_case(rng, d):
     """Write a random pattern file ({d}/p.txt) and adversarial SAM
     ({d}/a.sam): CIGARs with S/I/D/N/H clips, lowercase bases,
@@ -629,6 +693,11 @@ if __name__ == "__main__":
         rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 10
         seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
         sys.exit(1 if fuzz_vcf(rounds, seed) else 0)
+    if "--edvaf" in sys.argv:
+        sys.argv.remove("--edvaf")
+        rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+        seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+        sys.exit(1 if fuzz_edvaf(rounds, seed) else 0)
     if "--raw" in sys.argv:
         sys.argv.remove("--raw")
         rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 10
