@@ -88,7 +88,13 @@ class _Scanner:
         if p == dst:
             raise _ScanFail
         self.p = p
-        return int(d[st:p])
+        # glibc %d: strtol saturates to LONG_MAX/LONG_MIN, then the
+        # value is cast to int (verified against the compiled oracles:
+        # +overflow -> -1, -overflow -> 0)
+        v = int(d[st:p])
+        v = max(min(v, 2**63 - 1), -(2**63))
+        v &= 0xFFFFFFFF
+        return v - 2**32 if v >= 2**31 else v
 
     def c(self) -> str:
         """' %c': skip whitespace, then exactly one char."""

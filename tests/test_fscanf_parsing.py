@@ -134,6 +134,30 @@ def test_unequal_kmer_lengths_use_ref_len(tmp_path, genome):
     assert row[5] == row[6] and int(row[5]) > 0
 
 
+def test_int_overflow_matches_glibc(tmp_path):
+    """%d on overflow: glibc saturates via strtol then casts to int —
+    +overflow prints -1, -overflow prints 0 (verified vs the oracle)."""
+    ref = _need("ed-vaf-counter")
+    pat = str(tmp_path / "p.txt")
+    km = "ACGTACGTACGTACGTACGTA"
+    with open(pat, "w") as f:
+        f.write(f"chr1\t99999999999999999999\t5\trs0\tA\tC\t{km}\t{km}\n")
+        f.write(f"chr1\t-99999999999999999999\t6\trs1\tA\tC\t{km}\t{km}\n")
+        f.write(f"chr1\t5000000000\t7\trs2\tA\tC\t{km}\t{km}\n")
+    fq = str(tmp_path / "r.fq")
+    with open(fq, "w") as f:
+        f.write("@r0\nACGT\n+\nIIII\n")
+    subprocess.run(
+        [ref, "-p", pat, "-o", str(tmp_path / "ref.vaf"), "-e", "0", fq],
+        capture_output=True, check=True)
+    from kmer_tpu.tools.ed_vaf_counter import main
+
+    assert not main(["-p", pat, "-o", str(tmp_path / "tpu.vaf"), "-e", "0", fq])
+    got = _read(tmp_path / "tpu.vaf")
+    assert got == _read(tmp_path / "ref.vaf")
+    assert b"\t-1\t" in got and b"\t0\trs1\t" in got
+
+
 def test_snp_pattern_gen_bed_fscanf_quirks(tmp_path, genome):
     ref = _need("snp-pattern-gen")
     fa = str(tmp_path / "g.fa")
