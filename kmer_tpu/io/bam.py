@@ -95,7 +95,7 @@ class BamReader:
         self.ref_lens: List[int] = []
         for _ in range(n_ref):
             l_name = struct.unpack("<i", self._bgzf.read(4))[0]
-            name = self._bgzf.read(l_name)[:-1].decode()
+            name = self._bgzf.read(l_name)[:-1].decode("latin-1")
             l_ref = struct.unpack("<i", self._bgzf.read(4))[0]
             self.ref_names.append(name)
             self.ref_lens.append(l_ref)
@@ -264,7 +264,7 @@ class SamTextReader:
                     name, ln = None, 0
                     for fld in line.rstrip(b"\r\n").split(b"\t")[1:]:
                         if fld.startswith(b"SN:"):
-                            name = fld[3:].decode()
+                            name = fld[3:].decode("latin-1")
                         elif fld.startswith(b"LN:"):
                             ln = int(fld[3:])
                     if name is not None:
@@ -284,11 +284,11 @@ class SamTextReader:
         if len(fields) < 11:
             return None
         flag = int(fields[1])
-        rname = fields[2].decode()
+        rname = fields[2].decode("latin-1")
         tid = self.name2tid.get(rname, -1)
         pos = int(fields[3]) - 1  # SAM is 1-based
         cigar: List[Tuple[int, int]] = []
-        cs = fields[5].decode()
+        cs = fields[5].decode("latin-1")
         if cs != "*":
             num = ""
             for ch in cs:
@@ -297,7 +297,7 @@ class SamTextReader:
                 else:
                     cigar.append((_CIGAR_CODE[ch], int(num)))
                     num = ""
-        seq = fields[9].decode()
+        seq = fields[9].decode("latin-1")
         # htslib normalization: '*' means no sequence stored (l_qseq=0);
         # lowercase bases map through seq_nt16_table to uppercase
         seq = "" if seq == "*" else seq.upper()

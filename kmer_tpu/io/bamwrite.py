@@ -30,11 +30,11 @@ def bgzf_compress(payload: bytes, level: int = 6) -> bytes:
 def _encode_record(fields: List[bytes], name2tid) -> bytes:
     rn = fields[0]
     flag = int(fields[1])
-    tid = name2tid.get(fields[2].decode(), -1)
+    tid = name2tid.get(fields[2].decode("latin-1"), -1)
     pos = int(fields[3]) - 1
     mapq = int(fields[4])
     cigar: List[Tuple[int, int]] = []
-    cs = fields[5].decode()
+    cs = fields[5].decode("latin-1")
     if cs != "*":
         num = ""
         for ch in cs:
@@ -162,7 +162,7 @@ def sam_to_bam(sam_path: str, bam_path: str, sort: bool = False) -> None:
                     name, ln = None, 0
                     for fld in line.rstrip(b"\r\n").split(b"\t")[1:]:
                         if fld.startswith(b"SN:"):
-                            name = fld[3:].decode()
+                            name = fld[3:].decode("latin-1")
                         elif fld.startswith(b"LN:"):
                             ln = int(fld[3:])
                     if name is not None:
@@ -173,7 +173,7 @@ def sam_to_bam(sam_path: str, bam_path: str, sort: bool = False) -> None:
     name2tid = {n: i for i, n in enumerate(ref_names)}
     if sort:
         def _key(fields):
-            tid = name2tid.get(fields[2].decode(), -1)
+            tid = name2tid.get(fields[2].decode("latin-1"), -1)
             return (tid if tid >= 0 else 1 << 30, int(fields[3]) - 1)
 
         records.sort(key=_key)

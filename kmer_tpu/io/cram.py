@@ -573,7 +573,7 @@ class CramReader:
         cont = Container(c)
         blk = Block(c)
         hlen = struct.unpack_from("<i", blk.data, 0)[0]
-        self.header_text = blk.data[4 : 4 + hlen].decode()
+        self.header_text = blk.data[4 : 4 + hlen].decode("latin-1")
         c.o = cont.header_end + cont.length
         self._body = c.o
         self.refs: List[str] = []
@@ -662,7 +662,7 @@ class CramReader:
                 if line.startswith(b">"):
                     if name is not None:
                         seqs[name] = b"".join(parts)
-                    name = line[1:].split()[0].decode()
+                    name = line[1:].split()[0].decode("latin-1")
                     parts = []
                 else:
                     parts.append(line.strip())

@@ -149,7 +149,9 @@ def write_vaf_file(path: str, patterns: List[Pattern]) -> float:
     """Returns the average depth written in the header."""
     total = sum(p.ref_count + p.alt_count for p in patterns)
     avg_depth = total / (len(patterns) if patterns else 1)
-    with open(path, "w") as fp:
+    # latin-1 keeps non-ASCII input bytes byte-transparent, like the C
+    # tools' opaque char copies (fields come from the latin-1 scanner)
+    with open(path, "w", encoding="latin-1") as fp:
         fp.write(f"# Average depth: {avg_depth:.2f}\n")
         fp.write("CHR\tPOS\tRSID\tREF\tALT\tREF_COUNT\tALT_COUNT\tTOTAL_COUNT\tVAF\n")
         for p in patterns:

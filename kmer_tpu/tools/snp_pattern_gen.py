@@ -37,7 +37,7 @@ def extract_snp_kmer(seq: bytes, pos: int, alt: str, k: int):
     ref_enc = encode_kmer(window, k)
     if ref_enc < 0:
         return None
-    alt_bytes = window[:flank] + alt.encode() + window[flank + 1 :]
+    alt_bytes = window[:flank] + alt.encode("latin-1") + window[flank + 1 :]
     return window, alt_bytes
 
 
@@ -78,7 +78,7 @@ def main(argv=None):
     order = 0
     try:
         for name, seq in FastxReader(fasta_fn):
-            genome[name.decode()] = seq
+            genome[name.decode("latin-1")] = seq
             order += 1
     except OSError:
         sys.stderr.write("Error: failed to load FASTA file\n")  # :256
@@ -114,7 +114,7 @@ def main(argv=None):
         alt_can = canonical_kmer(alt_enc, k)
         candidates.setdefault(ref_can, 0)
         candidates.setdefault(alt_can, 0)
-        per_snp.append((s, ref_b.decode(), alt_b.decode(), ref_can, alt_can))
+        per_snp.append((s, ref_b.decode("latin-1"), alt_b.decode("latin-1"), ref_can, alt_can))
     minfo("main", f"Generated {len(candidates)} candidate k-mers")
 
     # pass 2: scan the genome, then sort-join the candidate set against
@@ -147,7 +147,7 @@ def main(argv=None):
     n_total = n_unique = 0
     # one pattern file per pod run (counts are replicated on all hosts)
     out_path = out_fn if is_primary() else os.devnull
-    with open(out_path, "w") as out_fp:
+    with open(out_path, "w", encoding="latin-1") as out_fp:
         for entry in per_snp:
             n_total += 1
             if entry is None:

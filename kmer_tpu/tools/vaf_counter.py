@@ -43,7 +43,7 @@ def create_combined_kmer_map(patterns, k: int):
     mask = (1 << (2 * k)) - 1
     for i, p in enumerate(patterns):
         for kmer_str, flag in ((p.ref_kmer, 0), (p.alt_kmer, 1)):
-            enc = encode_kmer(kmer_str.encode(), k)
+            enc = encode_kmer(kmer_str.encode("latin-1"), k)
             if enc < 0:
                 continue
             can = canonical_kmer(enc, k)
