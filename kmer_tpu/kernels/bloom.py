@@ -22,8 +22,10 @@ cross-key bit sharing *within one batch* is the only divergence from
 the sequential reference; it is invisible in single-file yak-count
 output (pass-2 recount + shrink drop FP-admitted singletons) and
 observable only in two-file mode (PARITY.md divergence 10) — which
-insert_sequential closes exactly when engines opt in
-(KMER_TPU_EXACT_BLOOM=1).
+insert_sequential closes exactly.  The single-chip YakEngine uses the
+sequential form by default (KMER_TPU_EXACT_BLOOM=0 opts out); the mesh
+engine keeps the batched form (cross-chip lane order is undefined,
+divergence 10a).
 """
 
 from __future__ import annotations
@@ -116,8 +118,8 @@ def insert_sequential(
     OR by a strictly earlier lane of the same batch.  The batched
     insert() tests only the pre-batch state, which admits strictly
     fewer false positives — observable in two-file yak-count
-    (PARITY.md divergence 10); this closes that gap when engines opt
-    in (KMER_TPU_EXACT_BLOOM=1).
+    (PARITY.md divergence 10); this closes that gap (the single-chip
+    engine's default; KMER_TPU_EXACT_BLOOM=0 opts out).
 
     Formulation without a serial loop: an in-batch probe bit b of lane
     i counts as set iff min{lane j probing b} < i — ONE (bit, lane)

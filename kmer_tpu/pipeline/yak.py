@@ -154,9 +154,15 @@ class YakEngine:
             self.bits = jnp.zeros((8,), jnp.uint8)  # dummy carry
         import os
 
+        # Default ON: yak_bf_insert runs strictly sequentially
+        # (yak-count.c:91-108) and the batched approximation is
+        # observable in two-file output (PARITY.md divergence 10), so
+        # the single-chip engine pays the sequential reconstruction by
+        # default; KMER_TPU_EXACT_BLOOM=0 opts out for speed (strictly
+        # fewer bloom false positives, never a wrong count).
         self.exact_bloom = bool(self.use_bloom) and os.environ.get(
-            "KMER_TPU_EXACT_BLOOM", ""
-        ).strip() in ("1", "true", "on", "yes")
+            "KMER_TPU_EXACT_BLOOM", "1"
+        ).strip() not in ("0", "false", "off", "no")
         self.tot = 0  # cumulative distinct insertions (yak's h->tot)
 
     def _maybe_grow(self, incoming: int = 0):
@@ -303,8 +309,10 @@ class MeshYakEngine:
     yak_ch_insert_list's gate + insert (yak-count.c:150-177) runs
     chip-local after one all_to_all; clear/shrink/hist are per-chip maps
     with psum'd reductions (yak-count.c:190-277).  Bloom probe VALUES
-    are identical to the single-chip layout (BloomSpec.owner_bits), so
-    admission — observable in two-file mode — is unchanged."""
+    are identical to the single-chip layout (BloomSpec.owner_bits);
+    inserts stay batched-per-block (cross-chip lane order is undefined,
+    so the single-chip engine's default sequential test-and-set has no
+    reference-matching meaning here — PARITY.md divergence 10)."""
 
     def __init__(
         self,

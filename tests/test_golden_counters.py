@@ -225,13 +225,14 @@ def test_counter_parity(refbin, capsys, engine_mode, tool, args):
 
 def test_yak_two_file_exact_bloom_parity(refbin, capsys, monkeypatch):
     """Two-file yak with a bloom SMALL enough to really gate (-b19:
-    2^9 bits/subtable, the reference's own minimum geometry) under
-    KMER_TPU_EXACT_BLOOM=1 — the sequential test-and-set semantics
+    2^9 bits/subtable, the reference's own minimum geometry) on the
+    single-chip DEFAULT path — sequential test-and-set semantics
     (kernels/bloom.insert_sequential) make admission byte-identical
     even when in-batch cross-key collisions occur (PARITY.md
-    divergence 10 closed by the opt-in)."""
+    divergence 10 closed by default; KMER_TPU_EXACT_BLOOM=0 opts
+    out).  The env var is deliberately NOT set here."""
     monkeypatch.setenv("KMER_TPU_FORCE_MESH", "0")
-    monkeypatch.setenv("KMER_TPU_EXACT_BLOOM", "1")
+    monkeypatch.delenv("KMER_TPU_EXACT_BLOOM", raising=False)
     args = ["-k31", "-b19",
             os.path.join(FIXTURES, "sampleA1.fq.gz"),
             os.path.join(FIXTURES, "sampleB.fq.gz")]
