@@ -21,7 +21,10 @@ def rand_seq(n, nfrac=0.0):
     )
 
 
-def main():
+def main(out=None):
+    global HERE
+    if out:  # write into an alternate directory (tests use this to
+        HERE = out  # regenerate single fixtures without touching git-tracked ones)
     os.makedirs(HERE, exist_ok=True)
     genome = [rand_seq(8000, 0.002) for _ in range(3)]
     with gzip.open(os.path.join(HERE, "genome_small.fa.gz"), "wt") as f:
@@ -172,4 +175,6 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    main(sys.argv[1] if len(sys.argv) > 1 else None)

@@ -6,6 +6,7 @@ reference binary is available (bam/vcf need an htslib build; see
 
 import os
 import subprocess
+import sys
 
 import pytest
 
@@ -41,6 +42,29 @@ def _need(tool):
     if not os.path.exists(p):
         pytest.skip(f"reference {tool} not built (needs htslib for bam/vcf)")
     return p
+
+
+def _ensure_sam():
+    """The SAM text fixture is generated, not committed (2.7 MB); on a
+    fresh checkout regenerate it deterministically into a scratch dir
+    (so the git-tracked .gz fixtures keep their committed bytes — gzip
+    stamps mtime) and copy just the .sam over."""
+    sam = os.path.join(FIXTURES, "sampleA_aln.sam")
+    if not os.path.exists(sam):
+        import shutil
+        import subprocess
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            r = subprocess.run(
+                [sys.executable,
+                 os.path.join(REPO, "scripts", "make_fixtures.py"), td],
+                capture_output=True,
+            )
+            if r.returncode != 0:
+                pytest.skip(f"cannot generate SAM fixture: {r.stderr.decode()}")
+            shutil.copy(os.path.join(td, "sampleA_aln.sam"), sam)
+    return sam
 
 
 def _read(p):
@@ -141,9 +165,7 @@ def test_bam_native_vs_python_sequential(patterns, tmp_path, monkeypatch):
     pure-Python BamReader loop must produce identical VAF files; also
     round-trips the fixture SAM through io/bamwrite.sam_to_bam so the
     binary readers see a BAM we constructed ourselves."""
-    sam = os.path.join(FIXTURES, "sampleA_aln.sam")
-    if not os.path.exists(sam):
-        pytest.skip("SAM fixture missing (run scripts/make_fixtures.py)")
+    sam = _ensure_sam()
     from kmer_tpu.io import native
     from kmer_tpu.io.bamwrite import sam_to_bam
     from kmer_tpu.tools.bam_vaf_counter import main
@@ -172,9 +194,7 @@ def test_bai_writer_indexed_parity(patterns, tmp_path):
     """A BAM we coordinate-sort + index ourselves (io/bamwrite.write_bai)
     must yield identical VAF via: our indexed path, our sequential path
     (index hidden), and the reference binary reading our .bai."""
-    sam = os.path.join(FIXTURES, "sampleA_aln.sam")
-    if not os.path.exists(sam):
-        pytest.skip("SAM fixture missing (run scripts/make_fixtures.py)")
+    sam = _ensure_sam()
     from kmer_tpu.io.bamwrite import sam_to_bam, write_bai
     from kmer_tpu.tools.bam_vaf_counter import main
 
@@ -212,9 +232,7 @@ def test_sam_text_vaf_parity(patterns, tmp_path):
     """Plain-text SAM input (the reference reads it via htslib sam_open;
     ours via io.bam.SamTextReader)."""
     ref = _need("bam-vaf-counter")
-    sam = os.path.join(FIXTURES, "sampleA_aln.sam")
-    if not os.path.exists(sam):
-        pytest.skip("SAM fixture missing (run scripts/make_fixtures.py)")
+    sam = _ensure_sam()
     from kmer_tpu.tools.bam_vaf_counter import main
 
     subprocess.run(
