@@ -868,12 +868,24 @@ def _pack_table(local: ct.CountTable):
 
 @lru_cache(maxsize=None)
 def sharded_yak_ingest_fn(mesh: Mesh, spec, create_new: bool,
-                          use_bloom: bool, max_count: int):
+                          use_bloom: bool, max_count: int,
+                          exact_bloom: bool = False):
     """Jitted per-device bloom-gate + table-insert over routed owned
     chunks — the distributed yak_ch_insert_list (yak-count.c:150-177).
     Each device holds the bloom subtables and hash slots of the key
     prefixes it owns (spec.owner_bits partitioning), so gating and
-    insertion are chip-local and conflict-free; only n_new is summed."""
+    insertion are chip-local and conflict-free; only n_new is summed.
+
+    exact_bloom reproduces yak_bf_insert's sequential test-and-set
+    byte-exactly even on the mesh: the routing sort is STABLE on the
+    destination key alone (_bucketize_by_sort), and the tiled
+    all_to_all concatenates received segments in source-device order —
+    the same order the stream chunks were laid out in (MeshYakEngine
+    _step) — so each owner chip's local lane index increases with
+    global stream position.  Every bloom bit and table slot has exactly
+    one owner, so the reference's sequential process restricted to this
+    chip's keys IS the sequential process over the received lanes in
+    local order; no order ids need routing."""
     from ..kernels import bloom as bl
 
     def per_device(table_planes, bits, hi, lo):
@@ -885,7 +897,8 @@ def sharded_yak_ingest_fn(mesh: Mesh, spec, create_new: bool,
         b = bits[0, 0]
         if create_new:
             if use_bloom:
-                b, preset = bl.insert(b, kmer, valid, spec)
+                ins = bl.insert_sequential if exact_bloom else bl.insert
+                b, preset = ins(b, kmer, valid, spec)
                 local, n_new = ct.insert_gated(local, kmer, valid, preset,
                                                max_count)
             else:

@@ -97,6 +97,20 @@ def _clamp_bf_shift(bf_shift: int, owner_bits: int = 0) -> int:
     return bf_shift
 
 
+def _exact_bloom_default(use_bloom: bool) -> bool:
+    """Default ON: yak_bf_insert runs strictly sequentially
+    (yak-count.c:91-108) and the batched approximation is observable in
+    two-file output (PARITY.md divergence 10), so engines pay the
+    sequential reconstruction by default; KMER_TPU_EXACT_BLOOM=0 opts
+    out for speed (strictly fewer bloom false positives, never a wrong
+    count)."""
+    import os
+
+    return bool(use_bloom) and os.environ.get(
+        "KMER_TPU_EXACT_BLOOM", "1"
+    ).strip() not in ("0", "false", "off", "no")
+
+
 def _bloom_geometry_ok(bf_shift: int, pre: int, owner_bits: int = 0) -> bool:
     """True when a (possibly clamped) bloom still satisfies make_bits'
     one-block-per-subtable invariant (BLK_SHIFT <= n_shift - pre).  A
@@ -152,17 +166,7 @@ class YakEngine:
         else:
             self.spec = None
             self.bits = jnp.zeros((8,), jnp.uint8)  # dummy carry
-        import os
-
-        # Default ON: yak_bf_insert runs strictly sequentially
-        # (yak-count.c:91-108) and the batched approximation is
-        # observable in two-file output (PARITY.md divergence 10), so
-        # the single-chip engine pays the sequential reconstruction by
-        # default; KMER_TPU_EXACT_BLOOM=0 opts out for speed (strictly
-        # fewer bloom false positives, never a wrong count).
-        self.exact_bloom = bool(self.use_bloom) and os.environ.get(
-            "KMER_TPU_EXACT_BLOOM", "1"
-        ).strip() not in ("0", "false", "off", "no")
+        self.exact_bloom = _exact_bloom_default(self.use_bloom)
         self.tot = 0  # cumulative distinct insertions (yak's h->tot)
 
     def _maybe_grow(self, incoming: int = 0):
@@ -244,6 +248,7 @@ class YakEngine:
 
     def destroy_bloom(self):
         self.use_bloom = False
+        self.exact_bloom = False
         self.spec = None
         self.bits = jnp.zeros((8,), jnp.uint8)
 
@@ -309,10 +314,14 @@ class MeshYakEngine:
     yak_ch_insert_list's gate + insert (yak-count.c:150-177) runs
     chip-local after one all_to_all; clear/shrink/hist are per-chip maps
     with psum'd reductions (yak-count.c:190-277).  Bloom probe VALUES
-    are identical to the single-chip layout (BloomSpec.owner_bits);
-    inserts stay batched-per-block (cross-chip lane order is undefined,
-    so the single-chip engine's default sequential test-and-set has no
-    reference-matching meaning here — PARITY.md divergence 10)."""
+    are identical to the single-chip layout (BloomSpec.owner_bits), and
+    admission reproduces yak_bf_insert's sequential test-and-set by
+    default even here: each owner chip's received lane order equals the
+    global stream order restricted to its keys (stable routing sort +
+    source-ordered all_to_all; see dist.sharded.sharded_yak_ingest_fn),
+    so sequential reconstruction is chip-local.  In multi-PROCESS pod
+    runs files are sharded per host, so the global read order itself
+    differs from the reference's single stream (PARITY.md div. 10)."""
 
     def __init__(
         self,
@@ -372,6 +381,7 @@ class MeshYakEngine:
             self.spec = None
             d, s = self.mesh.shape["data"], self.mesh.shape["shard"]
             self.bits = jnp.zeros((d, s, 8), jnp.uint8)
+        self.exact_bloom = _exact_bloom_default(self.use_bloom)
         self.tot = 0
         self._route = sharded.ShardedSortEngine(self.mesh, k)  # routing only
         self._valid_max = sharded.sharded_chunk_valid_max_fn(self.mesh)
@@ -389,12 +399,12 @@ class MeshYakEngine:
     def _ingest_fn(self, create_new: bool):
         from ..dist import sharded
 
-        key = (create_new, self.use_bloom, self.cap_local,
-               self.bits.shape[2])
+        key = (create_new, self.use_bloom, self.exact_bloom,
+               self.cap_local, self.bits.shape[2])
         if key not in self._ingest_cache:
             self._ingest_cache[key] = sharded.sharded_yak_ingest_fn(
                 self.mesh, self.spec, create_new, self.use_bloom,
-                YAK_MAX_COUNT,
+                YAK_MAX_COUNT, self.exact_bloom,
             )
         return self._ingest_cache[key]
 
@@ -498,6 +508,7 @@ class MeshYakEngine:
 
     def destroy_bloom(self):
         self.use_bloom = False
+        self.exact_bloom = False
         self.spec = None
         d, s = self.mesh.shape["data"], self.mesh.shape["shard"]
         self.bits = jnp.zeros((d, s, 8), jnp.uint8)

@@ -223,17 +223,23 @@ def test_counter_parity(refbin, capsys, engine_mode, tool, args):
     assert got == want
 
 
-def test_yak_two_file_exact_bloom_parity(refbin, capsys, monkeypatch):
+@pytest.mark.parametrize("mesh", ["0", "1"])
+def test_yak_two_file_exact_bloom_parity(refbin, capsys, monkeypatch, mesh):
     """Two-file yak with a bloom SMALL enough to really gate (-b19:
     2^9 bits/subtable, the reference's own minimum geometry) on the
-    single-chip DEFAULT path — sequential test-and-set semantics
-    (kernels/bloom.insert_sequential) make admission byte-identical
-    even when in-batch cross-key collisions occur (PARITY.md
-    divergence 10 closed by default; KMER_TPU_EXACT_BLOOM=0 opts
-    out).  The env var is deliberately NOT set here."""
-    monkeypatch.setenv("KMER_TPU_FORCE_MESH", "0")
+    DEFAULT path, single-chip AND 8-device mesh — sequential
+    test-and-set semantics (kernels/bloom.insert_sequential) make
+    admission byte-identical even when in-batch cross-key collisions
+    occur (PARITY.md divergence 10 closed by default;
+    KMER_TPU_EXACT_BLOOM=0 opts out).  The env var is deliberately NOT
+    set here.  -K65536 splits the ~600 kb fn1 into ~10 stream chunks so
+    one mesh step carries a FULL 8-chunk batch: this pins the
+    cross-segment ordering claim in dist.sharded.sharded_yak_ingest_fn
+    (stable routing sort + source-ordered all_to_all ≡ stream order),
+    not just within-chunk order."""
+    monkeypatch.setenv("KMER_TPU_FORCE_MESH", mesh)
     monkeypatch.delenv("KMER_TPU_EXACT_BLOOM", raising=False)
-    args = ["-k31", "-b19",
+    args = ["-k31", "-b19", "-K65536",
             os.path.join(FIXTURES, "sampleA1.fq.gz"),
             os.path.join(FIXTURES, "sampleB.fq.gz")]
     want = run_ref(refbin, "yak-count", args)
