@@ -73,9 +73,10 @@ def _bucketize(keys: u.U64, valid, dest, n_dest: int, lanes: int):
     """(n_dest, lanes) send buffers grouped by destination (the linear
     per-prefix buffers of kc-c4.c:69-83 with static shapes).  Built on
     the sort-based router, so the compiled program size is O(1) in
-    n_dest; within-destination lane order becomes key order, which no
-    consumer depends on (counts and histograms commute).  Returns
-    (hi, lo, ok, n_dropped)."""
+    n_dest; the routing sort is STABLE on the destination id alone, so
+    within-destination lane order is the original stream order — a
+    contract the mesh exact-bloom path depends on (see
+    _bucketize_by_sort).  Returns (hi, lo, ok, n_dropped)."""
     s_hi, s_lo, n_drop = _bucketize_by_sort(keys, valid, dest, n_dest, lanes)
     # a real key is never all-ones: hash64 output < 2^(2k) <= 2^62 for
     # k < 32, and the k = 32 path collapses keys to 0 (kernels/kmer.py)
@@ -178,7 +179,15 @@ def _bucketize_by_sort(keys: u.U64, valid, dest, n_dest: int, lanes: int,
     "partition is a sort" principle as the count engine itself.
     one_plane (k <= 15: keys < 2^31): the hi plane is all-zero except
     sentinels, so it is dropped from the sort and synthesized from lo.
-    Returns ((n_dest, lanes) hi/lo with sentinel empties, n_dropped)."""
+    Returns ((n_dest, lanes) hi/lo with sentinel empties, n_dropped).
+
+    STABILITY IS LOAD-BEARING: num_keys=1 sorts on the destination id
+    only and lax.sort is stable by default, so each destination's lanes
+    keep their original stream order.  sharded_yak_ingest_fn's
+    exact_bloom path relies on exactly this (each owner chip replays
+    yak_bf_insert sequentially over the global stream order restricted
+    to its keys) — do NOT add the key planes as extra sort keys for
+    locality, and do not pass is_stable=False."""
     d = jnp.where(valid, dest, n_dest).astype(jnp.uint32)
     if one_plane:
         sd, s_lo = jax.lax.sort(

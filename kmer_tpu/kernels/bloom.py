@@ -21,11 +21,17 @@ caller via first-occurrence ranking (see count_table.insert_gated);
 cross-key bit sharing *within one batch* is the only divergence from
 the sequential reference; it is invisible in single-file yak-count
 output (pass-2 recount + shrink drop FP-admitted singletons) and
-observable only in two-file mode (PARITY.md divergence 10) — which
-insert_sequential closes exactly.  The single-chip YakEngine uses the
-sequential form by default (KMER_TPU_EXACT_BLOOM=0 opts out); the mesh
-engine keeps the batched form (cross-chip lane order is undefined,
-divergence 10a).
+observable only in two-file mode — which insert_sequential closes
+exactly.  BOTH the single-chip YakEngine and the multi-chip
+MeshYakEngine default to the sequential-exact form
+(KMER_TPU_EXACT_BLOOM=0 opts out for speed): on the mesh each owner
+chip's received lane order equals the global stream order restricted
+to its keys (stable routing sort — dist.sharded._bucketize_by_sort),
+so the per-chip sequential replay reproduces yak_bf_insert bit-exactly
+(pinned by the mesh two-file golden,
+tests/test_golden_counters.py).  The only residual admission
+divergence is multi-PROCESS pod ingest, where per-host file sharding
+changes the global read order itself (PARITY.md divergence 10).
 """
 
 from __future__ import annotations
@@ -117,9 +123,9 @@ def insert_sequential(
     True iff every probe bit of lane i was set either before the batch
     OR by a strictly earlier lane of the same batch.  The batched
     insert() tests only the pre-batch state, which admits strictly
-    fewer false positives — observable in two-file yak-count
-    (PARITY.md divergence 10); this closes that gap (the single-chip
-    engine's default; KMER_TPU_EXACT_BLOOM=0 opts out).
+    fewer false positives — observable in two-file yak-count; this
+    closes that gap and is the DEFAULT on both the single-chip and
+    mesh engines (KMER_TPU_EXACT_BLOOM=0 opts out).
 
     Formulation without a serial loop: an in-batch probe bit b of lane
     i counts as set iff min{lane j probing b} < i — ONE (bit, lane)

@@ -125,14 +125,9 @@ def main():
 
 
 def _ensure_cpp_oracles():
-    for name in ("kc-cpp1", "kc-cpp2"):
-        out = os.path.join(REFBIN, name)
-        if not os.path.exists(out):
-            subprocess.run(
-                ["g++", "-O2", "-std=c++11", "-include", "limits", "-o", out,
-                 f"/root/reference/{name}.cpp", "-I/root/reference", "-lz"],
-                check=True,
-            )
+    from tests import oracles
+
+    oracles.ensure_all(["kc-cpp1", "kc-cpp2"])
 
 
 def _dirty_fastx(rng, fastq: bool, min_len: int) -> bytes:

@@ -22,18 +22,20 @@ def rand_seq(n, nfrac=0.0):
 
 
 def main(out=None):
-    global HERE
-    if out:  # write into an alternate directory (tests use this to
-        HERE = out  # regenerate single fixtures without touching git-tracked ones)
-    os.makedirs(HERE, exist_ok=True)
+    # out: alternate output directory (tests use this to regenerate
+    # single fixtures without touching git-tracked ones).  A local, not
+    # a module-global mutation: in-process callers must not redirect
+    # later main() calls (ADVICE r2).
+    here = out or HERE
+    os.makedirs(here, exist_ok=True)
     genome = [rand_seq(8000, 0.002) for _ in range(3)]
-    with gzip.open(os.path.join(HERE, "genome_small.fa.gz"), "wt") as f:
+    with gzip.open(os.path.join(here, "genome_small.fa.gz"), "wt") as f:
         for c, seq in enumerate(genome):
             f.write(f">chr{c+1}\n")
             for j in range(0, len(seq), 70):
                 f.write(seq[j : j + 70] + "\n")
     comp = str.maketrans("ACGTN", "TGCAN")
-    with gzip.open(os.path.join(HERE, "reads_small.fq.gz"), "wt") as f:
+    with gzip.open(os.path.join(here, "reads_small.fq.gz"), "wt") as f:
         for i in range(3000):
             chrom = random.choice(genome)
             L = random.randint(40, 150)
@@ -47,7 +49,7 @@ def main(out=None):
                 s = s.translate(comp)[::-1]
             f.write(f"@read{i}\n{s}\n+\n{'I' * L}\n")
     # SNP BED over the small genome: ref base from the genome, random alt
-    with open(os.path.join(HERE, "snps_small.bed"), "w") as f:
+    with open(os.path.join(here, "snps_small.bed"), "w") as f:
         for i in range(400):
             c = random.randrange(len(genome))
             pos = random.randint(30, len(genome[c]) - 30)
@@ -59,7 +61,7 @@ def main(out=None):
     # Read samples for the identity pipeline: two individuals with diploid
     # genotypes at the SNPs (0/0, 0/1, 1/1), sample A sequenced twice.
     # A1 vs A2 should correlate highly (same genotypes); B should not.
-    snp_rows = [line.split() for line in open(os.path.join(HERE, "snps_small.bed"))]
+    snp_rows = [line.split() for line in open(os.path.join(here, "snps_small.bed"))]
 
     def make_haplotypes(gt_draw):
         hap1 = [list(s) for s in genome]
@@ -83,7 +85,7 @@ def main(out=None):
         ("sampleA2", hapsA, 6000),
         ("sampleB", hapsB, 6000),
     ):
-        with gzip.open(os.path.join(HERE, f"{tag}.fq.gz"), "wt") as f:
+        with gzip.open(os.path.join(here, f"{tag}.fq.gz"), "wt") as f:
             for i in range(n_reads):
                 chrom = random.choice(src)
                 L = random.randint(80, 150)
@@ -129,7 +131,7 @@ def main(out=None):
         flag = 16 if random.random() < 0.5 else 0
         alns.append((chrom_i, pos, flag, cigar, "".join(seq), i))
     alns.sort(key=lambda a: (a[0], a[1]))
-    with open(os.path.join(HERE, "sampleA_aln.sam"), "w") as f:
+    with open(os.path.join(here, "sampleA_aln.sam"), "w") as f:
         f.write("@HD\tVN:1.6\tSO:coordinate\n")
         for ci, g in enumerate(genome):
             f.write(f"@SQ\tSN:chr{ci+1}\tLN:{len(g)}\n")
@@ -142,7 +144,7 @@ def main(out=None):
     # BED SNPs with AD/DP fields (some records AD-less to exercise the
     # DP+GT estimation path, vcf-vaf-counter.c:168-188).
     random.seed(31337)
-    with open(os.path.join(HERE, "sampleA.vcf"), "w") as f:
+    with open(os.path.join(here, "sampleA.vcf"), "w") as f:
         f.write("##fileformat=VCFv4.2\n")
         for ci, g in enumerate(genome):
             f.write(f"##contig=<ID=chr{ci+1},length={len(g)}>\n")
@@ -171,7 +173,7 @@ def main(out=None):
                 f.write(
                     f"{chrom}\t{pos+1}\t{rsid}\t{ref}\t{alt}\t50\tPASS\t.\tGT:AD:DP\t{gs}:{ad[0]},{ad[1]}:{dp}\n"
                 )
-    print("fixtures written to", HERE)
+    print("fixtures written to", here)
 
 
 if __name__ == "__main__":

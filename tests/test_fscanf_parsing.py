@@ -17,29 +17,16 @@ REFBIN = os.path.join(REPO, "tests", "refbin")
 FIXTURES = os.path.join(REPO, "tests", "fixtures")
 
 
-# oracle sources (same recipes as the golden-test fixtures; built here
-# on demand so a fresh box doesn't skip — this file sorts alphabetically
-# BEFORE the golden tests that would otherwise have built them)
-_SOURCES = {
-    "vaf-counter": (["vaf-counter.c", "kthread.c"],
-                    ["-lpthread", "-mssse3", "-msse4.1"]),
-    "ed-vaf-counter": (["ed-vaf-counter.c", "edlib.cpp"], ["-lstdc++"]),
-    "snp-pattern-gen": (["snp-pattern-gen.c"], []),
-}
-
-
 def _need(tool):
-    p = os.path.join(REFBIN, tool)
-    if not os.path.exists(p):
-        srcs, extra = _SOURCES[tool]
-        os.makedirs(REFBIN, exist_ok=True)
-        cmd = (["gcc", "-O2", "-o", p]
-               + [f"/root/reference/{s}" for s in srcs]
-               + ["-I/root/reference", "-lz"] + extra)
-        r = subprocess.run(cmd, capture_output=True)
-        if r.returncode != 0:
-            pytest.skip(f"cannot build reference {tool}: {r.stderr.decode()}")
-    return p
+    """Canonical shared oracle build (tests/oracles.py) — one recipe per
+    tool repo-wide, so the tests/refbin binary is flag-identical no
+    matter which test module builds it first."""
+    from tests import oracles
+
+    try:
+        return oracles.ensure(tool)
+    except oracles.OracleBuildError as e:
+        pytest.skip(str(e))
 
 
 def _read(p):

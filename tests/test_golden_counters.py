@@ -14,32 +14,16 @@ FIXTURES = os.path.join(REPO, "tests", "fixtures")
 READS = os.path.join(FIXTURES, "reads_small.fq.gz")
 GENOME = os.path.join(FIXTURES, "genome_small.fa.gz")
 
-_REF_SOURCES = {
-    "kc-c1": (["kc-c1.c"], []),
-    "kc-c2": (["kc-c2.c"], []),
-    "kc-c3": (["kc-c3.c", "kthread.c"], ["-lpthread"]),
-    "kc-c4": (["kc-c4.c", "kthread.c"], ["-lpthread"]),
-    "yak-count": (["yak-count.c", "kthread.c"], ["-lpthread"]),
-}
-
-
 @pytest.fixture(scope="session")
 def refbin():
-    os.makedirs(REFBIN, exist_ok=True)
-    for name, (srcs, extra) in _REF_SOURCES.items():
-        out = os.path.join(REFBIN, name)
-        if os.path.exists(out):
-            continue
-        cmd = (
-            ["gcc", "-O2", "-o", out]
-            + [f"/root/reference/{s}" for s in srcs]
-            + ["-I/root/reference", "-lz"]
-            + extra
-        )
-        r = subprocess.run(cmd, capture_output=True)
-        if r.returncode != 0:
-            pytest.skip(f"cannot build reference {name}: {r.stderr.decode()}")
-    return REFBIN
+    """Build via the one canonical recipe table (tests/oracles.py)."""
+    from tests import oracles
+
+    try:
+        return oracles.ensure_all(
+            ["kc-c1", "kc-c2", "kc-c3", "kc-c4", "yak-count"])
+    except oracles.OracleBuildError as e:
+        pytest.skip(str(e))
 
 
 def run_ref(refbin, tool, args):
@@ -57,30 +41,14 @@ def run_ours(tool, args, capsys):
     return capsys.readouterr().out
 
 
-_REF_CPP = {
-    "kc-cpp1": ["kc-cpp1.cpp"],
-    "kc-cpp2": ["kc-cpp2.cpp"],
-}
-
-
 @pytest.fixture(scope="session")
 def refbin_cpp():
-    os.makedirs(REFBIN, exist_ok=True)
-    for name, srcs in _REF_CPP.items():
-        out = os.path.join(REFBIN, name)
-        if os.path.exists(out):
-            continue
-        # -include limits: the vendored robin_hood.h predates g++ 13's
-        # stricter transitive includes
-        cmd = (
-            ["g++", "-O2", "-std=c++11", "-include", "limits", "-o", out]
-            + [f"/root/reference/{s}" for s in srcs]
-            + ["-I/root/reference", "-lz"]
-        )
-        r = subprocess.run(cmd, capture_output=True)
-        if r.returncode != 0:
-            pytest.skip(f"cannot build reference {name}: {r.stderr.decode()}")
-    return REFBIN
+    from tests import oracles
+
+    try:
+        return oracles.ensure_all(["kc-cpp1", "kc-cpp2"])
+    except oracles.OracleBuildError as e:
+        pytest.skip(str(e))
 
 
 @pytest.mark.parametrize("tool", ["kc-cpp1", "kc-cpp2"])

@@ -15,31 +15,17 @@ BED = os.path.join(FIXTURES, "snps_small.bed")
 GENOME = os.path.join(FIXTURES, "genome_small.fa.gz")
 SAMPLES = ["sampleA1", "sampleA2", "sampleB"]
 
-_REF_SOURCES = {
-    "snp-pattern-gen": (["snp-pattern-gen.c"], ["-lz"]),
-    "vaf-counter": (["vaf-counter.c", "kthread.c"], ["-lz", "-lpthread"]),
-    "correlation-matrix": (["correlation-matrix.c"], ["-lm"]),
-    "match-classifier": (["match-classifier.c"], ["-lm"]),
-}
-
-
 @pytest.fixture(scope="session")
 def refbin():
-    os.makedirs(REFBIN, exist_ok=True)
-    for name, (srcs, libs) in _REF_SOURCES.items():
-        out = os.path.join(REFBIN, name)
-        if os.path.exists(out):
-            continue
-        cmd = (
-            ["gcc", "-O2", "-o", out]
-            + [f"/root/reference/{s}" for s in srcs]
-            + ["-I/root/reference"]
-            + libs
-        )
-        r = subprocess.run(cmd, capture_output=True)
-        if r.returncode != 0:
-            pytest.skip(f"cannot build reference {name}: {r.stderr.decode()}")
-    return REFBIN
+    """Build via the one canonical recipe table (tests/oracles.py)."""
+    from tests import oracles
+
+    try:
+        return oracles.ensure_all(
+            ["snp-pattern-gen", "vaf-counter", "correlation-matrix",
+             "match-classifier"])
+    except oracles.OracleBuildError as e:
+        pytest.skip(str(e))
 
 
 def run_ref(refbin, tool, args):
