@@ -78,10 +78,12 @@ def _settle(seconds=3.0):
     time.sleep(seconds)
 
 
-def _run_passes(run_once, n_timed):
+def _run_passes(run_once, n_timed, keep_extra=False):
     """One warm (compile) pass + n timed passes with dealloc barriers
     between them; a pass that hits a transient device OOM settles
-    longer and retries once.  Returns (last_result, warm_s, times)."""
+    longer and retries once.  Returns (last_result, warm_s, times);
+    with keep_extra=True additionally returns the LAST element of each
+    timed pass's result tuple (per-pass stage breakdowns)."""
     def attempt():
         t0 = time.time()
         try:
@@ -96,10 +98,14 @@ def _run_passes(run_once, n_timed):
 
     out, warm_s = attempt()
     times = []
+    extras = []
     for _ in range(n_timed):
         _settle()
         out, dt = attempt()
         times.append(dt)
+        extras.append(out[-1])
+    if keep_extra:
+        return out, warm_s, times, extras
     return out, warm_s, times
 
 
@@ -260,7 +266,10 @@ def measure_tunnel(n_mb=16):
 def bench_end_to_end(reads_path):
     """The full kc-c4 job from the gzipped file on disk: native reader,
     2-bit packed upload, device counting, histogram.  Run twice; the
-    first run compiles, the second is timed (its file IO is re-done)."""
+    first run compiles, the second is timed (its file IO is re-done).
+    Each pass also records the per-stage wall split (host reader,
+    upload bytes/s, main-thread wait vs dispatch, drain, finalize) so
+    the headline is accompanied by WHERE the seconds went."""
     from kmer_tpu.pipeline.counter import SortCountEngine
 
     def run_once():
@@ -270,14 +279,23 @@ def bench_end_to_end(reads_path):
         eng = SortCountEngine(k=K, block_bases=10_000_000,
                               qual_policy=("resume", K, 3))
         eng.count_paths([reads_path])
+        t0 = time.time()
+        _ = eng.total_kmers  # drain: device catches up with dispatch
+        drain_s = time.time() - t0
+        t0 = time.time()
         eng.hist(256, max_count=1023)
-        return eng.total_bases, eng._n_distinct
+        fin_s = time.time() - t0
+        breakdown = f"{eng.stats.report()}, drain {drain_s:.2f}s, " \
+                    f"finalize {fin_s:.2f}s"
+        return eng.total_bases, eng._n_distinct, breakdown
 
     # best of 4 timed passes: the TPU tunnel's transfer bandwidth varies
     # several-fold minute to minute (CLAUDE.md); congestion noise is
     # strictly additive, so the minimum measures the pipeline
-    (total_bases, n_distinct), warm_s, times = _run_passes(run_once, 4)
-    elapsed = min(times)
+    (total_bases, n_distinct, _bd), warm_s, times, extras = _run_passes(
+        run_once, 4, keep_extra=True)
+    i_best = int(np.argmin(times))
+    elapsed = times[i_best]
     mbases = total_bases / 1e6
     value = mbases / elapsed
     emit("kc-c4 end-to-end throughput from gzipped FASTQ (1 chip)",
@@ -288,6 +306,7 @@ def bench_end_to_end(reads_path):
         f"({value:.1f} Mb/s); warm run {warm_s:.1f}s; "
         f"{n_distinct} distinct; "
         f"tunnel {measure_tunnel():.1f} MB/s/stream\n"
+        f"[bench] e2e best-pass stages: {extras[i_best]}\n"
     )
 
 

@@ -58,7 +58,7 @@ def _local_batches(paths: Sequence[str], k: int, block: int,
     """Pack this host's files into (n_local_rows, block) uint8 batches;
     yields (rows, n_bases, n_seqs, row_bytes_if_uniform)."""
     rows, rbs, nb, ns = [], [], 0, 0
-    for buf, b_nb, b_ns, rb in _iter_packed(paths, k, block, block,
+    for buf, b_nb, b_ns, rb, _be in _iter_packed(paths, k, block, block,
                                             qual_policy):
         b = buf if buf.shape[0] == block else np.pad(buf, (0, block - buf.shape[0]))
         rows.append(b)

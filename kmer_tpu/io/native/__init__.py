@@ -103,6 +103,7 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
         ]
         lib.ktp_set_policy.argtypes = [
             ctypes.c_void_p,
@@ -119,6 +120,7 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int64,
             ctypes.c_int32,
             ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64),
@@ -155,11 +157,14 @@ def iter_packed2bit_native(paths, k: int, block_bases: int, capacity: int,
                            qual_policy=None):
     """Bit-packed variant of iter_packed_native for bandwidth-limited
     host->device links: yields (packed_u8[cap/4], mask_u8[cap/8],
-    n_bytes_used, n_bases, n_seqs, row_bytes).  n_bytes_used is the
-    packed-region layout boundary (bases + separators of every piece);
-    n_bases/n_seqs are TRUE per-read totals (each read once, split
-    halos not re-counted — the reference's accounting).  capacity is
-    rounded up to a multiple of 8."""
+    n_bytes_used, n_bases, n_seqs, row_bytes, batch_end).  n_bytes_used
+    is the packed-region layout boundary (bases + separators of every
+    piece); n_bases/n_seqs are TRUE per-read totals (each read once,
+    split halos not re-counted — the reference's accounting);
+    batch_end is True when this buffer completes a reference pipeline
+    batch (summed kept-read length reached block_bases — the
+    yak-count.c:381-383 rule; consumers aggregate per-batch stderr
+    progress on it).  capacity is rounded up to a multiple of 8."""
     lib = _load()
     assert lib is not None
     capacity = (capacity + 7) & ~7
@@ -179,6 +184,7 @@ def iter_packed2bit_native(paths, k: int, block_bases: int, capacity: int,
                 n_seqs = ctypes.c_int64()
                 n_bases = ctypes.c_int64()
                 row_bytes = ctypes.c_int64()
+                batch_end = ctypes.c_int64()
                 used = lib.ktp_read_block_packed(
                     h,
                     packed.ctypes.data_as(u8p),
@@ -189,6 +195,7 @@ def iter_packed2bit_native(paths, k: int, block_bases: int, capacity: int,
                     ctypes.byref(n_seqs),
                     ctypes.byref(n_bases),
                     ctypes.byref(row_bytes),
+                    ctypes.byref(batch_end),
                 )
                 if used <= 0:
                     break
@@ -199,6 +206,7 @@ def iter_packed2bit_native(paths, k: int, block_bases: int, capacity: int,
                     int(n_bases.value),
                     int(n_seqs.value),
                     int(row_bytes.value) or None,
+                    bool(batch_end.value),
                 )
         finally:
             lib.ktp_close(h)
@@ -265,11 +273,12 @@ def iter_packed_native(
     paths, k: int, block_bases: int, capacity: int, qual_policy=None
 ) -> Iterator[Tuple[np.ndarray, int, int, Optional[int]]]:
     """Native equivalent of pipeline.counter._iter_packed: yields
-    (ascii_u8[capacity], n_bytes_used, n_bases, n_seqs, row_bytes);
-    n_bytes_used is the buffer layout boundary, n_bases/n_seqs are TRUE
-    per-read totals (see iter_packed2bit_native).  row_bytes is L+1
-    when every packed read had length L (uniform-read fast path), else
-    None.  qual_policy as in io.fastx.FastxReader."""
+    (ascii_u8[capacity], n_bytes_used, n_bases, n_seqs, row_bytes,
+    batch_end); n_bytes_used is the buffer layout boundary,
+    n_bases/n_seqs are TRUE per-read totals and batch_end flags
+    reference-batch completion (see iter_packed2bit_native).
+    row_bytes is L+1 when every packed read had length L (uniform-read
+    fast path), else None.  qual_policy as in io.fastx.FastxReader."""
     lib = _load()
     assert lib is not None
     for path in paths:
@@ -286,6 +295,7 @@ def iter_packed_native(
                 n_seqs = ctypes.c_int64()
                 n_bases = ctypes.c_int64()
                 row_bytes = ctypes.c_int64()
+                batch_end = ctypes.c_int64()
                 used = lib.ktp_read_block(
                     h,
                     buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
@@ -295,6 +305,7 @@ def iter_packed_native(
                     ctypes.byref(n_seqs),
                     ctypes.byref(n_bases),
                     ctypes.byref(row_bytes),
+                    ctypes.byref(batch_end),
                 )
                 if used <= 0:
                     break
@@ -305,6 +316,7 @@ def iter_packed_native(
                     int(n_bases.value),
                     int(n_seqs.value),
                     rb,
+                    bool(batch_end.value),
                 )
         finally:
             lib.ktp_close(h)

@@ -26,6 +26,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <mutex>
 #include <string>
 #include <vector>
 
@@ -33,12 +34,55 @@ namespace {
 
 constexpr size_t kChunk = 1 << 20;
 
+// Reusable big-buffer arena.  Each Reader allocates GB-scale buffers
+// (whole compressed file + whole decompressed member + block staging);
+// on this class of VM the FIRST touch of fresh anonymous pages runs
+// 5-10x slower than reuse (measured 146 MB/s first-touch vs 2.3+ GB/s
+// refault), and glibc munmaps huge frees — so per-pass Reader churn
+// re-paid the fault cost every pass (18.6 s of a 20.5 s end-to-end
+// run).  A small process-global pool keeps the pages alive across
+// Reader lifetimes; capacity is retained by clear().
+struct Arena {
+  std::string buf;             // unconsumed decompressed bytes
+  std::vector<uint8_t> comp;   // whole compressed file
+  std::vector<uint8_t> scratch;  // ASCII staging for the packed path
+  std::vector<uint8_t> out;    // multi-member decode staging
+};
+
+std::mutex g_arena_m;
+std::vector<Arena*> g_arena_pool;
+
+Arena* arena_acquire() {
+  std::lock_guard<std::mutex> lk(g_arena_m);
+  if (!g_arena_pool.empty()) {
+    Arena* a = g_arena_pool.back();
+    g_arena_pool.pop_back();
+    return a;
+  }
+  return new Arena();
+}
+
+void arena_release(Arena* a) {
+  if (!a) return;
+  a->buf.clear();
+  a->comp.clear();
+  a->scratch.clear();
+  a->out.clear();
+  std::lock_guard<std::mutex> lk(g_arena_m);
+  if (g_arena_pool.size() < 2) {
+    g_arena_pool.push_back(a);
+  } else {
+    delete a;
+  }
+}
+
 struct Reader {
   gzFile fp = nullptr;
-  std::string buf;        // unconsumed raw bytes
-  size_t pos = 0;         // cursor into buf
+  Arena* ar = arena_acquire();
+  std::string& buf = ar->buf;  // unconsumed raw bytes
+  size_t pos = 0;              // cursor into buf
   bool eof = false;
-  std::vector<uint8_t> scratch;  // ASCII staging for the packed path
+  std::vector<uint8_t>& scratch = ar->scratch;  // packed-path staging
 
   // --- libdeflate whole-member path (gzip files only) ---------------
   // zlib's streaming inflate is the reader's dominant cost on a
@@ -51,19 +95,21 @@ struct Reader {
 #if defined(KTP_HAVE_LIBDEFLATE)
   libdeflate_decompressor* ld = nullptr;
 #endif
-  std::vector<uint8_t> comp;  // whole compressed file
+  std::vector<uint8_t>& comp = ar->comp;  // whole compressed file
   size_t comp_pos = 0;
-  uint8_t* out_scratch = nullptr;  // malloc'd: grown, never zeroed
-  size_t out_cap = 0;
   uint32_t trailer_isize = 0;  // last member's ISIZE (whole file for
                                // single-member gzip — the common case)
 
-#if defined(KTP_HAVE_LIBDEFLATE)
   ~Reader() {
+#if defined(KTP_HAVE_LIBDEFLATE)
     if (ld) libdeflate_free_decompressor(ld);
-    std::free(out_scratch);
+#endif
+    Arena* a = ar;
+    ar = nullptr;
+    arena_release(a);
   }
 
+#if defined(KTP_HAVE_LIBDEFLATE)
   // Decode one gzip member into buf; false at end-of-data.
   bool fill_libdeflate() {
     for (;;) {
@@ -76,33 +122,46 @@ struct Reader {
         pos = 0;
       }
       size_t remain = comp.size() - comp_pos;
-      // First guess covers the whole remaining output (trailer ISIZE is
-      // exact for single-member files); the scratch is malloc'd and
-      // reused, so over-reservation costs address space, not pages.
-      size_t guess = (size_t)trailer_isize + (size_t)(1 << 16);
-      if (guess < 4 * remain) guess = 4 * remain;
-      for (;;) {
-        if (out_cap < guess) {
-          uint8_t* p = static_cast<uint8_t*>(realloc(out_scratch, guess));
-          if (!p) {
-            eof = true;
-            return false;
-          }
-          out_scratch = p;
-          out_cap = guess;
-        }
+      // Direct decode into buf when it is empty (the typical state:
+      // single-member gzip whose trailer ISIZE is the exact output
+      // size) — no staging buffer, no 535 MB append copy.  A lying
+      // trailer (multi-member middle, corrupt) either still succeeds
+      // with actual_out < want, or reports INSUFFICIENT_SPACE and
+      // falls through to the staged path below.
+      if (buf.empty() && trailer_isize > 0) {
+        buf.resize((size_t)trailer_isize);
         size_t actual_in = 0, actual_out = 0;
         libdeflate_result rc = libdeflate_gzip_decompress_ex(
-            ld, comp.data() + comp_pos, remain, out_scratch, out_cap,
+            ld, comp.data() + comp_pos, remain, &buf[0], buf.size(),
             &actual_in, &actual_out);
         if (rc == LIBDEFLATE_SUCCESS) {
           comp_pos += actual_in ? actual_in : remain;
+          buf.resize(actual_out);
+          if (actual_out == 0) continue;  // empty member: try the next
+          return true;
+        }
+        buf.clear();
+      }
+      // Staged path: decode into the arena's out buffer, append.
+      // First guess covers the whole remaining output; the buffer is
+      // pooled and reused, so over-reservation is amortized.
+      size_t guess = (size_t)trailer_isize + (size_t)(1 << 16);
+      if (guess < 4 * remain) guess = 4 * remain;
+      for (;;) {
+        if (ar->out.size() < guess) ar->out.resize(guess);
+        size_t actual_in = 0, actual_out = 0;
+        libdeflate_result rc = libdeflate_gzip_decompress_ex(
+            ld, comp.data() + comp_pos, remain, ar->out.data(),
+            ar->out.size(), &actual_in, &actual_out);
+        if (rc == LIBDEFLATE_SUCCESS) {
+          comp_pos += actual_in ? actual_in : remain;
           if (actual_out == 0) break;  // empty member: try the next one
-          buf.append(reinterpret_cast<const char*>(out_scratch), actual_out);
+          buf.append(reinterpret_cast<const char*>(ar->out.data()),
+                     actual_out);
           return true;
         }
         if (rc == LIBDEFLATE_INSUFFICIENT_SPACE) {
-          guess = out_cap * 2;
+          guess = ar->out.size() * 2;
           continue;
         }
         // Truncated/corrupt member (or trailing garbage): recover the
@@ -140,6 +199,14 @@ struct Reader {
   size_t carry_off = 0;
 
   bool stopped = false;  // kseq -2 (malformed quality): latch EOF
+
+  // reference batch accounting for ktp_read_block's fill rule: the
+  // reference's pipeline step 0 sums the lengths of kept reads and
+  // breaks after the read that reaches the chunk size
+  // (yak-count.c:381-383, kc-c4.c:151); batch_sum persists across
+  // calls while one batch spans several output buffers (capacity or
+  // carry splits).
+  int64_t batch_sum = 0;
 
   // malformed-quality policy (see kmer_tpu/io/fastx.py FastxReader):
   // stop (kc-c1/c2-style) vs flush-and-resume with empty-virtual-block
@@ -432,6 +499,14 @@ void ktp_close(void* h) {
 
 // Fill `out` (capacity bytes) with NUL-separated sequences.
 // Returns bytes used (sequences + separators), 0 at EOF.
+// The fill rule is the reference pipeline's batch rule: whole reads
+// accumulate until their summed LENGTH reaches target_bases
+// (yak-count.c:381-383) — then *batch_end is set to 1.  A batch whose
+// bytes (bases + separators) exceed `capacity` spans several calls via
+// the carry buffer; only the call emitting its final read reports
+// batch_end.  This makes per-batch stderr progress (yak's
+// "[M] processed N sequences", yak-count.c:427) reconstructible by
+// the caller with the reference's exact batch composition.
 // n_seqs/n_bases report TRUE read counts: each read >= k counts once
 // (at its first emitted piece) and its bases count once — a split
 // piece's (k-1)-base halo is not re-counted.  This matches the
@@ -445,17 +520,18 @@ void ktp_close(void* h) {
 // fixed-row window slicing), else 0.
 int64_t ktp_read_block(void* h, uint8_t* out, int64_t capacity, int32_t k,
                        int64_t target_bases, int64_t* n_seqs,
-                       int64_t* n_bases, int64_t* row_bytes) {
+                       int64_t* n_bases, int64_t* row_bytes,
+                       int64_t* batch_end) {
   auto* r = static_cast<Reader*>(h);
   int64_t used = 0;
   *n_seqs = 0;
   *n_bases = 0;
+  if (batch_end) *batch_end = 0;
   int64_t first_len = -1;
   bool uniform = true;
   const int64_t max_piece = capacity - 1;
   std::string seq;
   for (;;) {
-    if (used >= target_bases) break;
     const std::string* src;
     size_t off;
     if (!r->carry.empty()) {
@@ -466,6 +542,11 @@ int64_t ktp_read_block(void* h, uint8_t* out, int64_t capacity, int32_t k,
       if ((int64_t)seq.size() < k) continue;
       src = &seq;
       off = 0;
+      // the reference adds the WHOLE read to the batch when it is
+      // read, then breaks once the batch total reaches the chunk size
+      // (yak-count.c:381-383) — so a batch always ends on a complete
+      // read, after the read that crossed the threshold
+      r->batch_sum += (int64_t)seq.size();
     }
     int64_t remain = (int64_t)src->size() - (int64_t)off;
     int64_t room = capacity - used - 1;  // leave room for separator
@@ -482,6 +563,11 @@ int64_t ktp_read_block(void* h, uint8_t* out, int64_t capacity, int32_t k,
       if (src == &r->carry) {
         r->carry.clear();
         r->carry_off = 0;
+      }
+      if (r->batch_sum >= target_bases) {  // batch complete
+        r->batch_sum = 0;
+        if (batch_end) *batch_end = 1;
+        break;
       }
     } else {
       // split: emit a max_piece chunk (or what fits) with k-1 overlap
@@ -522,11 +608,13 @@ int64_t ktp_read_block(void* h, uint8_t* out, int64_t capacity, int32_t k,
 int64_t ktp_read_block_packed(void* h, uint8_t* packed, uint8_t* mask,
                               int64_t capacity, int32_t k,
                               int64_t target_bases, int64_t* n_seqs,
-                              int64_t* n_bases, int64_t* row_bytes) {
+                              int64_t* n_bases, int64_t* row_bytes,
+                              int64_t* batch_end) {
   auto* r = static_cast<Reader*>(h);
   if ((int64_t)r->scratch.size() < capacity) r->scratch.resize(capacity);
   int64_t used = ktp_read_block(h, r->scratch.data(), capacity, k,
-                                target_bases, n_seqs, n_bases, row_bytes);
+                                target_bases, n_seqs, n_bases, row_bytes,
+                                batch_end);
   if (used <= 0) return used;
   static uint8_t nt4[256];
   static bool init = false;

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from functools import partial
 from typing import Iterator, Optional, Sequence, Tuple
 
@@ -38,6 +39,61 @@ GROW_LOAD = 0.65
 _POPCNT8 = np.array([bin(i).count("1") for i in range(256)], np.uint8)
 
 
+class IngestStats:
+    """Per-stage wall accounting for one count_paths run (the engine
+    analog of the reference's -v perf_stats, vaf-counter.c:32-51).
+
+    All fields are thread-seconds except loop_s (main-thread wall):
+      reader_s    producer time inside the host reader (decompress +
+                  parse + pack), measured in the prefetch thread
+      upload_s    summed per-stream host->device transfer time
+      upload_bytes  bytes actually moved over the link
+      wait_s      main-thread time blocked on the reader/uploader
+                  pipeline (ingest is the bottleneck when this is big)
+      dispatch_s  main-thread time dispatching device work, including
+                  the stream ladder's backpressure syncs (the device is
+                  the bottleneck when this is big)
+    """
+
+    def __init__(self):
+        self.reader_s = 0.0
+        self.upload_s = 0.0
+        self.upload_bytes = 0
+        self.upload_n = 0
+        self.wait_s = 0.0
+        self.dispatch_s = 0.0
+        self.loop_s = 0.0
+        self._lock = threading.Lock()
+
+    def add_upload(self, nbytes: int, dt: float) -> None:
+        with self._lock:
+            self.upload_s += dt
+            self.upload_bytes += nbytes
+            self.upload_n += 1
+
+    def report(self) -> str:
+        up_mb = self.upload_bytes / 1e6
+        per_stream = up_mb / self.upload_s if self.upload_s else 0.0
+        return (
+            f"loop {self.loop_s:.2f}s (reader {self.reader_s:.2f}s, "
+            f"upload {up_mb:.0f} MB @ {per_stream:.1f} MB/s/stream, "
+            f"main wait {self.wait_s:.2f}s, dispatch {self.dispatch_s:.2f}s)"
+        )
+
+
+def _timed_iter(it, stats: "IngestStats"):
+    """Accumulate producer-side time (runs inside the prefetch thread)."""
+    while True:
+        t0 = time.perf_counter()
+        try:
+            item = next(it)
+        except StopIteration:
+            stats.reader_s += time.perf_counter() - t0
+            return
+        stats.reader_s += time.perf_counter() - t0
+        yield item
+
+
 def _trim_to_class(buf: np.ndarray, n: int) -> np.ndarray:
     """Trim a packed buffer to the smallest size class >= n bytes used.
     Bytes past n are zero (an invalid base), so every window there is
@@ -53,8 +109,9 @@ def _trim_to_class(buf: np.ndarray, n: int) -> np.ndarray:
 def _iter_packed(
     paths: Sequence[str], k: int, block_bases: int, capacity: int,
     qual_policy=None,
-) -> Iterator[Tuple[np.ndarray, int, int, Optional[int]]]:
-    """Yield (ascii_u8[<=capacity], n_bases, n_seqs, row_bytes).
+) -> Iterator[Tuple[np.ndarray, int, int, Optional[int], bool]]:
+    """Yield (ascii_u8[<=capacity], n_bases, n_seqs, row_bytes,
+    batch_end).
 
     n_bases/n_seqs are TRUE per-read totals — each read >= k counts
     once, with its full length, regardless of how buffer-boundary
@@ -67,6 +124,11 @@ def _iter_packed(
     per-read invalid window positions with a reshape+slice instead of
     sorting them as sentinels (~20% of lanes for 150bp reads at k=31).
 
+    batch_end is True when the buffer completes one reference pipeline
+    batch (summed kept-read lengths reached block_bases, the
+    yak-count.c:381-383 step-0 rule); a batch too large for one buffer
+    spans several yields with batch_end False until its last.
+
     Uses the native C++ reader (kmer_tpu/io/native) when buildable —
     the host runtime analog of the reference's kseq + kt_pipeline read
     step — with a pure-Python fallback."""
@@ -74,10 +136,10 @@ def _iter_packed(
         from ..io import native
 
         if native.available():
-            for buf, used, n_bases, n_seqs, rb in native.iter_packed_native(
+            for buf, used, n_bases, n_seqs, rb, be in native.iter_packed_native(
                 paths, k, block_bases, capacity, qual_policy
             ):
-                yield _trim_to_class(buf, used), n_bases, n_seqs, rb
+                yield _trim_to_class(buf, used), n_bases, n_seqs, rb, be
             return
     max_len = capacity - 1
     step = max_len - (k - 1)
@@ -95,12 +157,16 @@ def _iter_packed(
         lens = {len(s) for s in seqs}
         rb = (lens.pop() + 1) if len(lens) == 1 else None
         # true totals (reads once, full lengths once) ride the block's
-        # FIRST pack; continuation packs report zero
+        # FIRST pack; continuation packs report zero.  read_blocks
+        # already batches by the reference rule, so the LAST pack of a
+        # block is a batch end.
         n_seqs = sum(1 for s in blk.seqs if len(s) >= k)
         n_bases = blk.sum_len
         blk = fastx.Block(seqs, blk.sum_len, blk.n_kmers)
-        for buf, n in packing.pack_block(blk, capacity):
-            yield _trim_to_class(buf, n), n_bases, n_seqs, rb
+        packs = list(packing.pack_block(blk, capacity))
+        for i, (buf, n) in enumerate(packs):
+            yield (_trim_to_class(buf, n), n_bases, n_seqs, rb,
+                   i == len(packs) - 1)
             n_seqs = n_bases = 0
 
 
@@ -127,11 +193,12 @@ def _use_packed_ingest(paths) -> bool:
 def _iter_packed2(paths, k: int, block_bases: int, capacity: int,
                   qual_policy=None):
     """Packed-ingest analog of _iter_packed: yields (packed, mask,
-    n_bytes_used, n_bases, n_seqs, row_bytes) with buffers trimmed to
-    the smallest size class (slots past the packed region are
-    mask-invalid, so trimming never changes the k-mer multiset).
+    n_bytes_used, n_bases, n_seqs, row_bytes, batch_end) with buffers
+    trimmed to the smallest size class (slots past the packed region
+    are mask-invalid, so trimming never changes the k-mer multiset).
     n_bytes_used is the packed-region layout boundary; n_bases/n_seqs
-    are true per-read totals (see _iter_packed).
+    are true per-read totals and batch_end flags reference-batch
+    completion (see _iter_packed).
 
     mask is None when it is purely STRUCTURAL — uniform rows with no
     N/invalid bases, so every set bit is a row separator or the tail
@@ -141,9 +208,9 @@ def _iter_packed2(paths, k: int, block_bases: int, capacity: int,
     serialized tunnel link (0.25 B/base instead of 0.375)."""
     from ..io import native
 
-    for packed, mask, n, n_bases, n_seqs, rb in native.iter_packed2bit_native(
-        paths, k, block_bases, capacity, qual_policy
-    ):
+    for packed, mask, n, n_bases, n_seqs, rb, be in (
+            native.iter_packed2bit_native(
+                paths, k, block_bases, capacity, qual_policy)):
         for cls in (1 << 16, 1 << 20, 1 << 23):
             if n <= cls < 4 * packed.shape[0]:
                 packed, mask = packed[: cls // 4], mask[: cls // 8]
@@ -153,7 +220,7 @@ def _iter_packed2(paths, k: int, block_bases: int, capacity: int,
             expected = (slots - n) + n // rb
             if int(_POPCNT8[mask].sum(dtype=np.int64)) == expected:
                 mask = None
-        yield packed, mask, n, n_bases, n_seqs, rb
+        yield packed, mask, n, n_bases, n_seqs, rb, be
 
 
 @jax.jit
@@ -167,7 +234,7 @@ def _issue_transfer(x):
     return x[:8].astype(jnp.uint32).sum()
 
 
-def _to_device_ascii(item):
+def _to_device_ascii(item, stats: Optional[IngestStats] = None):
     """Upload a block inside an uploader thread so the host->device
     transfer overlaps the reader and the previous block's compute (the
     P1 pipeline overlap, extended to the copy).  Buffers are freshly
@@ -176,22 +243,30 @@ def _to_device_ascii(item):
     the transfer completed (block_until_ready does not sync through the
     tunnel): it pins each upload to its own tunnel stream (two threads
     move ~1.5x the bytes/s of one) and gives the pipeline backpressure."""
-    buf, n, ns, rb = item
+    buf, n, ns, rb, be = item
+    t0 = time.perf_counter()
+    nbytes = buf.nbytes
     buf = jnp.asarray(buf)
     s = _issue_transfer(buf)
     np.asarray(s)
-    return buf, n, ns, rb
+    if stats is not None:
+        stats.add_upload(nbytes, time.perf_counter() - t0)
+    return buf, n, ns, rb, be
 
 
-def _to_device_packed(item):
-    p, m, n, nb, ns, rb = item
+def _to_device_packed(item, stats: Optional[IngestStats] = None):
+    p, m, n, nb, ns, rb, be = item
+    t0 = time.perf_counter()
+    nbytes = p.nbytes + (m.nbytes if m is not None else 0)
     p = jnp.asarray(p)
     s = _issue_transfer(p)
     if m is not None:
         m = jnp.asarray(m)
         s = _issue_transfer(m)
     np.asarray(s)
-    return p, m, n, nb, ns, rb
+    if stats is not None:
+        stats.add_upload(nbytes, time.perf_counter() - t0)
+    return p, m, n, nb, ns, rb, be
 
 
 class _maybe_profile:
@@ -410,7 +485,9 @@ class SortCountEngine:
 
         self.k = k
         self.block_bases = block_bases
-        self.capacity = int(block_bases) + 4096
+        # separator headroom: one reference batch per buffer (see
+        # _iter_packed batch_end)
+        self.capacity = int(block_bases) + max(4096, int(block_bases) // 32)
         self.prefetch = prefetch
         self.qual_policy = qual_policy  # see io.fastx.FastxReader
         # hash64 output is < 2^(2k): for k <= 15 the compactor's sorts
@@ -423,6 +500,7 @@ class SortCountEngine:
         )
         self.total_bases = 0
         self.total_seqs = 0
+        self.stats = IngestStats()  # refreshed per count_paths run
         # per-block valid-window counts stay ON DEVICE during streaming:
         # an int() per block is a blocking tunnel round trip (~30 ms)
         # that stalls dispatch; total_kmers folds them lazily instead
@@ -443,20 +521,46 @@ class SortCountEngine:
         self._nk_dev.clear()
         self._nk_host = int(v)
 
-    def count_paths(self, paths: Sequence[str], progress=None) -> None:
-        if _use_packed_ingest(paths):
+    def count_paths(self, paths: Sequence[str], progress=None,
+                    tap=None) -> None:
+        """Stream every path's k-mers into the compactor.  `tap`, when
+        given, is called per device block as
+        tap(hi, lo, n_valid, n_seqs, batch_end) AFTER the block is
+        appended — the single-file yak CLI uses it to run the bloom
+        admission simulation on the same extracted planes without a
+        second pass over the input (tools/yak_count.py)."""
+        st = self.stats = IngestStats()
+        t_loop = time.perf_counter()
+        packed_mode = _use_packed_ingest(paths)
+        if packed_mode:
             it = _iter_packed2(paths, self.k, self.block_bases, self.capacity,
                                self.qual_policy)
-            if self.prefetch:
-                # 3-stage host pipeline (the kt_pipeline analog): reader
-                # thread -> 2 uploader threads -> this thread's dispatch
-                w = _upload_threads()
-                it = _pipelined_map(_to_device_packed, _prefetch(it),
-                                    workers=w, depth=2 * w)
-            else:
-                it = map(_to_device_packed, it)
-            with _maybe_profile():
-                for packed, mask, n_used, n_bases, n_seqs, row_bytes in it:
+            to_dev = partial(_to_device_packed, stats=st)
+        else:
+            it = _iter_packed(paths, self.k, self.block_bases, self.capacity,
+                              self.qual_policy)
+            to_dev = partial(_to_device_ascii, stats=st)
+        if self.prefetch:
+            # 3-stage host pipeline (the kt_pipeline analog): reader
+            # thread -> N uploader streams -> this thread's dispatch
+            w = _upload_threads()
+            it = _pipelined_map(to_dev, _prefetch(_timed_iter(it, st)),
+                                workers=w, depth=2 * w)
+        else:
+            it = map(to_dev, _timed_iter(it, st))
+        with _maybe_profile():
+            while True:
+                t0 = time.perf_counter()
+                try:
+                    item = next(it)
+                except StopIteration:
+                    st.wait_s += time.perf_counter() - t0
+                    break
+                t1 = time.perf_counter()
+                st.wait_s += t1 - t0
+                if packed_mode:
+                    (packed, mask, n_used, n_bases, n_seqs, row_bytes,
+                     batch_end) = item
                     rb = row_bytes if row_bytes and row_bytes > self.k else None
                     if mask is None:
                         hi, lo, n_kmers = _extract_step_packed_structural(
@@ -466,33 +570,23 @@ class SortCountEngine:
                         hi, lo, n_kmers = _extract_step_packed(
                             packed, mask, self.k, rb
                         )
-                    self.compactor.add_raw(hi, lo)
-                    self.total_bases += int(n_bases)
-                    self.total_seqs += n_seqs
-                    self._nk_dev.append(n_kmers)
-                    if progress is not None:
-                        progress(self)
-            return
-        it = _iter_packed(paths, self.k, self.block_bases, self.capacity,
-                          self.qual_policy)
-        if self.prefetch:
-            w = _upload_threads()
-            it = _pipelined_map(_to_device_ascii, _prefetch(it),
-                                workers=w, depth=2 * w)
-        else:
-            it = map(_to_device_ascii, it)
-        with _maybe_profile():
-            for buf, n_bases, n_seqs, row_bytes in it:
-                if row_bytes and row_bytes > self.k:
-                    hi, lo, n_kmers = _extract_step_rows(buf, self.k, row_bytes)
                 else:
-                    hi, lo, n_kmers = _extract_step(buf, self.k)
+                    buf, n_bases, n_seqs, row_bytes, batch_end = item
+                    if row_bytes and row_bytes > self.k:
+                        hi, lo, n_kmers = _extract_step_rows(
+                            buf, self.k, row_bytes)
+                    else:
+                        hi, lo, n_kmers = _extract_step(buf, self.k)
                 self.compactor.add_raw(hi, lo)
                 self.total_bases += int(n_bases)
                 self.total_seqs += n_seqs
                 self._nk_dev.append(n_kmers)
+                if tap is not None:
+                    tap(hi, lo, n_kmers, n_seqs, batch_end)
+                st.dispatch_s += time.perf_counter() - t1
                 if progress is not None:
                     progress(self)
+        st.loop_s = time.perf_counter() - t_loop
 
     def hist(self, n_bins: int, max_count=None, min_keep: int = 1):
         h, self._n_distinct = self.compactor.hist(n_bins, max_count, min_keep)
@@ -590,7 +684,7 @@ class MeshSortCountEngine:
         # the reference's -b is bases per pipeline block; one mesh batch
         # consumes a whole block, one row per device
         self.row_bases = max(int(block_bases) // self.n_dev, 1 << 16)
-        self.capacity = self.row_bases + 4096
+        self.capacity = self.row_bases + max(4096, self.row_bases // 32)
         self.prefetch = prefetch
         self.qual_policy = qual_policy
         self.eng = sharded.ShardedSortEngine(
@@ -668,10 +762,10 @@ class MeshSortCountEngine:
                                    self.capacity, self.qual_policy)
             for item in src:
                 if packed_mode:
-                    packed, mask, n_used, n_bases, n_seqs, rb = item
+                    packed, mask, n_used, n_bases, n_seqs, rb, _be = item
                     items.append((packed, mask, int(n_used), rb))
                 else:
-                    buf, n_bases, n_seqs, rb = item
+                    buf, n_bases, n_seqs, rb, _be = item
                     rows.append(np.asarray(buf))
                     rbs.append(rb)
                 nb += int(n_bases)  # true per-read totals (_iter_packed)

@@ -145,9 +145,14 @@ class YakEngine:
         self.bf_shift = bf_shift
         self.bf_n_hash = bf_n_hash
         self.chunk_size = chunk_size
-        self.capacity_block = int(chunk_size) + 4096
+        # headroom covers per-read separators so a whole reference
+        # batch (summed read LENGTHS = chunk_size) usually fits one
+        # buffer (batch_end yields); shortfalls split via carry
+        self.capacity_block = int(chunk_size) + max(4096, chunk_size // 32)
         self.prefetch = prefetch
         self.log = log
+        self.batch_seq_counts = []  # per-batch n_seqs of the last count()
+        self._batch_seqs, self._batch_pending = 0, False
         self.table = ct.make(init_capacity)
         # bloom exists only when enabled AND geometrically valid
         # (yak_ch_init gate n_shift > pre, yak-count.c:122; yak_bf_init
@@ -212,9 +217,17 @@ class YakEngine:
             )
         if self.prefetch:
             it = _prefetch(it)
+        # per-batch stderr progress uses the reference's batch rule
+        # (reader batch_end flags; yak-count.c:427 prints once per
+        # pipeline batch per pass) — buffers aggregate until a batch
+        # completes.  batch_seq_counts records each batch's sequence
+        # count for pass-2 replay by the single-file hybrid (the second
+        # pass re-reads the same file, so its batches are identical).
+        self.begin_batches()
         for item in it:
             if packed_mode:
-                packed, mask, n_used, _n_bases, n_seqs, row_bytes = item
+                (packed, mask, n_used, _n_bases, n_seqs, row_bytes,
+                 batch_end) = item
                 rb = row_bytes if row_bytes and row_bytes > self.k else None
                 if mask is None:
                     from .counter import _extract_step_packed_structural
@@ -226,25 +239,54 @@ class YakEngine:
                     hi, lo, _nk = _extract_step_packed(packed, mask,
                                                        self.k, rb)
             else:
-                buf, _n_bases, n_seqs, row_bytes = item
+                buf, _n_bases, n_seqs, row_bytes, batch_end = item
                 if row_bytes and row_bytes > self.k:
                     hi, lo, _nk = _extract_step_rows(buf, self.k, row_bytes)
                 else:
                     hi, lo, _nk = _extract_step(buf, self.k)
-            if create_new:
-                # worst case every VALID k-mer is a distinct new key;
-                # insert claims a slot per distinct key even when
-                # bloom-gated (padded/invalid lanes claim nothing)
-                self._maybe_grow(incoming=int(_nk))
-            self.table, self.bits, n_new = _yak_ingest(
-                self.table, self.bits, hi, lo,
-                self.spec, create_new, self.use_bloom,
-                self.exact_bloom,
-            )
-            if create_new:
-                self.tot += int(n_new)
-            if self.log is not None:
-                self.log(n_seqs, self.tot)
+            self.ingest_planes(hi, lo, _nk, n_seqs, batch_end, create_new)
+        self.finish_batches()
+
+    def begin_batches(self) -> None:
+        self.batch_seq_counts = []
+        self._batch_seqs, self._batch_pending = 0, False
+
+    def ingest_planes(self, hi, lo, n_valid, n_seqs, batch_end,
+                      create_new: bool = True) -> None:
+        """One extracted block (sentinelized key planes, lanes in read
+        order) through the bloom gate + table insert, with per-batch
+        stderr accounting.  count() drives it from its own reader loop;
+        the single-file CLI hybrid drives it as a SortCountEngine tap on
+        the same planes, so the input is read and extracted once
+        (tools/yak_count.py)."""
+        if create_new:
+            # worst case every VALID k-mer is a distinct new key;
+            # insert claims a slot per distinct key even when
+            # bloom-gated (padded/invalid lanes claim nothing)
+            self._maybe_grow(incoming=int(n_valid))
+        self.table, self.bits, n_new = _yak_ingest(
+            self.table, self.bits, hi, lo,
+            self.spec, create_new, self.use_bloom,
+            self.exact_bloom,
+        )
+        if create_new:
+            self.tot += int(n_new)
+        self._batch_seqs += int(n_seqs)
+        self._batch_pending = True
+        if batch_end:
+            self._flush_batch()
+
+    def _flush_batch(self) -> None:
+        if self.log is not None:
+            self.log(self._batch_seqs, self.tot)
+        self.batch_seq_counts.append(self._batch_seqs)
+        self._batch_seqs, self._batch_pending = 0, False
+
+    def finish_batches(self) -> None:
+        """Emit the final partial batch (the reference prints its last
+        block too: sum_len > 0 at EOF still runs steps 1-2)."""
+        if self._batch_pending:
+            self._flush_batch()
 
     def destroy_bloom(self):
         self.use_bloom = False
@@ -434,7 +476,7 @@ class MeshYakEngine:
         if self.prefetch:
             it = _prefetch(it)
         rows, rbs, n_seqs = [], [], 0
-        for buf, _nb, ns, rb in it:
+        for buf, _nb, ns, rb, _be in it:
             rows.append(np.asarray(buf))
             rbs.append(rb)
             n_seqs += int(ns)

@@ -60,24 +60,64 @@ def main(argv=None):
         # bloom-FP singletons, yak-count.c:453-464), so a single
         # counting pass with a min-count filter reproduces it
         # bit-identically — and reads the input once instead of twice.
-        from ..pipeline.counter import make_count_engine
+        #
+        # stderr parity (yak-count.c:427 prints "[M] processed N
+        # sequences; M distinct..." per pipeline batch per pass, pass-1
+        # totals including bloom-FP admissions): on a single device the
+        # bloom + gated-table admission simulation rides the SAME
+        # extracted planes as a tap, pass-2 lines replay the remembered
+        # batch sequence counts with the constant pre-shrink total (the
+        # reference's pass 2 never inserts, yak-count.c:170-174), and
+        # the histogram still comes from the sort engine.
+        # KMER_TPU_FAST_YAK=1 skips the simulation (identical stdout;
+        # one approximate summary line on stderr), as do mesh /
+        # multi-process runs, whose batch composition is
+        # device-partitioned (PARITY.md divergence 8 scope).
+        import os
 
+        import jax
+
+        from ..pipeline.counter import make_count_engine, use_mesh
+
+        def log(n_seqs, tot):
+            sys.stderr.write(
+                f"[M] processed {n_seqs} sequences; {tot} distinct k-mers in the hash table\n"
+            )
+
+        fast = os.environ.get("KMER_TPU_FAST_YAK", "").strip().lower() in (
+            "1", "true", "on", "yes")
+        mesh_like = jax.process_count() > 1 or use_mesh()
         eng_s = make_count_engine(k=k, block_bases=chunk,
                                   qual_policy=("resume", k, 3))
+        sim = None
+        if not fast and not mesh_like:
+            from ..pipeline.yak import YakEngine
+
+            sim = YakEngine(k=k, pre=pre, bf_shift=bf_shift,
+                            bf_n_hash=bf_n_hash, chunk_size=chunk, log=log)
+            sim.begin_batches()
         try:
-            eng_s.count_paths([pos[0]])
+            if sim is not None:
+                eng_s.count_paths([pos[0]], tap=sim.ingest_planes)
+            else:
+                eng_s.count_paths([pos[0]])
         except OSError:
             # the C original segfaults here (kseq on a NULL gzFile);
             # failing cleanly is a deliberate divergence (PARITY.md)
             sys.stderr.write(f"Error: failed to open {pos[0]}\n")
             return 1
         min_keep = 2 if bf_shift > 0 else 1
+        if sim is not None:
+            sim.finish_batches()
+            if bf_shift > 0:
+                # pass 2 re-reads the same file: identical batches,
+                # no inserts — every line repeats the pass-1 total
+                for n in sim.batch_seq_counts:
+                    log(n, sim.tot)
         h = eng_s.hist(YAK_N_COUNTS, max_count=YAK_MAX_COUNT, min_keep=min_keep)
         tot = eng_s._n_distinct
-        sys.stderr.write(
-            f"[M] processed {eng_s.total_seqs} sequences; "
-            f"{tot} distinct k-mers in the hash table\n"
-        )
+        if sim is None:
+            log(eng_s.total_seqs, tot)
     else:
         # two-file mode (pass 2 counts fn2 against fn1's bloom-gated key
         # set): the bloom's false positives are observable here, so run

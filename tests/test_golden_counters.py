@@ -191,6 +191,60 @@ def test_counter_parity(refbin, capsys, engine_mode, tool, args):
     assert got == want
 
 
+def run_ref_with_err(refbin, tool, args):
+    r = subprocess.run(
+        [os.path.join(refbin, tool)] + args, capture_output=True, check=True
+    )
+    return r.stdout.decode(), r.stderr.decode()
+
+
+def run_ours_with_err(tool, args, capsys):
+    from kmer_tpu.tools import get_tool
+
+    capsys.readouterr()  # drop anything buffered before the call
+    rc = get_tool(tool)(args)
+    assert not rc
+    cap = capsys.readouterr()
+    # our stderr may carry harness noise (e.g. jax logging); the
+    # reference's progress/summary lines all start with "[M" — the
+    # byte-identity claim covers exactly those lines, in order
+    err = "".join(l + "\n" for l in cap.err.splitlines()
+                  if l.startswith("[M"))
+    return cap.out, err
+
+
+@pytest.mark.parametrize(
+    "args",
+    [
+        # multi-batch single file, bloom on: pass-1 lines carry the
+        # bloom-FP-inclusive running totals per reference batch
+        # (yak-count.c:427), pass-2 lines repeat the pre-shrink total
+        # — PARITY divergence 8 closed (admission simulation rides the
+        # sort engine's extracted planes, tools/yak_count.py)
+        ["-k21", "-b19", "-K30000", READS],
+        # multi-batch single file, no bloom: one pass, running distinct
+        ["-k21", "-K25000", READS],
+        # one batch (default -K), bloom on
+        ["-k31", "-b22", READS],
+        # two-file mode: live per-batch logging through both passes
+        ["-k21", "-b19", "-K20000", READS,
+         os.path.join(FIXTURES, "sampleB.fq.gz")],
+    ],
+)
+def test_yak_stderr_progress_parity(refbin, capsys, monkeypatch, args):
+    """stdout AND stderr byte-identical to the reference yak-count —
+    the per-batch "[M] processed N sequences; M distinct k-mers" lines
+    (batch composition from the reference step-0 rule, totals from the
+    sequential-exact bloom + gated-table simulation) and the final
+    "[M::main] ... after shrinking" line.  Single-device path: mesh
+    batch composition is device-partitioned (PARITY.md div. 8 scope)."""
+    monkeypatch.setenv("KMER_TPU_FORCE_MESH", "0")
+    want_out, want_err = run_ref_with_err(refbin, "yak-count", args)
+    got_out, got_err = run_ours_with_err("yak-count", args, capsys)
+    assert got_out == want_out
+    assert got_err == want_err
+
+
 @pytest.mark.parametrize("mesh", ["0", "1"])
 def test_yak_two_file_exact_bloom_parity(refbin, capsys, monkeypatch, mesh):
     """Two-file yak with a bloom SMALL enough to really gate (-b19:

@@ -17,8 +17,9 @@ FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
 def _python_blocks(path, k, block_bases, capacity):
     for blk in fastx.read_blocks([path], k, block_bases):
         n_seqs, n_bases = len(blk.seqs), blk.sum_len
-        for buf, n in packing.pack_block(blk, capacity):
-            yield buf, n, n_bases, n_seqs, None
+        packs = list(packing.pack_block(blk, capacity))
+        for i, (buf, n) in enumerate(packs):
+            yield buf, n, n_bases, n_seqs, None, i == len(packs) - 1
             n_seqs = n_bases = 0
 
 
@@ -41,7 +42,7 @@ def test_native_reader_matches_python(fixture, k, block_bases):
         packing policy, not semantics — reads are atomic and windows
         never straddle the NUL separators)."""
         out, total_seqs, total_bases = [], 0, 0
-        for buf, n, n_bases, n_seqs, rb in blocks:
+        for buf, n, n_bases, n_seqs, rb, _be in blocks:
             assert not buf[n:].any()
             if rb:
                 # declared-uniform blocks must actually be uniform rows
@@ -81,7 +82,8 @@ def test_packed2bit_matches_ascii_reader():
     assert len(a_blocks) == len(p_blocks)
     shifts = np.arange(4, dtype=np.uint8) * 2
     bits = np.arange(8, dtype=np.uint8)
-    for (buf, n, nb, ns, rb), (packed, mask, n2, nb2, ns2, rb2) in zip(
+    for (buf, n, nb, ns, rb, _be), (packed, mask, n2, nb2, ns2, rb2,
+                                    _be2) in zip(
         a_blocks, p_blocks
     ):
         assert (n, nb, ns, rb) == (n2, nb2, ns2, rb2)
@@ -137,7 +139,7 @@ def test_structural_mask_elision(monkeypatch, tmp_path):
                     s[60] = ord("N")
                 f.write(b"@r%d\n%s\n+\n%s\n" % (i, s.tobytes(), b"I" * 120))
     k = 21
-    masks = {p: [m is None for _, m, _, _, _, _ in
+    masks = {p: [m is None for _, m, _, _, _, _, _ in
                  _iter_packed2([p], k, 1 << 16, (1 << 16) + 4096)]
              for p in (clean, dirty)}
     assert all(masks[clean]) and not any(masks[dirty])
@@ -231,12 +233,12 @@ def test_split_reads_counted_once():
 
                 with mock.patch.object(native, "available",
                                        lambda: False):
-                    for _b, nb, ns, _rb in _iter_packed(
+                    for _b, nb, ns, _rb, _be in _iter_packed(
                             [path], k, block, block + 4096):
                         bases += nb
                         seqs += ns
             else:
-                for _b, nb, ns, _rb in _iter_packed(
+                for _b, nb, ns, _rb, _be in _iter_packed(
                         [path], k, block, block + 4096):
                     bases += nb
                     seqs += ns
@@ -274,7 +276,7 @@ def test_native_reader_fifo_input():
             done = threading.Event()
 
             def reader():
-                for _b, _used, nb, _ns, _rb in native.iter_packed_native(
+                for _b, _used, nb, _ns, _rb, _be in native.iter_packed_native(
                         [fifo], 21, 1 << 16, (1 << 16) + 4096):
                     total.append(nb)
                 done.set()
