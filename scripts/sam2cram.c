@@ -4,7 +4,10 @@
  * for the htslib static lib):
  *   gcc -O2 -o tests/refbin/sam2cram scripts/sam2cram.c \
  *       -I/tmp/hts_inc /tmp/htslib_build/libhts.a -lz -lpthread -lm
- * Usage: sam2cram <in.bam> <ref.fa> <out.cram> [nthreads]
+ * Usage: sam2cram <in.bam> <ref.fa> <out.cram> [index] [v=3.1]
+ *   "index"  also writes <out.cram>.crai
+ *   "v=X.Y"  CRAM container version (default htslib's, 3.0; v=3.1
+ *            exercises the rANSNx16/tok3 codecs for the 3.1 goldens)
  */
 #include <stdio.h>
 #include <stdlib.h>
@@ -22,6 +25,12 @@ int main(int argc, char **argv)
     sam_hdr_t *hdr = sam_hdr_read(in);
     samFile *out = sam_open(argv[3], "wc");
     if (!out) { perror("open out"); return 1; }
+    for (int a = 4; a < argc; a++)
+        if (argv[a][0] == 'v' && argv[a][1] == '=' &&
+            hts_set_opt(out, CRAM_OPT_VERSION, argv[a] + 2) != 0) {
+            fprintf(stderr, "bad CRAM version %s\n", argv[a] + 2);
+            return 1;
+        }
     if (hts_set_fai_filename(out, argv[2]) != 0) {
         fprintf(stderr, "failed to set reference %s\n", argv[2]);
         return 1;
@@ -36,7 +45,8 @@ int main(int argc, char **argv)
     sam_close(in);
     sam_hdr_destroy(hdr);
     if (r != -1) return 1;
-    if (argc > 4 && argv[4][0] == 'i')  /* "index": also write .crai */
-        return sam_index_build(argv[3], 0) == 0 ? 0 : 1;
+    for (int a = 4; a < argc; a++)      /* "index": also write .crai */
+        if (argv[a][0] == 'i')
+            return sam_index_build(argv[3], 0) == 0 ? 0 : 1;
     return 0;
 }
