@@ -16,8 +16,9 @@ Scope notes: .crai indexed access IS implemented (CraiIndex +
 CramReader.query seek straight to the covering slices, reproducing
 htslib's cram_range record filter — sam.c:1695, cram_decode.c:3475-3497);
 without an index the tool falls back to the sequential scan, as the
-reference does.  CRAM 3.1 codecs (rans4x16, tok3, fqzcomp) raise a
-clear error.
+reference does.  CRAM 3.1 default-profile codecs (rANS Nx16 and the
+tok3 name tokenizer) are decoded via io/cram31.py; the small/archive
+profile codecs (arith, fqzcomp) raise a clear error.
 """
 
 from __future__ import annotations
@@ -284,10 +285,22 @@ def _decompress_block(method: int, data: bytes, raw_size: int) -> bytes:
         return lzma.decompress(data)
     if method == 4:
         return rans_decode(data, raw_size)
-    raise ValueError(
-        f"unsupported CRAM block compression method {method} "
-        "(CRAM 3.1 codecs are out of scope; re-encode as CRAM 3.0)"
-    )
+    if method == 5:  # CRAM 3.1 rANS Nx16
+        from .cram31 import rans_nx16_decode
+
+        return rans_nx16_decode(data, raw_size)
+    if method == 8:  # CRAM 3.1 name tokenizer
+        from .cram31 import tok3_decode_names
+
+        return tok3_decode_names(data, raw_size)
+    if method in (6, 7):
+        raise ValueError(
+            "unsupported CRAM 3.1 block codec "
+            + ("arith" if method == 6 else "fqzcomp")
+            + " (htslib emits these only at the small/archive profiles; "
+            "re-encode at the default profile or as CRAM 3.0)"
+        )
+    raise ValueError(f"unsupported CRAM block compression method {method}")
 
 
 # ---------------------------------------------------------------------------
