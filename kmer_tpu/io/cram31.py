@@ -53,13 +53,14 @@ class _Cur:
         return v
 
     def u7(self):
-        """uint7 varint: little-endian 7-bit groups, high bit = more."""
-        v = s = 0
+        """uint7 varint: BIG-endian 7-bit groups, high bit = more
+        (htscodecs varint.h var_get_u32 under BIG_END — most significant
+        group first; NOT the little-endian #else variant in that file)."""
+        v = 0
         while True:
             c = self.d[self.o]
             self.o += 1
-            v |= (c & 0x7F) << s
-            s += 7
+            v = (v << 7) | (c & 0x7F)
             if not c & 0x80:
                 return v
 
@@ -146,6 +147,7 @@ def _o0_decode(data, out_sz: int, n_states: int) -> bytes:
     R = list(struct.unpack_from("<%dI" % n_states, c.d, c.o))
     c.o += 4 * n_states
     d, o = c.d, c.o
+    end = len(d)
     out = bytearray(out_sz)
     for i in range(out_sz):
         x = R[i % n_states]
@@ -153,7 +155,9 @@ def _o0_decode(data, out_sz: int, n_states: int) -> bytes:
         s = ssym[m]
         out[i] = s
         x = sfreq[m] * (x >> 12) + m - cum[s]
-        if x < _RANS_LOW:
+        # safe renorm (RansDecRenormSafe): stop feeding at buffer end —
+        # the tail symbols' states legitimately run dry there
+        if x < _RANS_LOW and o + 1 < end:
             x = (x << 16) | d[o] | (d[o + 1] << 8)
             o += 2
         R[i % n_states] = x
@@ -170,9 +174,14 @@ def _o1_decode(data, out_sz: int, n_states: int) -> bytes:
     b0 = c.u8()
     shift = b0 >> 4
     if b0 & 1:
+        # the compressed table is a RAW order-0 body with 4 states — no
+        # container flag byte, regardless of the outer block's X32 flag
+        # (rans_uncompress_O1_4x16 and _32x16 both call
+        # rans_uncompress_O0_4x16 on it, rANS_static4x16pr.c:583,
+        # rANS_static32x16pr.c:598)
         u_sz = c.u7()
         c_sz = c.u7()
-        tab = _Cur(_uncompress_container(c.take(c_sz), u_sz))
+        tab = _Cur(_o0_decode(c.take(c_sz), u_sz, 4))
     else:
         tab = c
     syms = _decode_alphabet(tab)
@@ -210,6 +219,7 @@ def _o1_decode(data, out_sz: int, n_states: int) -> bytes:
     R = list(struct.unpack_from("<%dI" % n_states, c.d, c.o))
     c.o += 4 * n_states
     d, o = c.d, c.o
+    end = len(d)
     out = bytearray(out_sz)
     mask = (1 << shift) - 1
     isz = out_sz // n_states
@@ -224,7 +234,7 @@ def _o1_decode(data, out_sz: int, n_states: int) -> bytes:
             out[pos[z]] = s
             pos[z] += 1
             x = sfreq[m] * (x >> shift) + m - cum[s]
-            if x < _RANS_LOW:
+            if x < _RANS_LOW and o + 1 < end:  # safe renorm
                 x = (x << 16) | d[o] | (d[o + 1] << 8)
                 o += 2
             R[z] = x
@@ -238,7 +248,7 @@ def _o1_decode(data, out_sz: int, n_states: int) -> bytes:
         s = ssym[m]
         out[i] = s
         x = sfreq[m] * (x >> shift) + m - cum[s]
-        if x < _RANS_LOW:
+        if x < _RANS_LOW and o + 1 < end:  # safe renorm
             x = (x << 16) | d[o] | (d[o + 1] << 8)
             o += 2
         last = s
@@ -294,6 +304,10 @@ def _unrle(lit, runs, rle_syms, out_len_hint: int) -> bytes:
             out += bytes([b]) * (rlen + 1)
         else:
             out.append(b)
+        # hts_rle_decode bounds expansion by out_end; a corrupt run
+        # length must not balloon memory before the post-hoc size check
+        if len(out) > out_len_hint:
+            raise ValueError("rANS Nx16 RLE expansion exceeds block size")
     return bytes(out)
 
 
@@ -446,6 +460,15 @@ def tok3_decode_names(data: bytes, out_size: int) -> bytes:
     descriptor byte (0x80 = new token position, 0x40 = duplicate of an
     earlier stream, low 4 bits = token type) followed by either a
     2-byte source id (dup) or a uint7 clen + rANS Nx16 container."""
+    try:
+        return _tok3_decode_names(data, out_size)
+    except (IndexError, KeyError, struct.error) as e:
+        raise ValueError(
+            f"truncated or corrupt tok3 name block ({len(data)} bytes)"
+        ) from e
+
+
+def _tok3_decode_names(data: bytes, out_size: int) -> bytes:
     if len(data) < 9:
         raise ValueError("truncated tok3 name block")
     ulen, nreads = struct.unpack_from("<II", data, 0)

@@ -38,10 +38,15 @@ def patterns(tmp_path_factory):
 
 
 def _need(tool):
-    p = os.path.join(REFBIN, tool)
-    if not os.path.exists(p):
-        pytest.skip(f"reference {tool} not built (needs htslib for bam/vcf)")
-    return p
+    """Build the oracle on demand (including the htslib static lib for
+    bam/vcf — tests/oracles.py ensure_htslib); skip only when the build
+    itself is impossible on this box."""
+    from tests import oracles
+
+    try:
+        return oracles.ensure(tool)
+    except oracles.OracleBuildError as e:
+        pytest.skip(str(e))
 
 
 def _ensure_sam():
@@ -304,34 +309,30 @@ def test_ed_long_reads_and_patterns(tmp_path):
         assert _read(tmp_path / "tpu.vaf") == _read(tmp_path / "ref.vaf"), e
 
 
-@pytest.fixture(scope="module")
-def cram_fixture(tmp_path_factory):
+@pytest.fixture(scope="module", params=["3.0", "3.1"])
+def cram_fixture(request, tmp_path_factory):
     """BAM -> CRAM via htslib (scripts/sam2cram.c against the
     /tmp/htslib_build static lib, per .claude/skills/verify/SKILL.md);
     the uncompressed reference sits next to it so both the htslib
-    oracle and our reader resolve it from the @SQ UR field."""
+    oracle and our reader resolve it from the @SQ UR field.  Runs at
+    both container versions: 3.0 (rANS 4x8 + gzip) and 3.1 (rANS Nx16
+    + tok3 names, htscodecs rANS_static4x16pr.c / tokenise_name3.c)."""
     import gzip
 
-    conv = os.path.join(REFBIN, "sam2cram")
-    if not os.path.exists(conv):
-        if not os.path.exists("/tmp/htslib_build/libhts.a"):
-            pytest.skip("htslib build not present (see verify skill)")
-        r = subprocess.run(
-            ["gcc", "-O2", "-o", conv,
-             os.path.join(REPO, "scripts", "sam2cram.c"),
-             "-I/tmp/htslib_build", "/tmp/htslib_build/libhts.a",
-             "-lz", "-lpthread", "-lm"],
-            capture_output=True,
-        )
-        if r.returncode != 0:
-            pytest.skip(f"cannot build sam2cram: {r.stderr.decode()}")
+    from tests import oracles
+
+    try:
+        conv = oracles.ensure("sam2cram")
+    except oracles.OracleBuildError as e:
+        pytest.skip(str(e))
     d = tmp_path_factory.mktemp("cram")
     ref_fa = str(d / "genome.fa")
     with gzip.open(GENOME, "rb") as fin, open(ref_fa, "wb") as fout:
         fout.write(fin.read())
     cram = str(d / "sampleA.cram")
     subprocess.run(
-        [conv, os.path.join(FIXTURES, "sampleA_aln.bam"), ref_fa, cram],
+        [conv, os.path.join(FIXTURES, "sampleA_aln.bam"), ref_fa, cram,
+         f"v={request.param}"],
         capture_output=True, check=True,
     )
     return cram
@@ -403,9 +404,12 @@ def test_cram_crai_indexed_parity(patterns, cram_fixture, tmp_path):
     cram = f"{d}/indexed.cram"
     shutil.copy(cram_fixture, cram)
     ref_fa = os.path.join(os.path.dirname(cram_fixture), "genome.fa")
+    with open(cram_fixture, "rb") as fh:  # keep the fixture's version
+        magic = fh.read(6)
+    ver = f"v={magic[4]}.{magic[5]}"
     r = subprocess.run(
         [conv, os.path.join(FIXTURES, "sampleA_aln.bam"), ref_fa, cram,
-         "index"],
+         "index", ver],
         capture_output=True,
     )
     if r.returncode != 0 or not os.path.exists(cram + ".crai"):
