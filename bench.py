@@ -1,27 +1,34 @@
 #!/usr/bin/env python3
-"""Benchmarks.  Prints one JSON line per metric, headline first:
+"""Benchmarks.  Prints one JSON line per metric:
 {"metric", "value", "unit", "vs_baseline"}.
 
-1. Headline: canonical 31-mer counting, device path (kc-c4 config) —
-   pre-staged device blocks, excludes host ingest and jit compile.
-   Baseline: kc-c4 counts ~500 Mbases in 7.5 s elapsed on 2x EPYC 7301
-   (/root/reference/README.md:258) ~= 66.7 Mbases/s.
-2. End-to-end: the same counting job from a gzipped FASTQ file on disk
+1. End-to-end: the full kc-c4 counting job from a gzipped FASTQ on disk
    through the native reader + 2-bit packed host->device ingest — the
    honest comparison against the reference's elapsed time, which also
-   includes disk + gzip (only jit compile excluded; the warm run's file
-   IO is re-done in the timed run).  Same baseline.
-3. yak-count single-file two-pass (-b30, count >= 2) via the CLI's
-   sort-engine fast path.  Baseline: 14.6 s elapsed for ~500 Mbases
-   (/root/reference/README.md:259).
-4. vaf-counter: ~21k-SNP pattern file against the same reads
-   (/root/reference/EXAMPLE.md:314 gives 30-50 Mbases/s and 20-30
-   M k-mers/s "depending on CPU"; baselines = the top of each range).
+   includes disk + gzip (only jit compile excluded; the timed run
+   re-does all file IO).  Baseline: kc-c4 counts ~500 Mbases in 7.5 s
+   elapsed on 2x EPYC 7301 (/root/reference/README.md:258) ~= 66.7 Mb/s.
+2. yak-count single-file two-pass (-b30, count >= 2) in the CLI's
+   default configuration — sort engine WITH the bloom/stderr admission
+   simulation tap (tools/yak_count.py) — vs 14.6 s elapsed for ~500
+   Mbases (/root/reference/README.md:259).  The tail also records the
+   engine-only (KMER_TPU_FAST_YAK) pass so the tap's cost is explicit.
+3. vaf-counter: ~21k-SNP pattern file against the same reads
+   (/root/reference/EXAMPLE.md:314: 30-50 Mbases/s, 20-30 M k-mers/s
+   "depending on CPU"; baselines = the top of each range).
+4. Device path: canonical 31-mer counting on pre-staged device blocks
+   (kc-c4 config, excludes host ingest and compile) — runs through the
+   SAME packed-structural extract + compactor programs as metric 1, so
+   after metric 1 it compiles nothing but its block generator.
 
-Inputs are generated once into bench_data/ (host-side numpy, cached
-across runs) so driver wall time is not gated by setup; the device
-block staging for metric 1 happens on device (uploading ~400 MB through
-this box's TPU tunnel is slow and wildly variable).
+Budget discipline (the round-3 lesson: a bench that outruns the driver
+records nothing): a global deadline (KMER_TPU_BENCH_BUDGET_S, default
+1380 s) is set at entry; every metric emits its JSON line after ONE
+timed pass and only then spends leftover time on extra best-of passes;
+metrics run cheapest-evidence-first in one process so the tunnel's
+1-15 min first-op stall and the shared jit programs are paid once.
+A metric that dies (transient OOM) is retried in a subprocess with a
+fresh PJRT client; main() exits 0 with whatever was recorded.
 
 Primitive measurements that shaped the design (TPU v5e, 8M elements):
   2-key sort 28ms, cumsum 9ms, one-hot-matmul hist 10ms — vs gather
@@ -29,31 +36,53 @@ Primitive measurements that shaped the design (TPU v5e, 8M elements):
 """
 
 import json
+import logging
 import os
 import sys
 import time
 
 import numpy as np
 
+# the per-process "Platform 'axon' is experimental" warning adds a line
+# of noise per client to the driver's recorded tail; drop it.  Ditto
+# the native XLA log (e.g. multi-KB cpu_aot_loader machine-feature
+# dumps when the persistent compile cache crosses boxes) — the tail is
+# the driver's record, keep it to our own lines and the metrics.
+logging.getLogger("jax._src.xla_bridge").setLevel(logging.ERROR)
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
+# KMER_TPU_PLATFORM=cpu forces the CPU backend for smoke runs (the axon
+# PJRT plugin overrides JAX_PLATFORMS; jax.config before init wins)
+_plat = os.environ.get("KMER_TPU_PLATFORM")
+if _plat:
+    import jax
+
+    jax.config.update("jax_platforms", _plat)
+
 import jax
 import jax.numpy as jnp
 
-from kmer_tpu.pipeline.counter import _extract_step_rows
-from kmer_tpu.table.compactor import KmerCompactor
-
 K = 31
-BLOCK = 8 * 1024 * 1024  # bases per device block
-N_BLOCKS = 48  # ~384 Mbases
 BASELINE_MBASES_S = 500.0 / 7.5  # kc-c4, README.md:258
 YAK_BASELINE_MBASES_S = 500.0 / 14.6  # yak-count -b30 2-pass, README.md:259
 VAF_BASELINE_MBASES_S = 50.0  # EXAMPLE.md:314 upper end
 VAF_BASELINE_MKMERS_S = 30.0
 READ_LEN = 150
 GENOME_MB = 24
-FILE_MBASES = 256  # end-to-end FASTQ size
+# e2e FASTQ size / device block count: env-overridable for CI smoke
+# runs and emergency degradation, full size by default
+FILE_MBASES = int(os.environ.get("KMER_TPU_BENCH_MBASES", "256"))
 N_SNPS = 21_000  # matches the NGSCheckMate panel scale (SNP/*.bed)
+BLOCK_BASES = 10_000_000  # engine block (shared by metrics 1-4)
+DEVICE_BLOCKS = int(os.environ.get("KMER_TPU_BENCH_DEVICE_BLOCKS", "40"))
 DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "bench_data")
+
+_DEADLINE = None  # absolute epoch; shared with --only children via env
+
+
+def remaining() -> float:
+    return 1e9 if _DEADLINE is None else _DEADLINE - time.time()
 
 
 def emit(metric, value, baseline, unit="Mbases/s"):
@@ -63,6 +92,11 @@ def emit(metric, value, baseline, unit="Mbases/s"):
         "unit": unit,
         "vs_baseline": round(value / baseline, 2),
     }), flush=True)
+
+
+def note(msg):
+    sys.stderr.write(f"[bench] {msg}\n")
+    sys.stderr.flush()
 
 
 def _settle(seconds=3.0):
@@ -78,12 +112,13 @@ def _settle(seconds=3.0):
     time.sleep(seconds)
 
 
-def _run_passes(run_once, n_timed, keep_extra=False):
-    """One warm (compile) pass + n timed passes with dealloc barriers
-    between them; a pass that hits a transient device OOM settles
-    longer and retries once.  Returns (last_result, warm_s, times);
-    with keep_extra=True additionally returns the LAST element of each
-    timed pass's result tuple (per-pass stage breakdowns)."""
+def _run_passes(run_once, max_timed, reserve_s=120.0, pass_cost_s=30.0,
+                keep_extra=False):
+    """One warm (compile) pass, one guaranteed timed pass, then extra
+    timed passes only while the deadline minus `reserve_s` (budget for
+    the REMAINING metrics) affords another `pass_cost_s`.  A pass that
+    hits a transient device OOM settles longer and retries once.
+    Returns (last_result, warm_s, times[, extras])."""
     def attempt():
         t0 = time.time()
         try:
@@ -91,7 +126,7 @@ def _run_passes(run_once, n_timed, keep_extra=False):
         except Exception as e:  # retry only transient device OOMs
             if "RESOURCE_EXHAUSTED" not in str(e):
                 raise
-            sys.stderr.write("[bench] transient device OOM; retrying\n")
+            note("transient device OOM; retrying")
             _settle(15.0)
             t0 = time.time()
             return run_once(), time.time() - t0
@@ -99,7 +134,13 @@ def _run_passes(run_once, n_timed, keep_extra=False):
     out, warm_s = attempt()
     times = []
     extras = []
-    for _ in range(n_timed):
+    for i in range(max_timed):
+        if i > 0:
+            cost = max(pass_cost_s, min(times))
+            if remaining() - reserve_s < cost:
+                note(f"deadline: stopping at {i} timed passes "
+                     f"({remaining():.0f}s left, reserve {reserve_s:.0f}s)")
+                break
         _settle()
         out, dt = attempt()
         times.append(dt)
@@ -107,39 +148,6 @@ def _run_passes(run_once, n_timed, keep_extra=False):
     if keep_extra:
         return out, warm_s, times, extras
     return out, warm_s, times
-
-
-def make_blocks():
-    """Reads sampled from a synthetic genome so counts have structure.
-
-    Generated ON DEVICE (jax PRNG + gather) — uploading ~400 MB of host
-    blocks through this box's TPU tunnel is slow and its bandwidth
-    varies wildly, which must not gate the measured section's setup."""
-    reads_per_block = BLOCK // (READ_LEN + 1)
-    genome = jax.random.randint(
-        jax.random.key(1), (GENOME_MB * 1 << 20,), 0, 4, dtype=jnp.uint8
-    )
-    acgt = jnp.asarray(np.frombuffer(b"ACGT", np.uint8))
-
-    @jax.jit
-    def gen_block(key):
-        k1, k2, k3 = jax.random.split(key, 3)
-        starts = jax.random.randint(
-            k1, (reads_per_block,), 0, genome.shape[0] - READ_LEN
-        )
-        idx = starts[:, None] + jnp.arange(READ_LEN)[None, :]
-        codes = jnp.take(genome, idx)
-        err = jax.random.uniform(k2, codes.shape) < 0.005
-        codes = jnp.where(
-            err, jax.random.randint(k3, codes.shape, 0, 4, dtype=jnp.uint8), codes
-        )
-        buf = jnp.zeros((reads_per_block, READ_LEN + 1), jnp.uint8)
-        buf = buf.at[:, :READ_LEN].set(jnp.take(acgt, codes))
-        flat = buf.reshape(-1)
-        return jnp.zeros(BLOCK, jnp.uint8).at[: flat.shape[0]].set(flat)
-
-    keys = jax.random.split(jax.random.key(2), N_BLOCKS)
-    return [gen_block(k) for k in keys]
 
 
 def _host_genome():
@@ -181,7 +189,7 @@ def ensure_reads_file():
             f.write(comp.compress(b"".join(parts)))
         f.write(comp.flush())
     os.replace(tmp, path)
-    sys.stderr.write(f"[bench] wrote {path} in {time.time() - t0:.1f}s\n")
+    note(f"wrote {path} in {time.time() - t0:.1f}s")
     return path
 
 
@@ -215,39 +223,6 @@ def ensure_pattern_file(k=21):
     return path
 
 
-def bench_device_path():
-    t0 = time.time()
-    blocks = make_blocks()
-    _ = np.asarray(blocks[-1][:1])  # real sync (block_until_ready is a
-    gen_s = time.time() - t0        # no-op through the tunnel)
-
-    # warmup pass: compiles every program at the measured shapes (the
-    # reference's elapsed time likewise excludes its compiler)
-    def run_once():
-        comp = KmerCompactor(budget_bytes=8 << 30)
-        for b in blocks:
-            # reads are uniform 150bp -> the rows fast path drops the
-            # per-read invalid window lanes before the sort (the reader
-            # reports row_bytes for real uniform FASTQ the same way)
-            hi, lo, _nk = _extract_step_rows(b, K, READ_LEN + 1)
-            comp.add_raw(hi, lo)
-        return comp.hist(256, None)
-
-    (_hist, n_distinct), warm_s, times = _run_passes(run_once, 1)
-    elapsed = times[0]
-
-    mbases = N_BLOCKS * BLOCK / 1e6
-    value = mbases / elapsed
-    emit("kc-c4 canonical 31-mer counting throughput (1 chip)",
-         value, BASELINE_MBASES_S)
-    sys.stderr.write(
-        f"[bench] device path: {mbases:.0f} Mbases in {elapsed:.2f}s "
-        f"({value:.1f} Mb/s); {n_distinct} distinct k-mers; "
-        f"warmup/compile {warm_s:.1f}s; gen {gen_s:.1f}s; "
-        f"device={jax.devices()[0].device_kind}\n"
-    )
-
-
 def measure_tunnel(n_mb=16):
     """Single-stream host->device bandwidth right now (the tunnel's
     bandwidth swings several-fold minute to minute; this stderr line
@@ -265,18 +240,18 @@ def measure_tunnel(n_mb=16):
 
 def bench_end_to_end(reads_path):
     """The full kc-c4 job from the gzipped file on disk: native reader,
-    2-bit packed upload, device counting, histogram.  Run twice; the
-    first run compiles, the second is timed (its file IO is re-done).
-    Each pass also records the per-stage wall split (host reader,
-    upload bytes/s, main-thread wait vs dispatch, drain, finalize) so
-    the headline is accompanied by WHERE the seconds went."""
+    2-bit packed upload, device counting, histogram.  The first run
+    compiles; each timed pass re-does all file IO.  Each pass also
+    records the per-stage wall split (host reader, upload bytes/s,
+    main-thread wait vs dispatch, drain, finalize) so the headline is
+    accompanied by WHERE the seconds went."""
     from kmer_tpu.pipeline.counter import SortCountEngine
 
     def run_once():
         # returns only scalars: holding the engine across timed passes
         # would keep its ~2 GB of device planes alive while the next
         # pass streams (HBM is the binding constraint at this scale)
-        eng = SortCountEngine(k=K, block_bases=10_000_000,
+        eng = SortCountEngine(k=K, block_bases=BLOCK_BASES,
                               qual_policy=("resume", K, 3))
         eng.count_paths([reads_path])
         t0 = time.time()
@@ -289,53 +264,73 @@ def bench_end_to_end(reads_path):
                     f"finalize {fin_s:.2f}s"
         return eng.total_bases, eng._n_distinct, breakdown
 
-    # best of 4 timed passes: the TPU tunnel's transfer bandwidth varies
-    # several-fold minute to minute (CLAUDE.md); congestion noise is
-    # strictly additive, so the minimum measures the pipeline
+    # best of up to 4 timed passes: the TPU tunnel's transfer bandwidth
+    # varies several-fold minute to minute (CLAUDE.md); congestion noise
+    # is strictly additive, so the minimum measures the pipeline
     (total_bases, n_distinct, _bd), warm_s, times, extras = _run_passes(
-        run_once, 4, keep_extra=True)
+        run_once, 4, reserve_s=0.6 * remaining(), pass_cost_s=15.0,
+        keep_extra=True)
     i_best = int(np.argmin(times))
     elapsed = times[i_best]
     mbases = total_bases / 1e6
     value = mbases / elapsed
     emit("kc-c4 end-to-end throughput from gzipped FASTQ (1 chip)",
          value, BASELINE_MBASES_S)
-    sys.stderr.write(
-        f"[bench] end-to-end: {mbases:.0f} Mbases in {elapsed:.2f}s "
-        f"best-of-{len(times)} {[round(t, 2) for t in times]} "
-        f"({value:.1f} Mb/s); warm run {warm_s:.1f}s; "
-        f"{n_distinct} distinct; "
-        f"tunnel {measure_tunnel():.1f} MB/s/stream\n"
-        f"[bench] e2e best-pass stages: {extras[i_best]}\n"
-    )
+    note(f"end-to-end: {mbases:.0f} Mbases in {elapsed:.2f}s "
+         f"best-of-{len(times)} {[round(t, 2) for t in times]} "
+         f"({value:.1f} Mb/s); warm run {warm_s:.1f}s; "
+         f"{n_distinct} distinct; "
+         f"tunnel {measure_tunnel():.1f} MB/s/stream")
+    note(f"e2e best-pass stages: {extras[i_best]}")
 
 
 def bench_yak(reads_path):
-    """yak-count single-file two-pass (-b30, count >= 2): the CLI's
-    sort-engine fast path (tools/yak_count.py — bit-identical to the
-    bloom-gated two-pass on one file, reading the input once), against
-    the reference's two-pass elapsed time (README.md:259, 14.6 s for
-    ~500 Mbases incl. its bloom pass re-reading the file)."""
+    """yak-count single-file two-pass (-b30, count >= 2) in the DEFAULT
+    CLI configuration (tools/yak_count.py): the sort engine streams the
+    file once while the bloom + gated-table admission simulation rides
+    the same extracted planes as a tap to reproduce the reference's
+    per-batch stderr lines.  Baseline: the reference's two-pass elapsed
+    (README.md:259, 14.6 s for ~500 Mbases, re-reading the file).
+    One extra engine-only pass (the KMER_TPU_FAST_YAK path) makes the
+    tap's cost explicit in the tail."""
     from kmer_tpu.pipeline.counter import SortCountEngine
+    from kmer_tpu.pipeline.yak import YakEngine
 
-    def run_once():
-        eng = SortCountEngine(k=K, block_bases=10_000_000,
+    def run_once(with_tap=True):
+        eng = SortCountEngine(k=K, block_bases=BLOCK_BASES,
                               qual_policy=("resume", K, 3))
-        eng.count_paths([reads_path])
+        if with_tap:
+            sim = YakEngine(k=K, pre=10, bf_shift=30, bf_n_hash=4,
+                            chunk_size=BLOCK_BASES, log=lambda *a: None)
+            sim.begin_batches()
+            eng.count_paths([reads_path], tap=sim.ingest_planes)
+            sim.finish_batches()
+        else:
+            eng.count_paths([reads_path])
         eng.hist(1024, max_count=1023, min_keep=2)
         return eng.total_bases, eng._n_distinct
 
-    (total_bases, n_distinct), warm_s, times = _run_passes(run_once, 3)
+    (total_bases, n_distinct), warm_s, times = _run_passes(
+        run_once, 3, reserve_s=0.5 * remaining(), pass_cost_s=20.0)
     elapsed = min(times)
+    # one engine-only pass for the tap-cost comparison (skipped when
+    # the deadline is close; the metric above is already emitted)
+    fast_s = None
+    if remaining() > 0.35 * (_DEADLINE - _T0 if _DEADLINE else 1e9):
+        _settle()
+        t0 = time.time()
+        run_once(with_tap=False)
+        fast_s = time.time() - t0
     mbases = total_bases / 1e6
     value = mbases / elapsed
     emit("yak-count two-pass (-b30) end-to-end throughput (1 chip)",
          value, YAK_BASELINE_MBASES_S)
-    sys.stderr.write(
-        f"[bench] yak: {mbases:.0f} Mbases in {elapsed:.2f}s "
-        f"({value:.1f} Mb/s); warm {warm_s:.1f}s; "
-        f"{n_distinct} distinct with count >= 2\n"
-    )
+    note(f"yak (CLI default, bloom/stderr sim tap ON): {mbases:.0f} "
+         f"Mbases in {elapsed:.2f}s ({value:.1f} Mb/s); warm {warm_s:.1f}s; "
+         f"{n_distinct} distinct with count >= 2; "
+         + (f"engine-only pass {fast_s:.2f}s -> sim tap costs "
+            f"{elapsed - fast_s:+.2f}s/pass" if fast_s is not None
+            else "engine-only comparison skipped (deadline)"))
 
 
 def bench_vaf(reads_path, k=21):
@@ -352,13 +347,14 @@ def bench_vaf(reads_path, k=21):
     qhi, qlo = np.asarray(phi)[:n_entries], np.asarray(plo)[:n_entries]
 
     def run_once():
-        eng = SortCountEngine(k=k, block_bases=10_000_000,
+        eng = SortCountEngine(k=k, block_bases=BLOCK_BASES,
                               qual_policy=("resume", k, 3))
         eng.count_paths([reads_path])
         qc = eng.counts_for(qhi, qlo)
         return eng.total_bases, eng.total_kmers, qc
 
-    (total_bases, total_kmers, qc), warm_s, times = _run_passes(run_once, 3)
+    (total_bases, total_kmers, qc), warm_s, times = _run_passes(
+        run_once, 3, reserve_s=0.5 * remaining(), pass_cost_s=15.0)
     elapsed = min(times)
     mbases = total_bases / 1e6
     value = mbases / elapsed
@@ -367,14 +363,90 @@ def bench_vaf(reads_path, k=21):
          VAF_BASELINE_MBASES_S)
     emit("vaf-counter k-mer throughput (1 chip)", mkmers,
          VAF_BASELINE_MKMERS_S, unit="M k-mers/s")
-    sys.stderr.write(
-        f"[bench] vaf: {mbases:.0f} Mbases in {elapsed:.2f}s "
-        f"({value:.1f} Mb/s, {mkmers:.1f} Mk/s); warm {warm_s:.1f}s; "
-        f"{int((qc > 0).sum())}/{len(qc)} pattern k-mers hit\n"
+    note(f"vaf: {mbases:.0f} Mbases in {elapsed:.2f}s "
+         f"({value:.1f} Mb/s, {mkmers:.1f} Mk/s); warm {warm_s:.1f}s; "
+         f"{int((qc > 0).sum())}/{len(qc)} pattern k-mers hit")
+
+
+def bench_device_path():
+    """Pre-staged device blocks through the SAME packed-structural
+    extract + compactor programs the end-to-end CLI path runs (metric 1
+    compiles them; this metric only adds its block generator).  Blocks
+    are generated ON DEVICE — uploading ~100 MB of packed host blocks
+    through this box's TPU tunnel is slow and wildly variable, which
+    must not gate the measured section's setup."""
+    from kmer_tpu.pipeline.counter import _extract_step_packed_structural
+    from kmer_tpu.table.compactor import KmerCompactor, stream_sorted_default
+
+    # block geometry identical to the engine's native packed reader on
+    # uniform 150bp reads: rows of rb bases (150 + separator), packed
+    # 4 bases/byte into the engine's capacity-shaped buffer
+    # (SortCountEngine.__init__ separator headroom)
+    n_blocks = DEVICE_BLOCKS
+    if remaining() < 240:
+        n_blocks = max(8, int(DEVICE_BLOCKS * remaining() / 240))
+        note(f"deadline: device metric degraded to {n_blocks} blocks")
+    rb = READ_LEN + 1
+    capacity = BLOCK_BASES + max(4096, BLOCK_BASES // 32)
+    packed_len = capacity // 4
+    reads_per_block = BLOCK_BASES // READ_LEN + 1
+    n_used = reads_per_block * rb
+    genome = jax.random.randint(
+        jax.random.key(1), (GENOME_MB * 1 << 20,), 0, 4, dtype=jnp.uint8
     )
 
+    @jax.jit
+    def gen_block(key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        starts = jax.random.randint(
+            k1, (reads_per_block,), 0, genome.shape[0] - READ_LEN
+        )
+        idx = starts[:, None] + jnp.arange(READ_LEN)[None, :]
+        codes = jnp.take(genome, idx)
+        err = jax.random.uniform(k2, codes.shape) < 0.005
+        codes = jnp.where(
+            err, jax.random.randint(k3, codes.shape, 0, 4, dtype=jnp.uint8),
+            codes)
+        rows = jnp.concatenate(
+            [codes, jnp.zeros((reads_per_block, 1), jnp.uint8)], axis=1)
+        flat = jnp.zeros((packed_len * 4,), jnp.uint8)
+        flat = flat.at[: reads_per_block * rb].set(rows.reshape(-1))
+        quads = flat.reshape(packed_len, 4).astype(jnp.uint32)
+        packed = (quads[:, 0] | (quads[:, 1] << 2) | (quads[:, 2] << 4)
+                  | (quads[:, 3] << 6)).astype(jnp.uint8)
+        return packed
 
-METRICS = ("device", "e2e", "yak", "vaf")
+    t0 = time.time()
+    keys = jax.random.split(jax.random.key(2), n_blocks)
+    blocks = [gen_block(kk) for kk in keys]
+    _ = np.asarray(blocks[-1][:1])  # real sync (block_until_ready is a
+    gen_s = time.time() - t0        # no-op through the tunnel)
+
+    nu = jnp.uint32(n_used)
+
+    def run_once():
+        comp = KmerCompactor(budget_bytes=6 << 30, key_bits=2 * K,
+                             stream_sorted=stream_sorted_default())
+        for b in blocks:
+            hi, lo, _nk = _extract_step_packed_structural(b, nu, K, rb)
+            comp.add_raw(hi, lo)
+        return comp.hist(256, None)
+
+    (_hist, n_distinct), warm_s, times = _run_passes(
+        run_once, 1, reserve_s=0.0, pass_cost_s=10.0)
+    elapsed = times[0]
+    mbases = n_blocks * reads_per_block * READ_LEN / 1e6
+    value = mbases / elapsed
+    emit("kc-c4 canonical 31-mer counting throughput (1 chip)",
+         value, BASELINE_MBASES_S)
+    note(f"device path: {mbases:.0f} Mbases in {elapsed:.2f}s "
+         f"({value:.1f} Mb/s); {n_distinct} distinct k-mers; "
+         f"warmup/compile {warm_s:.1f}s; gen {gen_s:.1f}s; "
+         f"device={jax.devices()[0].device_kind}")
+
+
+METRICS = ("e2e", "yak", "vaf", "device")
+_T0 = time.time()
 
 
 def run_metric(name):
@@ -390,32 +462,97 @@ def run_metric(name):
         raise SystemExit(f"unknown metric {name!r}")
 
 
+def _set_deadline_from_env():
+    global _DEADLINE
+    abs_env = os.environ.get("KMER_TPU_BENCH_DEADLINE")
+    if abs_env:
+        _DEADLINE = float(abs_env)
+        return
+    budget = float(os.environ.get("KMER_TPU_BENCH_BUDGET_S", "1380"))
+    _DEADLINE = _T0 + budget
+    os.environ["KMER_TPU_BENCH_DEADLINE"] = str(_DEADLINE)
+
+
+# Fraction of the remaining budget each metric's child may spend; the
+# e2e metric leads (it compiles the programs the others reuse via the
+# persistent cache) and later metrics inherit whatever earlier children
+# left unspent.
+_SLICES = {"e2e": 0.55, "yak": 0.45, "vaf": 0.55, "device": 0.92}
+
+
+def _run_inline():
+    note(f"budget {remaining():.0f}s; metrics {METRICS}; "
+         f"backend {jax.default_backend()}")
+    failed = []
+    for i, name in enumerate(METRICS):
+        if remaining() < 30 and i:
+            note(f"deadline: skipping remaining metrics {METRICS[i:]}")
+            failed.extend(METRICS[i:])
+            break
+        try:
+            run_metric(name)
+        except Exception as e:
+            note(f"metric {name!r} failed inline: {type(e).__name__}: "
+                 f"{str(e)[:200]}")
+            failed.append(name)
+        _settle()
+    return failed
+
+
 def main(argv):
+    _set_deadline_from_env()
     if len(argv) == 3 and argv[1] == "--only":
         run_metric(argv[2])
         return 0
     if os.environ.get("KMER_TPU_BENCH_INLINE"):
-        for name in METRICS:
-            run_metric(name)
+        _run_inline()
         return 0
-    # One subprocess per metric: the tunneled TPU backend accumulates
-    # HBM across big jobs even after the client frees every buffer
-    # (observed: metrics 1-2 pass, metric 3's identical program then
-    # dies with RESOURCE_EXHAUSTED; jax.live_arrays() is empty between
-    # metrics), so each metric gets a fresh PJRT client.  The compile
-    # cache (~/.cache/kmer_tpu_jax) keeps the per-child warmup small.
+    # The parent NEVER touches the device: a blocked PJRT call cannot be
+    # interrupted from inside the process (observed: the tunnel's
+    # first-op stall exceeding 25 MINUTES on a bad day, which rode the
+    # round-3 bench straight into the driver's timeout with zero
+    # metrics recorded).  Each metric runs in a child with a hard kill
+    # deadline; children share inputs on disk and the persistent XLA
+    # compile cache, so on a good day the per-child warmup is small.
     import subprocess
 
-    ensure_reads_file()  # generate shared inputs once, in the parent
+    note(f"budget {remaining():.0f}s; metrics {METRICS}; "
+         f"one killable child per metric")
+    ensure_reads_file()
     ensure_pattern_file()
-    worst = 0
-    for name in METRICS:
-        rc = subprocess.call(
-            [sys.executable, os.path.abspath(__file__), "--only", name])
+    failed = []
+    for i, name in enumerate(METRICS):
+        left = remaining()
+        if left < 45:
+            note(f"deadline: skipping remaining metrics {METRICS[i:]}")
+            failed.extend(METRICS[i:])
+            break
+        slice_s = max(45.0, left * _SLICES[name])
+        env = dict(os.environ)
+        env["KMER_TPU_BENCH_DEADLINE"] = str(time.time() + slice_s)
+        note(f"metric {name!r}: {slice_s:.0f}s slice "
+             f"({left:.0f}s budget left)")
+        t0 = time.time()
+        p = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--only", name],
+            env=env)
+        try:
+            rc = p.wait(timeout=slice_s + 30)  # +30: child-side margin
+        except subprocess.TimeoutExpired:
+            p.kill()
+            p.wait()
+            note(f"metric {name!r} KILLED at its {slice_s:.0f}s slice "
+                 f"(device stall or overrun)")
+            failed.append(name)
+            continue
         if rc:
-            sys.stderr.write(f"[bench] metric {name!r} failed rc={rc}\n")
-            worst = worst or rc
-    return worst
+            note(f"metric {name!r} child failed rc={rc} "
+                 f"after {time.time() - t0:.0f}s")
+            failed.append(name)
+    note(f"done in {time.time() - _T0:.0f}s"
+         + (f"; UNRECORDED metrics: {failed}" if failed else
+            "; all metrics recorded"))
+    return 0
 
 
 if __name__ == "__main__":

@@ -293,13 +293,14 @@ def _decompress_block(method: int, data: bytes, raw_size: int) -> bytes:
         from .cram31 import tok3_decode_names
 
         return tok3_decode_names(data, raw_size)
-    if method in (6, 7):
-        raise ValueError(
-            "unsupported CRAM 3.1 block codec "
-            + ("arith" if method == 6 else "fqzcomp")
-            + " (htslib emits these only at the small/archive profiles; "
-            "re-encode at the default profile or as CRAM 3.0)"
-        )
+    if method == 6:  # CRAM 3.1 adaptive arithmetic coder
+        from .cram_arith import arith_decode
+
+        return arith_decode(data, raw_size)
+    if method == 7:  # CRAM 3.1 fqzcomp quality codec
+        from .cram_arith import fqz_decode
+
+        return fqz_decode(data, raw_size)
     raise ValueError(f"unsupported CRAM block compression method {method}")
 
 

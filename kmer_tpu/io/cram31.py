@@ -26,10 +26,9 @@ leading byte, which may itself be order-0-rANS compressed).
 
 The name tokenizer (tok3) splits read names into per-position token
 streams (type / string / char / digits / delta ...), each compressed
-with the rANS Nx16 codec above (use_arith=0; the adaptive arithmetic
-variant raises — htslib only emits it at the "small"/"archive"
-profiles, not the default one).  fqzcomp (method 7) and arith (6) also
-raise with actionable messages.
+with the rANS Nx16 codec above (use_arith=0) or the adaptive range
+coder (use_arith=1, the "small"/"archive" profiles — cram_arith.py).
+fqzcomp (method 7) and arith (6) containers live in cram_arith.py.
 """
 
 from __future__ import annotations
@@ -474,11 +473,11 @@ def _tok3_decode_names(data: bytes, out_size: int) -> bytes:
     ulen, nreads = struct.unpack_from("<II", data, 0)
     use_arith = data[8]
     if use_arith:
-        raise ValueError(
-            "tok3 name block uses the adaptive arithmetic coder, which is "
-            "not supported (htslib emits it only at the small/archive "
-            "profiles; re-encode CRAM at the default profile)"
-        )
+        # the small/archive profiles' token streams use the adaptive
+        # range coder (tokenise_name3.c:1215 arith_uncompress_to)
+        from .cram_arith import arith_decode as _container
+    else:
+        _container = _uncompress_container
     desc: Dict[int, _Stream] = {}
     o = 9
     tnum = -1
@@ -515,7 +514,7 @@ def _tok3_decode_names(data: bytes, out_size: int) -> bytes:
         sub = data[o + nb : o + nb + clen]
         sc = _Cur(sub, 1)
         s_ulen = sc.u7()
-        desc[i] = _Stream(_uncompress_container(sub, s_ulen))
+        desc[i] = _Stream(_container(sub, s_ulen))
         o += nb + clen
 
     # reconstruct names (tokenise_name3.c decode_name)

@@ -130,9 +130,10 @@ def test_rans_nx16_corrupt_raises_valueerror():
 def test_tok3_corrupt_raises_valueerror():
     with pytest.raises(ValueError):
         tok3_decode_names(b"", None)
-    # arith flag set -> descriptive unsupported error
+    # use_arith=1 routes through the adaptive coder; a truncated stream
+    # still normalizes to ValueError
     hdr = struct.pack("<II", 10, 2) + b"\x01"
-    with pytest.raises(ValueError, match="arith"):
+    with pytest.raises(ValueError):
         tok3_decode_names(hdr + b"\x80\x00", None)
     rng = random.Random(11)
     for _ in range(200):
@@ -154,3 +155,104 @@ def test_rle_expansion_bounded():
     runs = bytes([0x84, 0x80, 0x80, 0x80, 0x00])
     with pytest.raises(ValueError, match="RLE"):
         _unrle(b"A", runs, b"A", 10)
+
+
+# ---------------------------------------------------------------------------
+# arith (method 6) and fqzcomp (method 7) — kmer_tpu/io/cram_arith.py
+
+# X_* bits (arith_dynamic.c): 1=O1 4=EXT(bz2) 8=STRIPE 32=CAT 64=RLE
+# 128=PACK.  EXT combos are skipped automatically: this box's htslib
+# oracle is built without libbz2, so its encoder cannot emit them
+# (the decoder handles them via the stdlib bz2 module).
+ARITH_ORDERS = [0, 1, 8, 9, 32, 64, 65, 128, 129, 136, 140, 192, 193, 200]
+
+
+@pytest.mark.parametrize("name", ["acgt", "runs", "mixed", "tiny"])
+def test_arith_all_transforms(encoder, tmp_path, name):
+    from kmer_tpu.io.cram_arith import arith_decode
+
+    raw = _payloads()[name]
+    src = tmp_path / "in.bin"
+    src.write_bytes(raw)
+    for order in ARITH_ORDERS:
+        out = tmp_path / f"o{order}.arith"
+        r = subprocess.run(
+            [encoder, "arith", str(order), str(src), str(out)],
+            capture_output=True,
+        )
+        if r.returncode != 0:
+            continue
+        assert arith_decode(out.read_bytes(), len(raw)) == raw, (name, order)
+
+
+def _qual_reads(rng, n=2000, dup_frac=0.3):
+    """Correlated quality strings with mixed lengths and duplicate
+    reads — drives fqzcomp's qtab/dtab/ptab contexts and dedup."""
+    reads = []
+    for _ in range(n):
+        length = rng.choice([100, 100, 100, 151])
+        q = 30
+        row = bytearray()
+        for _ in range(length):
+            q = max(2, min(40, q + rng.choice([-1, 0, 0, 0, 1])))
+            row.append(33 + q)
+        reads.append(bytes(row))
+        if rng.random() < dup_frac:
+            reads.append(bytes(row))
+    return b"\n".join(reads) + b"\n"
+
+
+@pytest.mark.parametrize("mode", ["fqz", "fqz3"])
+def test_fqzcomp_all_strategies(encoder, tmp_path, mode):
+    """Every encoder strategy (strat_opts presets incl. selectors,
+    qtab/dtab variants, fixed vs varying lengths, dedup) and, via fqz3,
+    the CRAM v3.0 DO_REV orientation flags."""
+    from kmer_tpu.io.cram_arith import fqz_decode
+
+    rng = random.Random(101)
+    quals = _qual_reads(rng)
+    raw = quals.replace(b"\n", b"")
+    src = tmp_path / "quals.txt"
+    src.write_bytes(quals)
+    for strat in range(7):
+        out = tmp_path / f"s{strat}.fqz"
+        r = subprocess.run(
+            [encoder, mode, str(strat), str(src), str(out)],
+            capture_output=True,
+        )
+        if r.returncode != 0:
+            continue
+        assert fqz_decode(out.read_bytes(), len(raw)) == raw, (mode, strat)
+
+
+def test_tok3_arith_names(encoder, tmp_path):
+    """tok3 with use_arith=1 (the small/archive profiles) routes its
+    token streams through the adaptive coder."""
+    names = b"".join(b"SRR123.%d %d/%d\n" % (i, i * 31 % 1000, 1 + i % 2)
+                     for i in range(2500))
+    src = tmp_path / "names.txt"
+    src.write_bytes(names)
+    out = tmp_path / "names.tok3a"
+    # level 1 only: higher levels need the bz2-enabled encoder
+    subprocess.run([encoder, "tok3a", "1", str(src), str(out)],
+                   capture_output=True, check=True)
+    assert tok3_decode_names(out.read_bytes(), None) == \
+        names.replace(b"\n", b"\0")
+
+
+def test_arith_fqz_corrupt_raises_valueerror():
+    from kmer_tpu.io.cram_arith import arith_decode, fqz_decode
+
+    rng = random.Random(17)
+    for fn, hint in ((arith_decode, 33), (fqz_decode, None)):
+        with pytest.raises(ValueError):
+            fn(b"", hint)
+        for _ in range(200):
+            blob = bytes(rng.randint(0, 255)
+                         for _ in range(rng.randint(1, 64)))
+            try:
+                out = fn(blob, hint)
+            except ValueError:
+                continue
+            if hint is not None:
+                assert len(out) == hint

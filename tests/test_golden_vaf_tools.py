@@ -429,3 +429,39 @@ def test_cram_crai_indexed_parity(patterns, cram_fixture, tmp_path):
         capture_output=True, check=True,
     )
     assert _read(f"{d}/ref.vaf") != _read(f"{d}/ref_seq.vaf")
+
+
+def test_cram31_fqz_records_match_bam(tmp_path):
+    """A v3.1 CRAM written with CRAM_OPT_USE_FQZ carries method-7
+    (fqzcomp) quality blocks (fqzcomp_qual.c) — every record must still
+    equal its BAM original.  (USE_ARITH CRAMs cannot be produced by
+    this box's bz2-less htslib oracle; the arith codec itself is
+    golden-tested stream-level in test_cram31_codecs.py.)"""
+    import gzip
+
+    from tests import oracles
+
+    try:
+        conv = oracles.ensure("sam2cram")
+    except oracles.OracleBuildError as e:
+        pytest.skip(str(e))
+    ref_fa = str(tmp_path / "genome.fa")
+    with gzip.open(GENOME, "rb") as fin, open(ref_fa, "wb") as fout:
+        fout.write(fin.read())
+    cram = str(tmp_path / "fqz.cram")
+    subprocess.run(
+        [conv, os.path.join(FIXTURES, "sampleA_aln.bam"), ref_fa, cram,
+         "v=3.1", "fqz"],
+        capture_output=True, check=True,
+    )
+    from kmer_tpu.io.bam import open_alignment
+    from kmer_tpu.io.cram import CramReader
+
+    bam = open_alignment(os.path.join(FIXTURES, "sampleA_aln.bam"))
+    n = 0
+    for b, c in zip(bam.records(), CramReader(cram).records()):
+        assert (b.flag, b.tid, b.pos, b.l_seq) == (c.flag, c.tid, c.pos,
+                                                   c.l_seq)
+        assert all(b.base_at(j) == c.base_at(j) for j in range(b.l_seq))
+        n += 1
+    assert n == 8000
