@@ -190,6 +190,91 @@ class MultihostSortEngine:
         same pattern file); the join is a collective."""
         return self.eng.counts_for(query_hi, query_lo)
 
+    def _ckpt_file(self, path: str, pid=None, pc=None) -> str:
+        pid = jax.process_index() if pid is None else pid
+        pc = jax.process_count() if pc is None else pc
+        return f"{path}.proc{pid}of{pc}.npz"
+
+    def save_checkpoint(self, path: str) -> None:
+        """Pod-safe checkpoint: one shard file PER PROCESS
+        (path.procIofN.npz), each holding only that host's addressable
+        device planes — no cross-host gather.  save is a collective
+        (the compaction runs on every process) and ends with a barrier
+        so no process returns before every shard file is published."""
+        self.eng.compact()  # collective: all processes participate
+        pid, pc = jax.process_index(), jax.process_count()
+        d, s = self.mesh.shape["data"], self.mesh.shape["shard"]
+        blocks = {}
+        if self.eng.weighted is None:  # empty stream: sentinel planes
+            for dev in jax.local_devices():
+                pos = [i for i, dv in enumerate(self.mesh.devices.ravel())
+                       if dv == dev]
+                di, si = divmod(pos[0], s)
+                blocks[f"hi_{di}_{si}"] = np.full((1, 1, 1), 0xFFFFFFFF,
+                                                  np.uint32)
+                blocks[f"lo_{di}_{si}"] = blocks[f"hi_{di}_{si}"]
+                blocks[f"cnt_{di}_{si}"] = np.zeros((1, 1, 1), np.uint32)
+            size = 1
+        else:
+            for name, arr in zip(("hi", "lo", "cnt"), self.eng.weighted):
+                for sh in arr.addressable_shards:
+                    di = sh.index[0].start or 0
+                    si = sh.index[1].start or 0
+                    blocks[f"{name}_{di}_{si}"] = np.asarray(sh.data)
+            size = self.eng.weighted[0].shape[2]
+        import os as _os
+
+        f = self._ckpt_file(path)
+        tmp = f + ".tmp.npz"
+        np.savez_compressed(
+            tmp,
+            meta=np.asarray(
+                [self.k, d, s, pc, pid, size,
+                 self.eng.total_kmers, self.eng.total_dropped,
+                 self.total_bases, self.total_seqs], np.int64),
+            **blocks,
+        )
+        _os.replace(tmp, f)
+        if pc > 1:  # barrier: every shard file on disk before returning
+            from jax.experimental import multihost_utils
+
+            multihost_utils.process_allgather(np.asarray([1], np.int64))
+
+    def resume_checkpoint_into(self, path: str) -> None:
+        """Rebuild from per-process shard files.  Validates that k, the
+        mesh shape and the process layout match the saving run (keys
+        must stay with their owning devices)."""
+        pid, pc = jax.process_index(), jax.process_count()
+        z = np.load(self._ckpt_file(path))
+        k, d, s, zpc, zpid, size, tk, td, tb, ts = (
+            int(x) for x in z["meta"])
+        if k != self.k:
+            raise ValueError(f"checkpoint k={k} != engine k={self.k}")
+        if (d, s) != (self.mesh.shape["data"], self.mesh.shape["shard"]):
+            raise ValueError(
+                f"checkpoint mesh {d}x{s} != current "
+                f"{self.mesh.shape['data']}x{self.mesh.shape['shard']}")
+        if (zpc, zpid) != (pc, pid):
+            raise ValueError(
+                f"checkpoint written by process {zpid}/{zpc}, "
+                f"loaded by {pid}/{pc}")
+        sharding = NamedSharding(self.mesh, P("data", "shard", None))
+        self.eng.reset()
+
+        def plane(name):
+            def cb(index):
+                di = index[0].start or 0
+                si = index[1].start or 0
+                return z[f"{name}_{di}_{si}"]
+
+            return jax.make_array_from_callback((d, s, size), sharding, cb)
+
+        self.eng.weighted = (plane("hi"), plane("lo"), plane("cnt"))
+        self.eng._bytes = size * 12
+        self.eng.total_kmers = tk
+        self.eng.total_dropped = td
+        self.total_bases, self.total_seqs = tb, ts
+
 
 def count_multihost(paths: Sequence[str], k: int,
                     block: int = 4_194_304,

@@ -711,8 +711,21 @@ class ShardedSortEngine:
 
     def _store_weighted(self, chi, clo, ccnt, nu) -> None:
         # slice every device to the largest unique count (static shape),
-        # rounded to a size class; tails are sentinel keys with count 0
-        nu_max = int(np.max(np.asarray(nu)))
+        # rounded to a size class; tails are sentinel keys with count 0.
+        # On a multi-process run nu spans non-addressable devices: max
+        # the local shards, then agree globally (every process must pick
+        # the SAME size — the slice below is a collective program)
+        local_max = max(
+            (int(np.asarray(s.data).max()) for s in nu.addressable_shards),
+            default=0,
+        )
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            nu_max = int(multihost_utils.process_allgather(
+                np.asarray([local_max], np.int64)).max())
+        else:
+            nu_max = local_max
         size = min(max(1 << 16, 1 << (max(nu_max - 1, 1)).bit_length()),
                    chi.shape[2])
         self.weighted = (

@@ -801,8 +801,10 @@ class MeshSortCountEngine:
 
     def save_checkpoint(self, path: str) -> None:
         """Per-device planes + stream totals (see
-        SortCountEngine.save_checkpoint; single-host meshes only — on a
-        pod the file-based stage boundaries remain the checkpoints)."""
+        SortCountEngine.save_checkpoint).  This engine is the
+        single-process multi-chip path; multi-process pods checkpoint
+        through MultihostSortEngine.save_checkpoint (one shard file per
+        process, dist/multihost.py)."""
         import os
 
         self.eng.save_checkpoint(path)

@@ -251,3 +251,125 @@ def test_two_process_cli_yak_two_file(tmp_path):
     with contextlib.redirect_stdout(buf):
         assert not main(["-k21", "-b14", "-K65536"] + paths)
     assert ours(outs[0][0]) == buf.getvalue(), ours(outs[0][0])[:400]
+
+
+_CKPT_WORKER = """
+import os, sys, json
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 4)
+pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+jax.distributed.initialize(coordinator_address="127.0.0.1:" + port,
+                           num_processes=nproc, process_id=pid)
+from kmer_tpu.dist.multihost import MultihostSortEngine
+import numpy as np
+phase, ckpt, path = sys.argv[4], sys.argv[5], sys.argv[6]
+eng = MultihostSortEngine(k=21, block_bases=65536)
+if phase == "save":
+    eng.count_paths([path])
+    eng.save_checkpoint(ckpt)
+    sys.exit(0)  # the "kill": this generation dies after checkpointing
+eng.resume_checkpoint_into(ckpt)
+eng.count_paths([path])
+h = eng.hist(256, max_count=1023)
+if jax.process_index() == 0:
+    print(json.dumps({{"nd": int(eng._n_distinct),
+                       "hist": [int(x) for x in h],
+                       "tb": eng.total_bases, "ts": eng.total_seqs}}))
+""".format(repo=REPO)
+
+
+def test_two_process_checkpoint_kill_and_resume(tmp_path):
+    """Pod-safe checkpoints (per-process shard files): generation 1 of
+    a 2-process Gloo run counts file A, checkpoints, and dies; a FRESH
+    2-process generation (new coordinator) resumes from the shard files
+    and counts file B.  The final histogram and totals must equal an
+    uninterrupted single-engine run over both files."""
+    rng = np.random.default_rng(11)
+    paths = []
+    for i in range(2):
+        p = str(tmp_path / f"ck{i}.fq.gz")
+        with gzip.open(p, "wb") as f:
+            for r in range(250):
+                s = "".join(rng.choice(list("ACGT"), 120))
+                f.write(f"@r{r}\n{s}\n+\n{'I' * 120}\n".encode())
+        paths.append(p)
+    ckpt = str(tmp_path / "state.ckpt")
+    worker = str(tmp_path / "worker.py")
+    with open(worker, "w") as f:
+        f.write(_CKPT_WORKER)
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith(("JAX_", "XLA_"))}
+    for phase, path in (("save", paths[0]), ("resume", paths[1])):
+        port = str(_free_port())
+        procs = [
+            subprocess.Popen(
+                [sys.executable, worker, str(pid), "2", port, phase,
+                 ckpt, path],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+            )
+            for pid in range(2)
+        ]
+        outs = [p.communicate(timeout=300) for p in procs]
+        for p, (out, err) in zip(procs, outs):
+            assert p.returncode == 0, (phase, err.decode()[-2000:])
+    assert os.path.exists(ckpt + ".proc0of2.npz")
+    assert os.path.exists(ckpt + ".proc1of2.npz")
+    got = json.loads(outs[0][0].decode().strip().splitlines()[-1])
+
+    from kmer_tpu.pipeline.counter import SortCountEngine
+
+    eng = SortCountEngine(k=21)
+    eng.count_paths(paths)
+    want = eng.hist(256, max_count=1023)
+    assert got["nd"] == eng._n_distinct
+    assert np.array_equal(np.asarray(got["hist"]), want.astype(np.int64))
+    assert got["tb"] == eng.total_bases and got["ts"] == eng.total_seqs
+
+
+def test_multihost_checkpoint_format_and_validation(tmp_path):
+    """Single-process (8 virtual devices): shard-file roundtrip
+    preserves hist/totals, and restore validates k and the process
+    layout (keys must stay with their owning devices)."""
+    import gzip as _gzip
+
+    import pytest as _pytest
+
+    from kmer_tpu.dist.multihost import MultihostSortEngine
+
+    rng = np.random.default_rng(3)
+    p = str(tmp_path / "r.fq.gz")
+    with _gzip.open(p, "wb") as f:
+        for r in range(200):
+            s = "".join(rng.choice(list("ACGT"), 100))
+            f.write(f"@r{r}\n{s}\n+\n{'I' * 100}\n".encode())
+    eng = MultihostSortEngine(k=21, block_bases=65536)
+    eng.count_paths([p])
+    ckpt = str(tmp_path / "s.ckpt")
+    eng.save_checkpoint(ckpt)
+    want = eng.hist(256, max_count=1023)
+    want_nd = eng._n_distinct
+
+    eng2 = MultihostSortEngine(k=21, block_bases=65536)
+    eng2.resume_checkpoint_into(ckpt)
+    got = eng2.hist(256, max_count=1023)
+    assert np.array_equal(np.asarray(got), np.asarray(want))
+    assert eng2._n_distinct == want_nd
+    assert (eng2.total_bases, eng2.total_seqs) == (eng.total_bases,
+                                                  eng.total_seqs)
+
+    bad = MultihostSortEngine(k=31, block_bases=65536)
+    with _pytest.raises(ValueError, match="k=21"):
+        bad.resume_checkpoint_into(ckpt)
+
+    # a different process layout must refuse the shard file
+    import numpy as _np
+
+    z = dict(_np.load(ckpt + ".proc0of1.npz"))
+    z["meta"] = z["meta"].copy()
+    z["meta"][3] = 2  # claim it came from a 2-process run
+    _np.savez_compressed(ckpt + "2.proc0of1.npz", **z)
+    eng3 = MultihostSortEngine(k=21, block_bases=65536)
+    with _pytest.raises(ValueError, match="process"):
+        eng3.resume_checkpoint_into(ckpt + "2")
