@@ -312,6 +312,7 @@ class KmerCompactor:
         from collections import deque
 
         self._sync_q: "deque" = deque()
+        self._sync_pool = None  # lazy 1-thread pool for throttle syncs
         self.stream = self._make_ladder() if self.stream_sorted else None
 
     def add_batch(self, keys: u.U64, valid: jnp.ndarray) -> None:
@@ -359,9 +360,21 @@ class KmerCompactor:
         and an unthrottled fast reader OOMs HBM at bench scale).  The
         readback is ~one tunnel round trip and only blocks when the
         device is genuinely behind the slack window."""
-        self._sync_q.append(planes[0][:8])
+        if self._sync_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._sync_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="compactor-sync")
+        self._sync_q.append(
+            self._sync_pool.submit(lambda x: np.asarray(x), planes[0][:8]))
         if len(self._sync_q) > 2:
-            np.asarray(self._sync_q.popleft())
+            # wait on the chunk-before-last's readback.  The RTT itself
+            # runs in the pool thread, overlapped with this thread's
+            # dispatch — the main loop only blocks when the device is
+            # genuinely behind the slack window, instead of eating one
+            # full tunnel round trip per pushed chunk (~30-60 ms each,
+            # the dominant per-block dispatch cost on the e2e bench)
+            self._sync_q.popleft().result()
 
     def _stream_add(self, hi, lo):
         # _bytes counts RAW lanes only, as in classic mode: both modes
