@@ -6,7 +6,7 @@
 
 PY ?= python3
 
-.PHONY: all native test test-fast bench fixtures oracles panels clean
+.PHONY: all native test test-fast bench tpu-smoke fixtures oracles htslib panels clean
 
 all: native
 
@@ -41,11 +41,17 @@ tpu-smoke:
 fixtures:
 	$(PY) scripts/make_fixtures.py
 
-# reference oracle binaries for the golden tests, built by running the
-# counter goldens once (fixtures compile into tests/refbin/; the htslib
-# oracles are documented in .claude/skills/verify/SKILL.md)
+# every reference oracle binary for the golden tests (tests/refbin/),
+# including the htslib-linked ones — builds the htslib static lib
+# itself on first use (tests/oracles.py ensure_htslib)
 oracles:
-	$(PY) -m pytest tests/test_golden_counters.py -q
+	$(PY) -c "from tests import oracles; \
+	  oracles.ensure_all(list(oracles.RECIPES) \
+	    + list(oracles.HTSLIB_RECIPES) + list(oracles.SUPPORT_RECIPES))"
+
+# just the htslib static lib (/tmp/htslib_build, ~1-4 min once)
+htslib:
+	$(PY) -c "from tests import oracles; print(oracles.ensure_htslib())"
 
 panels:
 	$(PY) scripts/fetch_snp_panels.py

@@ -53,6 +53,53 @@ def shard_files(paths: Sequence[str], process_index: Optional[int] = None,
     return [p for i, p in enumerate(paths) if i % pc == pi]
 
 
+def single_reader() -> bool:
+    """KMER_TPU_SINGLE_READER=1: process 0 reads EVERY file and
+    broadcasts each global batch over DCN, instead of per-host file
+    sharding.  Batch composition (and with it the yak per-batch stderr
+    totals and bloom admission order — PARITY.md divergences 8/10) then
+    matches a 1-process run of the same mesh; the cost is that ingest
+    is bounded by one host's reader + the broadcast."""
+    return os.environ.get("KMER_TPU_SINGLE_READER", "").strip().lower() \
+        in ("1", "true", "on", "yes")
+
+
+def _bcast_batches(paths: Sequence[str], k: int, block: int, n_rows: int,
+                   qual_policy=None):
+    """Single-reader iterator: process 0 packs GLOBAL (n_rows, block)
+    batches over all files; every process receives identical
+    (rows, n_bases, n_seqs, row_bytes) via broadcast_one_to_all.  Every
+    yield is a collective — all processes must consume in lockstep (no
+    prefetch thread: interleaving two threads' collectives deadlocks)."""
+    from jax.experimental import multihost_utils
+
+    pid = jax.process_index()
+    it = (_local_batches(paths, k, block, n_rows, qual_policy)
+          if pid == 0 else None)
+    zeros = None
+    while True:
+        item = next(it, None) if pid == 0 else None
+        if pid == 0:
+            hdr = np.asarray(
+                [0, 0, 0, -1] if item is None else
+                [1, item[1], item[2], item[3] if item[3] else -1],
+                np.int64)
+        else:
+            hdr = np.zeros(4, np.int64)
+        hdr = multihost_utils.broadcast_one_to_all(hdr)
+        if int(hdr[0]) == 0:
+            return
+        if pid == 0:
+            rows = item[0]
+        else:
+            if zeros is None:
+                zeros = np.zeros((n_rows, block), np.uint8)
+            rows = zeros
+        rows = np.asarray(multihost_utils.broadcast_one_to_all(rows))
+        yield (rows, int(hdr[1]), int(hdr[2]),
+               int(hdr[3]) if int(hdr[3]) > 0 else None)
+
+
 def _local_batches(paths: Sequence[str], k: int, block: int,
                    n_local_rows: int, qual_policy=None):
     """Pack this host's files into (n_local_rows, block) uint8 batches;
@@ -108,6 +155,9 @@ class MultihostSortEngine:
         return self.eng.total_kmers  # psum'd inside the step: global
 
     def count_paths(self, paths: Sequence[str], progress=None) -> None:
+        if single_reader() and jax.process_count() > 1:
+            self._count_single_reader(paths, progress)
+            return
         local_it = _local_batches(
             shard_files(paths), self.k, self.row_bases, self.n_local,
             self.qual_policy,
@@ -179,6 +229,24 @@ class MultihostSortEngine:
                 f"buffers {self.eng.total_retries}x; auto-doubled the "
                 f"send lanes and replayed (no k-mers dropped)\n"
             )
+
+    def _count_single_reader(self, paths: Sequence[str], progress) -> None:
+        """Single-reader mode (see single_reader()): consume broadcast
+        GLOBAL batches; the n_bases/n_seqs in each header are already
+        global totals, so no end-of-run allgather."""
+        for rows, nb, ns, rb in _bcast_batches(
+                paths, self.k, self.row_bases, self.n_dev,
+                self.qual_policy):
+            self.total_bases += nb
+            self.total_seqs += ns
+            global_rows = jax.make_array_from_callback(
+                (self.n_dev, self.row_bases), self._sharding,
+                lambda idx: rows[idx],
+            )
+            self.eng.add_batch(global_rows, row_bytes=rb)
+            if progress is not None:
+                progress(self)
+        self.eng._flush_inflight()
 
     def hist(self, n_bins: int, max_count=None, min_keep: int = 1):
         h = self.eng.hist(n_bins, max_count, min_keep)

@@ -489,10 +489,26 @@ class MeshYakEngine:
     def _count_multiprocess(self, paths, policy, create_new: bool) -> None:
         """Pod form: files shard per host, every process steps the same
         collectives in lockstep, exhausted hosts contribute zero blocks
-        (the dist.multihost coordination, applied to the yak flow)."""
+        (the dist.multihost coordination, applied to the yak flow).
+        KMER_TPU_SINGLE_READER=1 instead has process 0 read every file
+        and broadcast global batches — batch composition and bloom
+        admission order then match a 1-process run of the SAME mesh,
+        removing the per-host file-sharding residual of PARITY.md
+        divergences 8/10 (the mesh-vs-reference row geometry remains)."""
         from jax.experimental import multihost_utils
 
-        from ..dist.multihost import _local_batches, shard_files
+        from ..dist.multihost import (_bcast_batches, _local_batches,
+                                      shard_files, single_reader)
+
+        if single_reader():
+            for rows, _nb, ns, rb in _bcast_batches(
+                    paths, self.k, self.row_bases, self.n_dev, policy):
+                batch = jax.make_array_from_callback(
+                    (self.n_dev, self.row_bases), self._global_sharding,
+                    lambda idx: rows[idx],
+                )
+                self._step_rows(batch, rb, ns, create_new)
+            return
 
         it = _local_batches(shard_files(paths), self.k, self.row_bases,
                             self.n_local, policy)

@@ -373,3 +373,89 @@ def test_multihost_checkpoint_format_and_validation(tmp_path):
     eng3 = MultihostSortEngine(k=21, block_bases=65536)
     with _pytest.raises(ValueError, match="process"):
         eng3.resume_checkpoint_into(ckpt + "2")
+
+
+_SR_WORKER = """
+import os, sys, json
+sys.path.insert(0, {repo!r})
+os.environ["KMER_TPU_SINGLE_READER"] = "1"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 4)
+pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+jax.distributed.initialize(coordinator_address="127.0.0.1:" + port,
+                           num_processes=nproc, process_id=pid)
+from kmer_tpu.dist.multihost import MultihostSortEngine
+from kmer_tpu.pipeline.yak import MeshYakEngine
+import numpy as np
+paths = sys.argv[4:]
+eng = MultihostSortEngine(k=21, block_bases=65536)
+eng.count_paths(paths)
+h = eng.hist(256, max_count=1023)
+lines = []
+yk = MeshYakEngine(k=21, pre=10, bf_shift=18, bf_n_hash=4,
+                   chunk_size=65536,
+                   log=lambda ns, tot: lines.append((ns, tot)))
+yk.count(paths, create_new=True)
+if jax.process_index() == 0:
+    print(json.dumps({{"nd": int(eng._n_distinct),
+                       "hist": [int(x) for x in h],
+                       "tb": eng.total_bases, "ts": eng.total_seqs,
+                       "yak": lines}}))
+""".format(repo=REPO)
+
+
+def test_two_process_single_reader_matches_mesh(tmp_path, monkeypatch):
+    """KMER_TPU_SINGLE_READER=1: process 0 reads every file and
+    broadcasts global batches.  The 2-process run must match the
+    1-process 8-device mesh run EXACTLY — histogram, totals, and the
+    yak per-batch stderr sequence (n_seqs, running tot), i.e. batch
+    composition and bloom admission order (PARITY.md div 8/10 per-host
+    residuals) are gone."""
+    rng = np.random.default_rng(17)
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"sr{i}.fq.gz")
+        with gzip.open(p, "wb") as f:
+            for r in range(200 + 50 * i):
+                s = "".join(rng.choice(list("ACGT"), 120))
+                f.write(f"@r{r}\n{s}\n+\n{'I' * 120}\n".encode())
+        paths.append(p)
+
+    port = str(_free_port())
+    worker = str(tmp_path / "worker.py")
+    with open(worker, "w") as f:
+        f.write(_SR_WORKER)
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith(("JAX_", "XLA_"))}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", port] + paths,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=300) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, err.decode()[-2000:]
+    got = json.loads(outs[0][0].decode().strip().splitlines()[-1])
+
+    # 1-process reference on the SAME 8-device mesh (conftest gives
+    # this test process 8 virtual CPU devices)
+    monkeypatch.setenv("KMER_TPU_FORCE_MESH", "1")
+    from kmer_tpu.dist.multihost import MultihostSortEngine
+    from kmer_tpu.pipeline.yak import MeshYakEngine
+
+    eng = MultihostSortEngine(k=21, block_bases=65536)
+    eng.count_paths(paths)
+    want = eng.hist(256, max_count=1023)
+    assert got["nd"] == eng._n_distinct
+    assert np.array_equal(np.asarray(got["hist"]), np.asarray(want))
+    assert (got["tb"], got["ts"]) == (eng.total_bases, eng.total_seqs)
+
+    lines = []
+    yk = MeshYakEngine(k=21, pre=10, bf_shift=18, bf_n_hash=4,
+                       chunk_size=65536,
+                       log=lambda ns, tot: lines.append([ns, tot]))
+    yk.count(paths, create_new=True)
+    assert got["yak"] == lines
