@@ -319,6 +319,11 @@ def _uncompress_container(data, out_sz: Optional[int]) -> bytes:
     if flags & 0x08:  # STRIPE: J sub-containers, byte-interleaved
         c = _Cur(data, 1)
         ulen = c.u7()
+        if out_sz is not None and ulen != out_sz:
+            raise ValueError(
+                f"rANS Nx16 stripe size {ulen} != expected {out_sz}")
+        if out_sz is None and ulen > (1 << 28):
+            raise ValueError(f"rANS Nx16 stripe size {ulen} implausible")
         n_sub = c.u8()
         if n_sub < 1:
             raise ValueError("rANS Nx16 stripe with zero sub-streams")
@@ -340,6 +345,11 @@ def _uncompress_container(data, out_sz: Optional[int]) -> bytes:
     do_cat = flags & 0x20
     if not flags & 0x10:
         osz = c.u7()
+        if out_sz is not None and osz != out_sz:
+            raise ValueError(
+                f"rANS Nx16 stored size {osz} != expected {out_sz}")
+        if out_sz is None and osz > (1 << 28):
+            raise ValueError(f"rANS Nx16 stored size {osz} implausible")
     else:
         if out_sz is None:
             raise ValueError("rANS Nx16 NOSZ block without expected size")

@@ -95,6 +95,13 @@ class _Model:
         self.nsym = nsym
 
     def decode(self, rc: _RC) -> int:
+        if rc.err:
+            # the C decoders set the flag and keep producing garbage
+            # until their (caller-bounded) output fills, then reject at
+            # RC_FinishDecode; failing at first underrun gives the same
+            # rejection without letting a corrupt stored length drive a
+            # multi-GB garbage loop
+            raise ValueError("adaptive stream truncated")
         f = rc.get_freq(self.tot)
         if f > _MAX_FREQ:
             return 0
@@ -226,6 +233,11 @@ def _arith_container(data, out_size: Optional[int]) -> bytes:
     if flags & 0x08:  # X_STRIPE: J sub-containers, byte-interleaved
         o = 1
         ulen, o = _u7(data, o)
+        if out_size is not None and ulen != out_size:
+            raise ValueError(
+                f"arith stripe size {ulen} != expected {out_size}")
+        if out_size is None and ulen > (1 << 28):
+            raise ValueError(f"arith stripe size {ulen} implausible")
         n_sub = data[o]
         o += 1
         if n_sub < 1:
@@ -252,10 +264,15 @@ def _arith_container(data, out_size: Optional[int]) -> bytes:
     do_ext = flags & 0x04
     if not flags & 0x10:
         osz, o = _u7(data, o)
+        if out_size is not None and osz != out_size:
+            raise ValueError(
+                f"arith block stored size {osz} != expected {out_size}")
     else:
         if out_size is None:
             raise ValueError("arith NOSZ block without expected size")
         osz = out_size
+    if out_size is None and osz > (1 << 28):
+        raise ValueError(f"arith block stored size {osz} implausible")
 
     pmap = None
     nsym = 0
@@ -441,7 +458,7 @@ def _fqz_read_param1(data, o) -> tuple:
 def fqz_decode(data: bytes, out_size: Optional[int]) -> bytes:
     """Decode one fqzcomp quality block (uncompress_block_fqz2f)."""
     try:
-        out = _fqz_decode(data)
+        out = _fqz_decode(data, out_size)
     except (IndexError, KeyError, struct.error) as e:
         raise ValueError(
             f"truncated or corrupt fqzcomp block ({len(data)} bytes)"
@@ -452,8 +469,13 @@ def fqz_decode(data: bytes, out_size: Optional[int]) -> bytes:
     return out
 
 
-def _fqz_decode(data: bytes) -> bytes:
+def _fqz_decode(data: bytes, out_size: Optional[int] = None) -> bytes:
     length, o = _u7(data, 0)
+    if out_size is not None and length != out_size:
+        raise ValueError(
+            f"fqzcomp stored size {length} != expected {out_size}")
+    if out_size is None and length > (1 << 28):
+        raise ValueError(f"fqzcomp stored size {length} implausible")
     vers = data[o]
     o += 1
     if vers != _FQZ_VERS:
