@@ -313,6 +313,7 @@ class KmerCompactor:
 
         self._sync_q: "deque" = deque()
         self._sync_pool = None  # lazy 1-thread pool for throttle syncs
+        self._sync_window = None  # resolved at first push (env override)
         self.stream = self._make_ladder() if self.stream_sorted else None
 
     def add_batch(self, keys: u.U64, valid: jnp.ndarray) -> None:
@@ -360,6 +361,21 @@ class KmerCompactor:
         and an unthrottled fast reader OOMs HBM at bench scale).  The
         readback is ~one tunnel round trip and only blocks when the
         device is genuinely behind the slack window."""
+        import os
+
+        if self._sync_window is None:
+            try:
+                self._sync_window = max(
+                    1, int(os.environ.get("KMER_TPU_THROTTLE_WINDOW", "")))
+            except ValueError:
+                # 4 chunks of slack: an A/B on the 256 Mbase e2e job
+                # showed the entire "dispatch" stage (2-4 s/pass, worse
+                # under congestion) was throttle coupling at window 2,
+                # while unthrottled dispatch is ~0.06 s; 4 keeps the
+                # HBM bound (~4 in-flight chunk sorts) with half the
+                # coupling.  KMER_TPU_THROTTLE_WINDOW tunes it; huge
+                # values effectively disable the throttle.
+                self._sync_window = 4
         if self._sync_pool is None:
             from concurrent.futures import ThreadPoolExecutor
 
@@ -367,13 +383,11 @@ class KmerCompactor:
                 max_workers=1, thread_name_prefix="compactor-sync")
         self._sync_q.append(
             self._sync_pool.submit(lambda x: np.asarray(x), planes[0][:8]))
-        if len(self._sync_q) > 2:
-            # wait on the chunk-before-last's readback.  The RTT itself
+        if len(self._sync_q) > self._sync_window:
+            # wait on the oldest outstanding readback.  The RTT itself
             # runs in the pool thread, overlapped with this thread's
             # dispatch — the main loop only blocks when the device is
-            # genuinely behind the slack window, instead of eating one
-            # full tunnel round trip per pushed chunk (~30-60 ms each,
-            # the dominant per-block dispatch cost on the e2e bench)
+            # genuinely behind the slack window
             self._sync_q.popleft().result()
 
     def _stream_add(self, hi, lo):
