@@ -12,9 +12,11 @@ Usage: python scripts/yak_tap_probe.py [n_blocks=4] [bf_shift=30]
 """
 
 import logging
+import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 logging.getLogger("jax._src.xla_bridge").setLevel(logging.ERROR)
 
 import numpy as np
