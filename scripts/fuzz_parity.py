@@ -682,7 +682,133 @@ def fuzz_vcf(rounds=10, seed=0):
     return fails
 
 
+
+
+def fuzz_cram31(rounds=10, seed=0):
+    """Randomized CRAM 3.1 codec parity: random payload shapes through
+    the C encoders (tests/refbin/rans_nx16_fixture — htscodecs itself)
+    at random transform flag combinations, decoded by
+    kmer_tpu/io/cram31.py + cram_arith.py, byte-compared to the input.
+    Complements the deterministic sweep in tests/test_cram31_codecs.py
+    with adversarial payloads (tiny sizes, single-symbol, high-entropy,
+    run-heavy, name-shaped)."""
+    import random
+    import subprocess
+    import tempfile
+
+    from kmer_tpu.io.cram31 import rans_nx16_decode, tok3_decode_names
+    from kmer_tpu.io.cram_arith import arith_decode, fqz_decode
+    from tests import oracles
+
+    try:
+        enc = oracles.ensure("rans_nx16_fixture")
+    except oracles.OracleBuildError as e:
+        print(f"[skip] {e}")
+        return 0
+    rans_orders = [0, 1, 4, 5, 8, 9, 12, 13, 32, 64, 65, 128, 129, 132,
+                   133, 136, 140, 192, 193, 196, 200]
+    arith_orders = [0, 1, 8, 9, 32, 64, 65, 128, 129, 136, 140, 192,
+                    193, 200]
+    fails = 0
+    for t in range(rounds):
+        rng = random.Random(seed + t)
+        n = rng.choice([1, 2, 5, 63, 64, 65, 1000, 4096, 65537])
+        kind = rng.choice(["const", "acgt", "runs", "bytes", "biased"])
+        if kind == "const":
+            payload = bytes([rng.randrange(256)]) * n
+        elif kind == "acgt":
+            payload = bytes(rng.choice(b"ACGT") for _ in range(n))
+        elif kind == "runs":
+            out = bytearray()
+            while len(out) < n:
+                out += bytes([rng.randrange(4)]) * rng.randint(1, 30)
+            payload = bytes(out[:n])
+        elif kind == "biased":
+            payload = bytes(rng.randrange(256) if rng.random() < 0.2
+                            else 65 for _ in range(n))
+        else:
+            payload = bytes(rng.randrange(256) for _ in range(n))
+        with tempfile.TemporaryDirectory() as td:
+            src_f = f"{td}/in.bin"
+            out_f = f"{td}/out.bin"
+            with open(src_f, "wb") as f:
+                f.write(payload)
+            for mode, orders, dec in (
+                ("rans", rans_orders, rans_nx16_decode),
+                ("arith", arith_orders, arith_decode),
+            ):
+                for order in rng.sample(orders, 6):
+                    r = subprocess.run([enc, mode, str(order), src_f,
+                                        out_f], capture_output=True)
+                    if r.returncode:
+                        continue  # encoder declines some combos/sizes
+                    with open(out_f, "rb") as f:
+                        blob = f.read()
+                    try:
+                        got = dec(blob, len(payload))
+                    except Exception as e:
+                        print(f"[FAIL] {mode} o={order} {kind} n={n}: "
+                              f"{type(e).__name__}: {e}")
+                        fails += 1
+                        continue
+                    if got != payload:
+                        print(f"[FAIL] {mode} o={order} {kind} n={n}: "
+                              f"mismatch")
+                        fails += 1
+            # name-shaped payloads through tok3; qual-shaped through fqz
+            names = b"".join(
+                b"%s%d:%d/%d\n" % (rng.choice([b"r", b"SRR9.", b"M0:"]),
+                                   rng.randrange(9999), rng.randrange(99),
+                                   1 + i % 2)
+                for i in range(rng.randint(1, 400)))
+            with open(src_f, "wb") as f:
+                f.write(names)
+            r = subprocess.run([enc, "tok3", str(rng.choice([1, 3, 7, 9])),
+                                src_f, out_f], capture_output=True)
+            if r.returncode == 0:
+                with open(out_f, "rb") as f:
+                    blob = f.read()
+                try:
+                    if tok3_decode_names(blob, None) != \
+                            names.replace(b"\n", b"\0"):
+                        print(f"[FAIL] tok3 round {t}: mismatch")
+                        fails += 1
+                except Exception as e:
+                    print(f"[FAIL] tok3 round {t}: {type(e).__name__}: {e}")
+                    fails += 1
+            quals = b"".join(
+                bytes(33 + min(40, max(0, int(rng.gauss(30, 6))))
+                      for _ in range(rng.choice([50, 100, 151])))
+                + b"\n" for _ in range(rng.randint(1, 300)))
+            with open(src_f, "wb") as f:
+                f.write(quals)
+            mode = rng.choice(["fqz", "fqz3"])
+            r = subprocess.run([enc, mode, str(rng.randrange(7)), src_f,
+                                out_f], capture_output=True)
+            if r.returncode == 0:
+                with open(out_f, "rb") as f:
+                    blob = f.read()
+                raw = quals.replace(b"\n", b"")
+                try:
+                    if fqz_decode(blob, len(raw)) != raw:
+                        print(f"[FAIL] {mode} round {t}: mismatch")
+                        fails += 1
+                except Exception as e:
+                    print(f"[FAIL] {mode} round {t}: "
+                          f"{type(e).__name__}: {e}")
+                    fails += 1
+        if not fails:
+            print(f"[ok] cram31 round {t} ({kind} n={n})")
+    print(f"cram31 done: {rounds - fails}/{rounds} clean")
+    return fails
+
+
 if __name__ == "__main__":
+    if "--cram31" in sys.argv:
+        sys.argv.remove("--cram31")
+        rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+        seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+        sys.exit(1 if fuzz_cram31(rounds, seed) else 0)
     if "--vcf" in sys.argv:
         sys.argv.remove("--vcf")
         rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 10
