@@ -30,12 +30,20 @@ YAK_MAX_COUNT = YAK_N_COUNTS - 1
 BLK_SHIFT = bloom.BLK_SHIFT
 
 
-@partial(
-    jax.jit,
-    static_argnames=("spec", "create_new", "use_bloom", "exact_bloom"),
-    donate_argnums=(0, 1),
-)
-def _yak_ingest(
+def _yak_ingest(*args, **kw):
+    """Dispatch to the donated jit (default: the table + bloom planes'
+    HBM is reused in place) or, with KMER_TPU_YAK_NO_DONATE=1, a
+    non-donating twin — a diagnostic/workaround knob for the
+    shape-specific TPU worker crash isolated by scripts/yak_tap_probe.py
+    (capacity 2^24 ingest crashes its SECOND invocation; 2^26 is fine)."""
+    import os
+
+    if os.environ.get("KMER_TPU_YAK_NO_DONATE", "") == "1":
+        return _yak_ingest_nodonate(*args, **kw)
+    return _yak_ingest_donate(*args, **kw)
+
+
+def _yak_ingest_core(
     table: ct.CountTable,
     bits: jnp.ndarray,
     hi: jnp.ndarray,
@@ -73,6 +81,15 @@ def _yak_ingest(
         table = ct.add_existing(table, kmer, valid, YAK_MAX_COUNT)
         n_new = jnp.zeros((), jnp.int32)
     return table, bits, n_new
+
+
+_YAK_STATIC = ("spec", "create_new", "use_bloom", "exact_bloom")
+_yak_ingest_donate = partial(
+    jax.jit, static_argnames=_YAK_STATIC, donate_argnums=(0, 1),
+)(_yak_ingest_core)
+_yak_ingest_nodonate = partial(
+    jax.jit, static_argnames=_YAK_STATIC,
+)(_yak_ingest_core)
 
 
 def _clamp_bf_shift(bf_shift: int, owner_bits: int = 0) -> int:

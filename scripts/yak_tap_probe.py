@@ -62,8 +62,11 @@ def main(argv):
     print(f"first op {time.time()-t0:.1f}s "
           f"({jax.devices()[0].device_kind})", flush=True)
 
+    init_cap = 1 << int(argv[3]) if len(argv) > 3 else 1 << 20
+    print(f"init_capacity 2^{init_cap.bit_length()-1}", flush=True)
     sim = YakEngine(k=k, pre=10, bf_shift=bf_shift, bf_n_hash=4,
-                    chunk_size=block_bases, log=lambda *a: None)
+                    chunk_size=block_bases, init_capacity=init_cap,
+                    log=lambda *a: None)
     sim.begin_batches()
     nu = jnp.uint32(n_used)
     for i in range(n_blocks):
