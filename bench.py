@@ -299,9 +299,9 @@ def bench_yak(reads_path):
         eng = SortCountEngine(k=K, block_bases=BLOCK_BASES,
                               qual_policy=("resume", K, 3))
         if with_tap:
-            from kmer_tpu.pipeline.yak import YakEngine
+            from kmer_tpu.pipeline.yak import YakSimTap
 
-            sim = YakEngine(k=K, pre=10, bf_shift=30, bf_n_hash=4,
+            sim = YakSimTap(k=K, pre=10, bf_shift=30, bf_n_hash=4,
                             chunk_size=BLOCK_BASES, log=lambda *a: None)
             sim.begin_batches()
             eng.count_paths([reads_path], tap=sim.ingest_planes)

@@ -26,20 +26,35 @@ import os as _os
 # (read by jax.config at import) so that host-only tools — bam/vcf-vaf-
 # counter, correlation-matrix, match-classifier — never pay the ~4 s
 # `import jax` cost.
-_os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    _os.environ.get(
-        "KMER_TPU_JAX_CACHE", _os.path.expanduser("~/.cache/kmer_tpu_jax")
-    ),
-)
+# Per-backend cache dirs: a TPU-attached session also compiles HOST
+# (CPU) helper executables with tuning pseudo-features the plain CPU
+# backend rejects (+prefer-no-scatter/-gather) under the SAME cache key
+# — a later CPU run then fails the AOT load with a multi-KB
+# cpu_aot_loader error dump on stderr, every time, breaking the CLI's
+# stderr byte-parity.  Keying the directory by the intended platform
+# keeps the two populations apart.
+def _cache_dir() -> str:
+    base = _os.environ.get(
+        "KMER_TPU_JAX_CACHE", _os.path.expanduser("~/.cache/kmer_tpu_jax"))
+    plat = (_os.environ.get("KMER_TPU_PLATFORM")
+            or _os.environ.get("JAX_PLATFORMS", ""))
+    if not plat and "jax" in _sys.modules:
+        try:
+            plat = _sys.modules["jax"].config.jax_platforms or ""
+        except Exception:
+            plat = ""
+    return base + "_cpu" if "cpu" in plat else base
+
+
+import sys as _sys  # noqa: E402  (needed by _cache_dir above)
+
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache_dir())
 _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
 _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 
 # The env vars only apply at jax import; when something imported jax
 # before us (the axon sitecustomize does, and so do bench.py/conftest),
 # apply the config directly — module access is free at that point.
-import sys as _sys
-
 if "jax" in _sys.modules:
     try:
         _jax = _sys.modules["jax"]

@@ -917,26 +917,30 @@ def sharded_yak_ingest_fn(mesh: Mesh, spec, create_new: bool,
                   & (l == jnp.uint32(0xFFFFFFFF)))
         kmer = u.U64(h, l)
         b = bits[0, 0]
+        n_dead = jnp.zeros((), jnp.int32)
         if create_new:
             if use_bloom:
                 ins = bl.insert_sequential if exact_bloom else bl.insert
                 b, preset = ins(b, kmer, valid, spec)
-                local, n_new = ct.insert_gated(local, kmer, valid, preset,
-                                               max_count)
+                local, n_new, n_dead = ct.insert_gated(
+                    local, kmer, valid, preset, max_count)
             else:
                 local, n_new = ct.insert(local, kmer, valid, max_count)
         else:
             local = ct.add_existing(local, kmer, valid, max_count)
             n_new = jnp.zeros((), jnp.int32)
         n_new_tot = jax.lax.psum(jax.lax.psum(n_new, "shard"), "data")
-        return _pack_table(local), b[None, None], n_new_tot
+        # MAX per-device tombstones: growth must relieve the worst
+        # device's probe chains, not the average's
+        n_dead_max = jax.lax.pmax(jax.lax.pmax(n_dead, "shard"), "data")
+        return _pack_table(local), b[None, None], n_new_tot, n_dead_max
 
     chunk_spec = P("data", "shard", None)
     fn = shard_map(
         per_device,
         mesh=mesh,
         in_specs=(_TABLE_SPEC, chunk_spec, chunk_spec, chunk_spec),
-        out_specs=(_TABLE_SPEC, chunk_spec, P()),
+        out_specs=(_TABLE_SPEC, chunk_spec, P(), P()),
         check_vma=False,
     )
     return jax.jit(fn, donate_argnums=(0, 1))

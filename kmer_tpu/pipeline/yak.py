@@ -63,6 +63,7 @@ def _yak_ingest_core(
     kernels/kmer.py) collapses every real key to 0."""
     valid = ~((hi == jnp.uint32(0xFFFFFFFF)) & (lo == jnp.uint32(0xFFFFFFFF)))
     kmer = u.U64(hi, lo)
+    n_dead = jnp.zeros((), jnp.int32)
     if create_new:
         if use_bloom:
             # exact_bloom: the reference's sequential test-and-set
@@ -72,7 +73,7 @@ def _yak_ingest_core(
             ins = (bloom.insert_sequential if exact_bloom
                    else bloom.insert)
             bits, preset = ins(bits, kmer, valid, spec)
-            table, n_new = ct.insert_gated(
+            table, n_new, n_dead = ct.insert_gated(
                 table, kmer, valid, preset, YAK_MAX_COUNT
             )
         else:
@@ -80,7 +81,7 @@ def _yak_ingest_core(
     else:
         table = ct.add_existing(table, kmer, valid, YAK_MAX_COUNT)
         n_new = jnp.zeros((), jnp.int32)
-    return table, bits, n_new
+    return table, bits, n_new, n_dead
 
 
 _YAK_STATIC = ("spec", "create_new", "use_bloom", "exact_bloom")
@@ -145,6 +146,95 @@ def _bloom_geometry_ok(bf_shift: int, pre: int, owner_bits: int = 0) -> bool:
     return False
 
 
+@partial(jax.jit, static_argnames=("spec", "use_bloom", "exact_bloom"),
+         donate_argnums=(0,))
+def _tap_admit(bits, hi, lo, spec, use_bloom, exact_bloom):
+    """Per-lane admission for the stderr simulation tap: a lane is
+    admitted iff the reference's yak_bf_insert would return n_hash for
+    it (all bloom bits pre-set — by earlier blocks or earlier lanes of
+    this block under the sequential-exact semantics); non-admitted
+    lanes collapse to the sentinel so a sort-based distinct count over
+    the output planes equals the reference's h->tot.  Without a bloom
+    every valid lane is admitted (the reference inserts every k-mer)."""
+    sent = jnp.uint32(0xFFFFFFFF)
+    valid = ~((hi == sent) & (lo == sent))
+    if use_bloom:
+        ins = bloom.insert_sequential if exact_bloom else bloom.insert
+        bits, preset = ins(bits, u.U64(hi, lo), valid, spec)
+        adm = valid & preset
+    else:
+        adm = valid
+    return jnp.where(adm, hi, sent), jnp.where(adm, lo, sent), bits
+
+
+class YakSimTap:
+    """Single-file stderr progress simulation WITHOUT a device hash
+    table: the per-batch `[M] processed N sequences; M distinct ...`
+    totals (yak-count.c:427) need only the DISTINCT count of admitted
+    keys, so admitted lanes flow into a sort-based compactor and each
+    batch boundary compacts it for the running total — the TPU-native
+    form of this bookkeeping (counting by sort, not by hash).
+
+    Replaces the YakEngine-as-tap wiring: at GB scale the
+    open-addressing insert_gated ran its data-parallel probe loop for
+    tens of seconds per block and eventually tripped the TPU runtime's
+    watchdog (worker crash; isolated by scripts/yak_tap_probe.py).
+    YakEngine keeps the table for the flows that need real counts
+    (two-file mode, pass-2 recounts)."""
+
+    def __init__(self, k=31, pre=10, bf_shift=0, bf_n_hash=4,
+                 chunk_size=10_000_000, log=None):
+        from ..table.compactor import KmerCompactor, stream_sorted_default
+
+        self.k = k
+        self.log = log
+        self.use_bloom = (
+            bf_n_hash > 0
+            and bf_shift > pre
+            and (bf_shift - pre) >= BLK_SHIFT
+            and _bloom_geometry_ok(bf_shift, pre)
+        )
+        if self.use_bloom:
+            bf_shift = _clamp_bf_shift(bf_shift)
+            self.spec = bloom.BloomSpec(pre, bf_shift, bf_n_hash)
+            self.bits = bloom.make_bits(self.spec)
+        else:
+            self.spec = None
+            self.bits = jnp.zeros((8,), jnp.uint8)
+        self.exact_bloom = _exact_bloom_default(self.use_bloom)
+        self.comp = KmerCompactor(key_bits=2 * k,
+                                  stream_sorted=stream_sorted_default())
+        self.tot = 0
+        self.batch_seq_counts = []
+        self._batch_seqs, self._batch_pending = 0, False
+
+    def begin_batches(self) -> None:
+        self.batch_seq_counts = []
+        self._batch_seqs, self._batch_pending = 0, False
+
+    def ingest_planes(self, hi, lo, n_valid, n_seqs, batch_end,
+                      create_new: bool = True) -> None:
+        hi2, lo2, self.bits = _tap_admit(
+            self.bits, hi, lo, self.spec, self.use_bloom, self.exact_bloom)
+        self.comp.add_raw(hi2, lo2)
+        self._batch_seqs += int(n_seqs)
+        self._batch_pending = True
+        if batch_end:
+            self._flush_batch()
+
+    def _flush_batch(self) -> None:
+        self.comp.compact()
+        self.tot = self.comp.last_n_unique
+        if self.log is not None:
+            self.log(self._batch_seqs, self.tot)
+        self.batch_seq_counts.append(self._batch_seqs)
+        self._batch_seqs, self._batch_pending = 0, False
+
+    def finish_batches(self) -> None:
+        if self._batch_pending:
+            self._flush_batch()
+
+
 class YakEngine:
     def __init__(
         self,
@@ -171,6 +261,7 @@ class YakEngine:
         self.batch_seq_counts = []  # per-batch n_seqs of the last count()
         self._batch_seqs, self._batch_pending = 0, False
         self.table = ct.make(init_capacity)
+        self._n_dead = 0  # DELETED tombstones since the last rebuild
         # bloom exists only when enabled AND geometrically valid
         # (yak_ch_init gate n_shift > pre, yak-count.c:122; yak_bf_init
         # gate BLK_SHIFT <= n_shift-pre <= 64-BLK_SHIFT, yak-count.c:75)
@@ -192,18 +283,28 @@ class YakEngine:
         self.tot = 0  # cumulative distinct insertions (yak's h->tot)
 
     def _maybe_grow(self, incoming: int = 0):
-        """Grow the table so n_full plus a worst case of `incoming` new
-        keys stays under the load factor.  Pre-sizing BEFORE a batch is
-        required for liveness: the jitted insert's probe loop never
-        terminates if a batch holds more distinct keys than free slots
-        (the device analog of khashl growing before the insert,
-        khashl.h:200-202)."""
+        """Grow/sweep the table so occupied slots (FULL + DELETED
+        tombstones) plus a worst case of `incoming` new keys stay under
+        the load factor.  Pre-sizing BEFORE a batch is required for
+        liveness: the jitted insert's probe loop never terminates if a
+        batch holds more distinct keys than free slots (the device
+        analog of khashl growing before the insert, khashl.h:200-202).
+        Tombstones count because they are probe-opaque; the rebuild
+        clears them (khashl's rehash-in-place analog), so the NEW
+        capacity is sized from live keys alone — on a singleton-heavy
+        stream this rebuilds at the same size every few batches instead
+        of letting chains grow until the data-parallel probe loop runs
+        minutes long (the TPU worker watchdog crash isolated by
+        scripts/yak_tap_probe.py)."""
         n_full = int(self.table.n_full)
         cap = self.table.capacity
         while n_full + incoming > GROW_LOAD * cap:
             cap *= 2
-        if cap != self.table.capacity:
+        if (cap != self.table.capacity
+                or n_full + self._n_dead + incoming
+                > GROW_LOAD * self.table.capacity):
             self.table = ct.rebuild(self.table, cap)
+            self._n_dead = 0
 
     def count(self, paths: Sequence[str], create_new: bool) -> None:
         from .counter import (
@@ -279,15 +380,19 @@ class YakEngine:
         if create_new:
             # worst case every VALID k-mer is a distinct new key;
             # insert claims a slot per distinct key even when
-            # bloom-gated (padded/invalid lanes claim nothing)
+            # bloom-gated (padded/invalid lanes claim nothing).  DELETED
+            # tombstones (bloom-rejected claims rolled back by
+            # insert_gated) occupy probe chains too, hence n_dead in the
+            # load estimate — the rebuild sweeps them.
             self._maybe_grow(incoming=int(n_valid))
-        self.table, self.bits, n_new = _yak_ingest(
+        self.table, self.bits, n_new, n_dead = _yak_ingest(
             self.table, self.bits, hi, lo,
             self.spec, create_new, self.use_bloom,
             self.exact_bloom,
         )
         if create_new:
             self.tot += int(n_new)
+            self._n_dead += int(n_dead)
         self._batch_seqs += int(n_seqs)
         self._batch_pending = True
         if batch_end:
@@ -318,6 +423,7 @@ class YakEngine:
         self.table = ct.rebuild(
             self.table, self.table.capacity, min_count, max_count
         )
+        self._n_dead = 0  # the rebuild swept any tombstones
         self.tot = int(self.table.n_full)
 
     def hist(self) -> np.ndarray:
@@ -442,6 +548,7 @@ class MeshYakEngine:
             self.bits = jnp.zeros((d, s, 8), jnp.uint8)
         self.exact_bloom = _exact_bloom_default(self.use_bloom)
         self.tot = 0
+        self._n_dead = 0  # worst-device tombstones since the last rebuild
         self._route = sharded.ShardedSortEngine(self.mesh, k)  # routing only
         self._valid_max = sharded.sharded_chunk_valid_max_fn(self.mesh)
         self._nfull_stats = sharded.sharded_nfull_stats_fn(self.mesh)
@@ -470,17 +577,22 @@ class MeshYakEngine:
     def _maybe_grow(self, incoming: int):
         """Pre-size every device's table so the worst-case batch fits
         (liveness: see YakEngine._maybe_grow).  All devices share one
-        static capacity = grown to the most loaded device's need."""
+        static capacity = grown to the most loaded device's need.
+        Tombstones (max per device) count toward the load and are swept
+        by the rebuild — see YakEngine._maybe_grow."""
         from ..dist import sharded
 
         n_full = int(self._nfull_stats(self.tables)[0])  # replicated max
         cap = self.cap_local
         while n_full + incoming > GROW_LOAD * cap:
             cap *= 2
-        if cap != self.cap_local:
+        if (cap != self.cap_local
+                or n_full + self._n_dead + incoming
+                > GROW_LOAD * self.cap_local):
             self.tables = sharded.sharded_rebuild_fn(self.mesh, cap)(
                 self.tables
             )
+            self._n_dead = 0
             self.cap_local = cap
 
     def count(self, paths: Sequence[str], create_new: bool) -> None:
@@ -573,11 +685,12 @@ class MeshYakEngine:
         if create_new:
             incoming = int(self._valid_max(hi, lo))
             self._maybe_grow(incoming)
-        self.tables, self.bits, n_new = self._ingest_fn(create_new)(
+        self.tables, self.bits, n_new, n_dead = self._ingest_fn(create_new)(
             self.tables, self.bits, hi, lo
         )
         if create_new:
             self.tot += int(n_new)
+            self._n_dead += int(n_dead)
         if self.log is not None:
             self.log(n_seqs, self.tot)
 
@@ -600,6 +713,7 @@ class MeshYakEngine:
         self.tables = sharded.sharded_rebuild_fn(
             self.mesh, self.cap_local, min_count, max_count
         )(self.tables)
+        self._n_dead = 0  # the rebuild swept any tombstones
         self.tot = int(self._nfull_stats(self.tables)[1])  # replicated sum
 
     def hist(self) -> np.ndarray:

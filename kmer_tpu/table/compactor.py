@@ -314,6 +314,7 @@ class KmerCompactor:
         self._sync_q: "deque" = deque()
         self._sync_pool = None  # lazy 1-thread pool for throttle syncs
         self._sync_window = None  # resolved at first push (env override)
+        self.last_n_unique = 0  # distinct keys as of the last compact()
         self.stream = self._make_ladder() if self.stream_sorted else None
 
     def add_batch(self, keys: u.U64, valid: jnp.ndarray) -> None:
@@ -478,6 +479,7 @@ class KmerCompactor:
     def _store_compacted(self, out) -> None:
         chi, clo, ccnt, n_unique = out
         nu = int(n_unique)
+        self.last_n_unique = nu  # distinct keys as of this compaction
         size = min(_size_class(nu), chi.shape[0])
         self.runs = [
             (

@@ -220,11 +220,20 @@ def insert_gated(
         cnt = jnp.minimum(cnt, U32(max_count))
     dead = res.created & (delta == 0)
     state = jnp.where(dead, jnp.uint8(DELETED), res.table.state)
-    n_new = (jnp.sum(res.created) - jnp.sum(dead)).astype(jnp.int32)
+    n_dead = jnp.sum(dead).astype(jnp.int32)
+    n_new = (jnp.sum(res.created) - n_dead).astype(jnp.int32)
     t = res.table._replace(
         state=state, cnt=cnt, n_full=res.table.n_full + n_new
     )
-    return t, n_new
+    # n_dead: DELETED tombstones left by this batch.  Tombstones are
+    # probe-opaque (never reclaimed in place — reclaiming would need a
+    # khashl-style match-scan before claim) and invisible to n_full, so
+    # callers MUST track them and rebuild before they degrade the probe
+    # chains: on a singleton-heavy stream every not-yet-admitted key
+    # leaves one, and an untracked table runs its data-parallel probe
+    # loop minutes long (isolated as a TPU worker watchdog crash by
+    # scripts/yak_tap_probe.py).
+    return t, n_new, n_dead
 
 
 def add_existing(

@@ -91,9 +91,9 @@ def main(argv=None):
                                   qual_policy=("resume", k, 3))
         sim = None
         if not fast and not mesh_like:
-            from ..pipeline.yak import YakEngine
+            from ..pipeline.yak import YakSimTap
 
-            sim = YakEngine(k=k, pre=pre, bf_shift=bf_shift,
+            sim = YakSimTap(k=k, pre=pre, bf_shift=bf_shift,
                             bf_n_hash=bf_n_hash, chunk_size=chunk, log=log)
             sim.begin_batches()
         try:

@@ -29,7 +29,7 @@ def main(argv):
     n_blocks = int(argv[1]) if len(argv) > 1 else 4
     bf_shift = int(argv[2]) if len(argv) > 2 else 30
     from kmer_tpu.pipeline.counter import _extract_step_packed_structural
-    from kmer_tpu.pipeline.yak import YakEngine
+    from kmer_tpu.pipeline.yak import YakSimTap as YakEngine
 
     k = 31
     read_len = 150
@@ -62,11 +62,8 @@ def main(argv):
     print(f"first op {time.time()-t0:.1f}s "
           f"({jax.devices()[0].device_kind})", flush=True)
 
-    init_cap = 1 << int(argv[3]) if len(argv) > 3 else 1 << 20
-    print(f"init_capacity 2^{init_cap.bit_length()-1}", flush=True)
     sim = YakEngine(k=k, pre=10, bf_shift=bf_shift, bf_n_hash=4,
-                    chunk_size=block_bases, init_capacity=init_cap,
-                    log=lambda *a: None)
+                    chunk_size=block_bases, log=lambda *a: None)
     sim.begin_batches()
     nu = jnp.uint32(n_used)
     for i in range(n_blocks):
@@ -76,7 +73,7 @@ def main(argv):
         t1 = time.time()
         sim.ingest_planes(hi, lo, nk, reads_per_block, True)
         t2 = time.time()
-        np.asarray(sim.bits[:8] if sim.bits is not None else hi[:8])  # sync
+        np.asarray(sim.bits[:8])  # sync
         print(f"block {i}: extract {t1-t0:.1f}s ingest(dispatch) "
               f"{t2-t1:.1f}s sync {time.time()-t2:.1f}s tot={sim.tot}",
               flush=True)
