@@ -449,6 +449,41 @@ def bench_device_path():
          f"({value:.1f} Mb/s); {n_distinct} distinct k-mers; "
          f"warmup/compile {warm_s:.1f}s; gen {gen_s:.1f}s; "
          f"device={jax.devices()[0].device_kind}")
+    # comparison point: the ASCII rows-path variant (the CLI's
+    # KMER_TPU_PACKED=0 ingest; what rounds 1-3 measured at ~167 Mb/s —
+    # it skips the on-device 2-bit unpack the packed CLI default pays)
+    if remaining() > 150:
+        from kmer_tpu.pipeline.counter import (_extract_step_rows,
+                                               _unpack_ascii)
+
+        @jax.jit
+        def to_ascii(p):
+            mask = jnp.zeros(((p.shape[0] + 1) // 2,), jnp.uint8)
+            a = _unpack_ascii(p, mask)[: reads_per_block * rb]
+            # separator slots packed as code 0 ('A'): restore NULs
+            return a.reshape(reads_per_block, rb).at[:, -1].set(0).reshape(-1)
+
+        ascii_blocks = [to_ascii(b) for b in blocks]
+        _ = np.asarray(ascii_blocks[-1][:1])
+
+        def run_rows():
+            comp = KmerCompactor(budget_bytes=6 << 30, key_bits=2 * K,
+                                 stream_sorted=stream_sorted_default())
+            for b in ascii_blocks:
+                hi, lo, _nk = _extract_step_rows(b, K, rb)
+                comp.add_raw(hi, lo)
+            return comp.hist(256, None)
+
+        try:
+            (_h2, _nd2), w2, t2 = _run_passes(
+                run_rows, 1, reserve_s=0.0, pass_cost_s=10.0)
+            note(f"device path (rows/ASCII variant): {mbases:.0f} Mbases "
+                 f"in {t2[0]:.2f}s ({mbases / t2[0]:.1f} Mb/s); "
+                 f"warm {w2:.1f}s"
+                 + ("" if _nd2 == n_distinct else
+                    f"; DISTINCT MISMATCH {_nd2} != {n_distinct}"))
+        except Exception as e:
+            note(f"rows-variant comparison skipped: {type(e).__name__}")
 
 
 METRICS = ("e2e", "yak", "vaf", "device")
