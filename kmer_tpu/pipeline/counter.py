@@ -428,11 +428,22 @@ def _structural_ascii(packed: jnp.ndarray, n_used, row_bytes: int,
     (numpy) twin for pre-assembled mesh batches lives in
     MeshSortCountEngine._assemble_packed."""
     codes = _unpack_codes(packed)
-    pos = jnp.arange(codes.shape[0], dtype=jnp.uint32)
-    inv = (pos % jnp.uint32(row_bytes) == jnp.uint32(row_bytes - 1)) | (
-        pos >= n_used
-    )
-    return jnp.where(inv, jnp.uint8(0), _codes_ascii(codes))
+    n = codes.shape[0]
+    n_rows = n // row_bytes
+    span = n_rows * row_bytes
+    # separator = last column of each row; tail = at/past n_used.  The
+    # 2D broadcasted-iota form avoids a per-lane integer mod (an ALU
+    # pass over 4 lanes/byte that showed up as ~7% of the device-path
+    # headline vs the plain rows ingest).
+    col = jnp.arange(row_bytes, dtype=jnp.uint32)[None, :]
+    row0 = jnp.arange(n_rows, dtype=jnp.uint32)[:, None] * jnp.uint32(
+        row_bytes)
+    inv = (col == jnp.uint32(row_bytes - 1)) | (row0 + col >= n_used)
+    body = jnp.where(inv.reshape(-1), jnp.uint8(0),
+                     _codes_ascii(codes[:span]))
+    if span == n:
+        return body
+    return jnp.concatenate([body, jnp.zeros((n - span,), jnp.uint8)])
 
 
 @partial(jax.jit, static_argnames=("k", "row_bytes"))
