@@ -65,16 +65,21 @@ def single_reader() -> bool:
 
 
 def _bcast_batches(paths: Sequence[str], k: int, block: int, n_rows: int,
-                   qual_policy=None):
-    """Single-reader iterator: process 0 packs GLOBAL (n_rows, block)
+                   qual_policy=None, capacity: Optional[int] = None):
+    """Single-reader iterator: process 0 packs GLOBAL (n_rows, width)
     batches over all files; every process receives identical
     (rows, n_bases, n_seqs, row_bytes) via broadcast_one_to_all.  Every
     yield is a collective — all processes must consume in lockstep (no
-    prefetch thread: interleaving two threads' collectives deadlocks)."""
+    prefetch thread: interleaving two threads' collectives deadlocks).
+    `capacity` (row width, >= block) must match the comparison target's
+    packing geometry: batch-composition parity with a 1-process
+    MeshYakEngine run requires its capacity_block, because buffers
+    split where the PACKER runs out of room, not at the batch rule."""
     from jax.experimental import multihost_utils
 
     pid = jax.process_index()
-    it = (_local_batches(paths, k, block, n_rows, qual_policy)
+    width = capacity or block
+    it = (_local_batches(paths, k, block, n_rows, qual_policy, capacity)
           if pid == 0 else None)
     zeros = None
     while True:
@@ -93,7 +98,7 @@ def _bcast_batches(paths: Sequence[str], k: int, block: int, n_rows: int,
             rows = item[0]
         else:
             if zeros is None:
-                zeros = np.zeros((n_rows, block), np.uint8)
+                zeros = np.zeros((n_rows, width), np.uint8)
             rows = zeros
         rows = np.asarray(multihost_utils.broadcast_one_to_all(rows))
         yield (rows, int(hdr[1]), int(hdr[2]),
@@ -101,13 +106,16 @@ def _bcast_batches(paths: Sequence[str], k: int, block: int, n_rows: int,
 
 
 def _local_batches(paths: Sequence[str], k: int, block: int,
-                   n_local_rows: int, qual_policy=None):
-    """Pack this host's files into (n_local_rows, block) uint8 batches;
-    yields (rows, n_bases, n_seqs, row_bytes_if_uniform)."""
+                   n_local_rows: int, qual_policy=None,
+                   capacity: Optional[int] = None):
+    """Pack this host's files into (n_local_rows, width) uint8 batches
+    (width = capacity or block); yields
+    (rows, n_bases, n_seqs, row_bytes_if_uniform)."""
+    width = capacity or block
     rows, rbs, nb, ns = [], [], 0, 0
-    for buf, b_nb, b_ns, rb, _be in _iter_packed(paths, k, block, block,
+    for buf, b_nb, b_ns, rb, _be in _iter_packed(paths, k, block, width,
                                             qual_policy):
-        b = buf if buf.shape[0] == block else np.pad(buf, (0, block - buf.shape[0]))
+        b = buf if buf.shape[0] == width else np.pad(buf, (0, width - buf.shape[0]))
         rows.append(b)
         rbs.append(rb)
         nb += int(b_nb)  # _iter_packed reports TRUE bases already
@@ -117,7 +125,7 @@ def _local_batches(paths: Sequence[str], k: int, block: int,
                    rbs[0] if len(set(rbs)) == 1 else None)
             rows, rbs, nb, ns = [], [], 0, 0
     if rows:
-        pad = [np.zeros(block, np.uint8)] * (n_local_rows - len(rows))
+        pad = [np.zeros(width, np.uint8)] * (n_local_rows - len(rows))
         yield (np.stack(rows + pad), nb, ns,
                rbs[0] if len(set(rbs)) == 1 else None)
 
@@ -247,6 +255,14 @@ class MultihostSortEngine:
             if progress is not None:
                 progress(self)
         self.eng._flush_inflight()
+        if self.eng.total_retries and jax.process_index() == 0:
+            import sys
+
+            sys.stderr.write(
+                f"[W::count_multihost] key skew overflowed the routing "
+                f"buffers {self.eng.total_retries}x; auto-doubled the "
+                f"send lanes and replayed (no k-mers dropped)\n"
+            )
 
     def hist(self, n_bins: int, max_count=None, min_keep: int = 1):
         h = self.eng.hist(n_bins, max_count, min_keep)

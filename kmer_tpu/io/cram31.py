@@ -71,6 +71,51 @@ class _Cur:
         return b
 
 
+
+
+def _pack_arity(n: int):
+    """PACK symbol-count byte -> (values-per-byte code, effective map
+    size): <=1 sym: constant fill; <=2: 8/byte; <=4: 4/byte; <=16:
+    2/byte; else no packing and NO map bytes (hts_unpack_meta, pack.c).
+    Shared by the rANS Nx16 and arith containers."""
+    n_eff = n or 256
+    if n_eff <= 1:
+        return 0, n_eff
+    if n_eff <= 2:
+        return 8, n_eff
+    if n_eff <= 4:
+        return 4, n_eff
+    if n_eff <= 16:
+        return 2, n_eff
+    return 1, n_eff
+
+
+def _stripe_decode(data, out_sz, sub_decode, label: str) -> bytes:
+    """STRIPE container body: [u7 ulen][u8 N][u7 clen x N][sub-streams],
+    each sub-stream its own container decoded by `sub_decode`, outputs
+    byte-interleaved (utils.h unstripe).  Shared by the rANS Nx16 and
+    arith containers — the geometry (per-stream lengths, interleave) is
+    identical in both (rANS_static4x16pr.c / arith_dynamic.c)."""
+    c = _Cur(data, 1)
+    ulen = c.u7()
+    if out_sz is not None and ulen != out_sz:
+        raise ValueError(f"{label} stripe size {ulen} != expected {out_sz}")
+    if out_sz is None and ulen > (1 << 28):
+        raise ValueError(f"{label} stripe size {ulen} implausible")
+    n_sub = c.u8()
+    if n_sub < 1:
+        raise ValueError(f"{label} stripe with zero sub-streams")
+    clens = [c.u7() for _ in range(n_sub)]
+    out = bytearray(ulen)
+    for j in range(n_sub):
+        sub_len = ulen // n_sub + (1 if (ulen % n_sub) > j else 0)
+        sub = sub_decode(c.take(clens[j]), sub_len)
+        if len(sub) != sub_len:
+            raise ValueError(f"{label} stripe sub-stream size mismatch")
+        out[j::n_sub] = sub
+    return bytes(out)
+
+
 def _decode_alphabet(c: _Cur) -> List[int]:
     """Present-symbol list: explicit symbol bytes, where sym followed by
     sym+1 introduces an RLE run byte covering consecutive symbols;
@@ -317,25 +362,8 @@ def _uncompress_container(data, out_sz: Optional[int]) -> bytes:
         raise ValueError("empty rANS Nx16 block")
     flags = data[0]
     if flags & 0x08:  # STRIPE: J sub-containers, byte-interleaved
-        c = _Cur(data, 1)
-        ulen = c.u7()
-        if out_sz is not None and ulen != out_sz:
-            raise ValueError(
-                f"rANS Nx16 stripe size {ulen} != expected {out_sz}")
-        if out_sz is None and ulen > (1 << 28):
-            raise ValueError(f"rANS Nx16 stripe size {ulen} implausible")
-        n_sub = c.u8()
-        if n_sub < 1:
-            raise ValueError("rANS Nx16 stripe with zero sub-streams")
-        clens = [c.u7() for _ in range(n_sub)]
-        out = bytearray(ulen)
-        for j in range(n_sub):
-            sub_len = ulen // n_sub + (1 if (ulen % n_sub) > j else 0)
-            sub = _uncompress_container(c.take(clens[j]), sub_len)
-            if len(sub) != sub_len:
-                raise ValueError("rANS Nx16 stripe sub-stream size mismatch")
-            out[j::n_sub] = sub
-        return bytes(out)
+        return _stripe_decode(data, out_sz, _uncompress_container,
+                              "rANS Nx16")
 
     c = _Cur(data, 1)
     order = flags & 1
@@ -359,25 +387,20 @@ def _uncompress_container(data, out_sz: Optional[int]) -> bytes:
     nsym = 0
     core_sz = osz
     if do_pack:
-        n = c.u8()
-        n_eff = n or 256
-        if n_eff <= 1:
-            nsym = 0
-        elif n_eff <= 2:
-            nsym = 8
-        elif n_eff <= 4:
-            nsym = 4
-        elif n_eff <= 16:
-            nsym = 2
-        else:
-            nsym = 1  # no packing; map bytes are NOT present
+        nsym, n_eff = _pack_arity(c.u8())
         pmap = c.take(n_eff) if nsym != 1 else b""
         core_sz = c.u7()
+        if core_sz > osz:  # unpack only expands (C: osz > tmp1_size)
+            raise ValueError(
+                f"rANS Nx16 packed size {core_sz} exceeds block size {osz}")
 
     rle_syms = runs = None
     if do_rle:
         u_meta = c.u7()
         rle_len = c.u7()
+        if rle_len > osz:  # "should never grow" (rANS_static4x16pr.c)
+            raise ValueError(
+                f"rANS Nx16 RLE size {rle_len} exceeds block size {osz}")
         if u_meta & 1:
             meta = c.take(u_meta // 2)
         else:
@@ -413,7 +436,7 @@ def rans_nx16_decode(data: bytes, out_size: int) -> bytes:
     """Decode one CRAM 3.1 rANS Nx16 block (block method 5)."""
     try:
         out = _uncompress_container(data, out_size)
-    except (IndexError, KeyError, struct.error) as e:
+    except (IndexError, KeyError, struct.error, MemoryError) as e:
         raise ValueError(
             f"truncated or corrupt rANS Nx16 block ({len(data)} bytes, "
             f"expected {out_size} uncompressed)"
@@ -471,7 +494,7 @@ def tok3_decode_names(data: bytes, out_size: int) -> bytes:
     2-byte source id (dup) or a uint7 clen + rANS Nx16 container."""
     try:
         return _tok3_decode_names(data, out_size)
-    except (IndexError, KeyError, struct.error) as e:
+    except (IndexError, KeyError, struct.error, MemoryError) as e:
         raise ValueError(
             f"truncated or corrupt tok3 name block ({len(data)} bytes)"
         ) from e

@@ -216,7 +216,7 @@ def arith_decode(data: bytes, out_size: Optional[int]) -> bytes:
     """Decode one arith container (arith_uncompress_to)."""
     try:
         out = _arith_container(data, out_size)
-    except (IndexError, KeyError, struct.error) as e:
+    except (IndexError, KeyError, struct.error, MemoryError) as e:
         raise ValueError(
             f"truncated or corrupt arith block ({len(data)} bytes)"
         ) from e
@@ -231,30 +231,9 @@ def _arith_container(data, out_size: Optional[int]) -> bytes:
         raise ValueError("empty arith block")
     flags = data[0]
     if flags & 0x08:  # X_STRIPE: J sub-containers, byte-interleaved
-        o = 1
-        ulen, o = _u7(data, o)
-        if out_size is not None and ulen != out_size:
-            raise ValueError(
-                f"arith stripe size {ulen} != expected {out_size}")
-        if out_size is None and ulen > (1 << 28):
-            raise ValueError(f"arith stripe size {ulen} implausible")
-        n_sub = data[o]
-        o += 1
-        if n_sub < 1:
-            raise ValueError("arith stripe with zero sub-streams")
-        clens = []
-        for _ in range(n_sub):
-            c, o = _u7(data, o)
-            clens.append(c)
-        out = bytearray(ulen)
-        for j in range(n_sub):
-            sub_len = ulen // n_sub + (1 if (ulen % n_sub) > j else 0)
-            sub = _arith_container(data[o : o + clens[j]], sub_len)
-            if len(sub) != sub_len:
-                raise ValueError("arith stripe sub-stream size mismatch")
-            out[j::n_sub] = sub
-            o += clens[j]
-        return bytes(out)
+        from .cram31 import _stripe_decode
+
+        return _stripe_decode(data, out_size, _arith_container, "arith")
 
     o = 1
     order = flags & 3
@@ -278,19 +257,10 @@ def _arith_container(data, out_size: Optional[int]) -> bytes:
     nsym = 0
     core_sz = osz
     if do_pack:
-        n = data[o]
+        from .cram31 import _pack_arity
+
+        nsym, n_eff = _pack_arity(data[o])
         o += 1
-        n_eff = n or 256
-        if n_eff <= 1:
-            nsym = 0
-        elif n_eff <= 2:
-            nsym = 8
-        elif n_eff <= 4:
-            nsym = 4
-        elif n_eff <= 16:
-            nsym = 2
-        else:
-            nsym = 1  # no packing; map bytes are NOT present
         if nsym != 1:
             pmap = data[o : o + n_eff]
             if len(pmap) != n_eff:
@@ -299,6 +269,9 @@ def _arith_container(data, out_size: Optional[int]) -> bytes:
         else:
             pmap = b""
         core_sz, o = _u7(data, o)
+        if core_sz > osz:  # unpack only expands (C: osz > tmp1_size)
+            raise ValueError(
+                f"arith packed size {core_sz} exceeds block size {osz}")
 
     if core_sz == 0 or o >= len(data):
         cur = b""
@@ -459,7 +432,7 @@ def fqz_decode(data: bytes, out_size: Optional[int]) -> bytes:
     """Decode one fqzcomp quality block (uncompress_block_fqz2f)."""
     try:
         out = _fqz_decode(data, out_size)
-    except (IndexError, KeyError, struct.error) as e:
+    except (IndexError, KeyError, struct.error, MemoryError) as e:
         raise ValueError(
             f"truncated or corrupt fqzcomp block ({len(data)} bytes)"
         ) from e
@@ -573,7 +546,7 @@ def _fqz_decode(data: bytes, out_size: Optional[int] = None) -> bytes:
         while True:
             q = qual_models[last].decode(rc)
             # fqz_update_ctx(pm0, ...)
-            s_qctx = (s_qctx << pm0.qshift) + qtab0[q]
+            s_qctx = ((s_qctx << pm0.qshift) + qtab0[q]) & 0xFFFFFFFF
             last = ((s_qctx & pm0.qmask) << pm0.qloc)
             last += ptab0[min(1023, s_p)]
             last += dtab0[min(255, s_delta)]

@@ -146,6 +146,31 @@ def _bloom_geometry_ok(bf_shift: int, pre: int, owner_bits: int = 0) -> bool:
     return False
 
 
+
+
+def _make_bloom(pre: int, bf_shift: int, bf_n_hash: int):
+    """The ONE bloom-geometry gate shared by YakEngine and YakSimTap
+    (the tap's admission must stay provably identical to the engine's):
+    returns (use_bloom, bf_shift, spec, bits, exact_bloom) with the
+    single-chip dummy-bits fallback.  Gates mirror yak_ch_init
+    (n_shift > pre, yak-count.c:122) and yak_bf_init
+    (BLK_SHIFT <= n_shift-pre <= 64-BLK_SHIFT, yak-count.c:75)."""
+    use_bloom = (
+        bf_n_hash > 0
+        and bf_shift > pre
+        and (bf_shift - pre) >= BLK_SHIFT
+        and _bloom_geometry_ok(bf_shift, pre)
+    )
+    if use_bloom:
+        bf_shift = _clamp_bf_shift(bf_shift)
+        spec = bloom.BloomSpec(pre, bf_shift, bf_n_hash)
+        bits = bloom.make_bits(spec)
+    else:
+        spec = None
+        bits = jnp.zeros((8,), jnp.uint8)  # dummy carry
+    return use_bloom, bf_shift, spec, bits, _exact_bloom_default(use_bloom)
+
+
 @partial(jax.jit, static_argnames=("spec", "use_bloom", "exact_bloom"),
          donate_argnums=(0,))
 def _tap_admit(bits, hi, lo, spec, use_bloom, exact_bloom):
@@ -188,20 +213,8 @@ class YakSimTap:
 
         self.k = k
         self.log = log
-        self.use_bloom = (
-            bf_n_hash > 0
-            and bf_shift > pre
-            and (bf_shift - pre) >= BLK_SHIFT
-            and _bloom_geometry_ok(bf_shift, pre)
-        )
-        if self.use_bloom:
-            bf_shift = _clamp_bf_shift(bf_shift)
-            self.spec = bloom.BloomSpec(pre, bf_shift, bf_n_hash)
-            self.bits = bloom.make_bits(self.spec)
-        else:
-            self.spec = None
-            self.bits = jnp.zeros((8,), jnp.uint8)
-        self.exact_bloom = _exact_bloom_default(self.use_bloom)
+        (self.use_bloom, _bf, self.spec, self.bits,
+         self.exact_bloom) = _make_bloom(pre, bf_shift, bf_n_hash)
         self.comp = KmerCompactor(key_bits=2 * k,
                                   stream_sorted=stream_sorted_default())
         self.tot = 0
@@ -262,24 +275,8 @@ class YakEngine:
         self._batch_seqs, self._batch_pending = 0, False
         self.table = ct.make(init_capacity)
         self._n_dead = 0  # DELETED tombstones since the last rebuild
-        # bloom exists only when enabled AND geometrically valid
-        # (yak_ch_init gate n_shift > pre, yak-count.c:122; yak_bf_init
-        # gate BLK_SHIFT <= n_shift-pre <= 64-BLK_SHIFT, yak-count.c:75)
-        self.use_bloom = (
-            bf_n_hash > 0
-            and bf_shift > pre
-            and (bf_shift - pre) >= BLK_SHIFT
-            and _bloom_geometry_ok(bf_shift, pre)
-        )
-        if self.use_bloom:
-            bf_shift = _clamp_bf_shift(bf_shift)
-            self.bf_shift = bf_shift
-            self.spec = bloom.BloomSpec(pre, bf_shift, bf_n_hash)
-            self.bits = bloom.make_bits(self.spec)
-        else:
-            self.spec = None
-            self.bits = jnp.zeros((8,), jnp.uint8)  # dummy carry
-        self.exact_bloom = _exact_bloom_default(self.use_bloom)
+        (self.use_bloom, self.bf_shift, self.spec, self.bits,
+         self.exact_bloom) = _make_bloom(pre, bf_shift, bf_n_hash)
         self.tot = 0  # cumulative distinct insertions (yak's h->tot)
 
     def _maybe_grow(self, incoming: int = 0):
@@ -630,11 +627,15 @@ class MeshYakEngine:
                                       shard_files, single_reader)
 
         if single_reader():
+            # capacity_block (not row_bases) so buffers split exactly
+            # where the 1-process mesh run's packer splits them — the
+            # stderr (n_seqs, tot) parity claim is per-BUFFER
             for rows, _nb, ns, rb in _bcast_batches(
-                    paths, self.k, self.row_bases, self.n_dev, policy):
+                    paths, self.k, self.row_bases, self.n_dev, policy,
+                    capacity=self.capacity_block):
                 batch = jax.make_array_from_callback(
-                    (self.n_dev, self.row_bases), self._global_sharding,
-                    lambda idx: rows[idx],
+                    (self.n_dev, self.capacity_block),
+                    self._global_sharding, lambda idx: rows[idx],
                 )
                 self._step_rows(batch, rb, ns, create_new)
             return

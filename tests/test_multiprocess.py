@@ -414,10 +414,13 @@ def test_two_process_single_reader_matches_mesh(tmp_path, monkeypatch):
     residuals) are gone."""
     rng = np.random.default_rng(17)
     paths = []
+    # files LARGER than the 64KiB row_bases/capacity so buffers split at
+    # the packer's capacity boundary — the parity claim is per-buffer,
+    # and sub-capacity inputs would never exercise the split geometry
     for i in range(3):
         p = str(tmp_path / f"sr{i}.fq.gz")
         with gzip.open(p, "wb") as f:
-            for r in range(200 + 50 * i):
+            for r in range(700 + 100 * i):
                 s = "".join(rng.choice(list("ACGT"), 120))
                 f.write(f"@r{r}\n{s}\n+\n{'I' * 120}\n".encode())
         paths.append(p)
