@@ -192,6 +192,62 @@ def _tap_admit(bits, hi, lo, spec, use_bloom, exact_bloom):
     return jnp.where(adm, hi, sent), jnp.where(adm, lo, sent), bits
 
 
+
+
+def _extracted_blocks(paths: Sequence[str], k: int, chunk_size: int,
+                      capacity_block: int, prefetch: bool):
+    """Shared reader loop for the single-chip yak engines: stream the
+    inputs through the (packed when available) reader + extraction,
+    yielding (hi, lo, n_kmers, n_seqs, batch_end) sentinelized key
+    planes per buffer.  Identical batching to the reference's pipeline
+    step 0 (yak-count.c:381-383; reader batch_end flags)."""
+    from .counter import (
+        _extract_step,
+        _extract_step_packed,
+        _extract_step_packed_structural,
+        _extract_step_rows,
+        _iter_packed2,
+        _to_device_ascii,
+        _to_device_packed,
+        _use_packed_ingest,
+    )
+
+    packed_mode = _use_packed_ingest(paths)
+    # yak's pipelined reader resumes after a malformed-quality record
+    # unless its chunk was empty (see io.fastx.FastxReader)
+    policy = ("resume", k, 3)
+    if packed_mode:
+        it = map(
+            _to_device_packed,
+            _iter_packed2(paths, k, chunk_size, capacity_block, policy),
+        )
+    else:
+        it = map(
+            _to_device_ascii,
+            _iter_packed(paths, k, chunk_size, capacity_block, policy),
+        )
+    if prefetch:
+        it = _prefetch(it)
+    for item in it:
+        if packed_mode:
+            (packed, mask, n_used, _n_bases, n_seqs, row_bytes,
+             batch_end) = item
+            rb = row_bytes if row_bytes and row_bytes > k else None
+            if mask is None:
+                hi, lo, nk = _extract_step_packed_structural(
+                    packed, jnp.uint32(n_used), k, rb
+                )
+            else:
+                hi, lo, nk = _extract_step_packed(packed, mask, k, rb)
+        else:
+            buf, _n_bases, n_seqs, row_bytes, batch_end = item
+            if row_bytes and row_bytes > k:
+                hi, lo, nk = _extract_step_rows(buf, k, row_bytes)
+            else:
+                hi, lo, nk = _extract_step(buf, k)
+        yield hi, lo, nk, n_seqs, batch_end
+
+
 class YakSimTap:
     """Single-file stderr progress simulation WITHOUT a device hash
     table: the per-batch `[M] processed N sequences; M distinct ...`
@@ -304,34 +360,6 @@ class YakEngine:
             self._n_dead = 0
 
     def count(self, paths: Sequence[str], create_new: bool) -> None:
-        from .counter import (
-            _extract_step,
-            _extract_step_packed,
-            _extract_step_rows,
-            _iter_packed2,
-            _to_device_ascii,
-            _to_device_packed,
-            _use_packed_ingest,
-        )
-
-        packed_mode = _use_packed_ingest(paths)
-        # yak's pipelined reader resumes after a malformed-quality
-        # record unless its chunk was empty (see io.fastx.FastxReader)
-        policy = ("resume", self.k, 3)
-        if packed_mode:
-            it = map(
-                _to_device_packed,
-                _iter_packed2(paths, self.k, self.chunk_size,
-                              self.capacity_block, policy),
-            )
-        else:
-            it = map(
-                _to_device_ascii,
-                _iter_packed(paths, self.k, self.chunk_size,
-                             self.capacity_block, policy),
-            )
-        if self.prefetch:
-            it = _prefetch(it)
         # per-batch stderr progress uses the reference's batch rule
         # (reader batch_end flags; yak-count.c:427 prints once per
         # pipeline batch per pass) — buffers aggregate until a batch
@@ -339,27 +367,10 @@ class YakEngine:
         # count for pass-2 replay by the single-file hybrid (the second
         # pass re-reads the same file, so its batches are identical).
         self.begin_batches()
-        for item in it:
-            if packed_mode:
-                (packed, mask, n_used, _n_bases, n_seqs, row_bytes,
-                 batch_end) = item
-                rb = row_bytes if row_bytes and row_bytes > self.k else None
-                if mask is None:
-                    from .counter import _extract_step_packed_structural
-
-                    hi, lo, _nk = _extract_step_packed_structural(
-                        packed, jnp.uint32(n_used), self.k, rb
-                    )
-                else:
-                    hi, lo, _nk = _extract_step_packed(packed, mask,
-                                                       self.k, rb)
-            else:
-                buf, _n_bases, n_seqs, row_bytes, batch_end = item
-                if row_bytes and row_bytes > self.k:
-                    hi, lo, _nk = _extract_step_rows(buf, self.k, row_bytes)
-                else:
-                    hi, lo, _nk = _extract_step(buf, self.k)
-            self.ingest_planes(hi, lo, _nk, n_seqs, batch_end, create_new)
+        for hi, lo, nk, n_seqs, batch_end in _extracted_blocks(
+                paths, self.k, self.chunk_size, self.capacity_block,
+                self.prefetch):
+            self.ingest_planes(hi, lo, nk, n_seqs, batch_end, create_new)
         self.finish_batches()
 
     def begin_batches(self) -> None:
@@ -725,16 +736,136 @@ class MeshYakEngine:
         )
 
 
+
+
+class SortYakEngine:
+    """Sort-based two-pass yak engine (single chip) — the default for
+    the two-file yak_count_file flow; KMER_TPU_TABLE_YAK=1 restores the
+    open-addressing YakEngine.
+
+    Key identity that makes the table unnecessary: with the
+    sequential-exact bloom, every occurrence of a key AFTER its
+    in-block first sees all bloom bits set, so insert_gated's
+    per-occurrence contribution (c-1+preset) equals `preset` for EVERY
+    occurrence — i.e. pass-1 counts ARE the multiplicities of the
+    bloom-ADMITTED occurrences, and those flow through the sort-based
+    compactor directly (counting by sort, not by hash).  Pass 2 counts
+    fn2's k-mers in a second compactor and resolves the pass-1 keys
+    against it with the sort-join (counts_for); shrink filters on the
+    host.  Unlike the table's data-parallel probe loop (whose runtime
+    grows with capacity x probe rounds and trips the TPU runtime
+    watchdog at GB scale — scripts/yak_tap_probe.py), every step here
+    is sorts and merges at streaming cost."""
+
+    def __init__(self, k=31, pre=10, bf_shift=0, bf_n_hash=4,
+                 chunk_size=10_000_000, init_capacity=None,
+                 prefetch=True, log=None):
+        from ..table.compactor import KmerCompactor, stream_sorted_default
+
+        self.k = k
+        self.log = log
+        self.prefetch = prefetch
+        self.chunk_size = chunk_size
+        self.capacity_block = int(chunk_size) + max(4096, chunk_size // 32)
+        (self.use_bloom, self.bf_shift, self.spec, self.bits,
+         self.exact_bloom) = _make_bloom(pre, bf_shift, bf_n_hash)
+        self._mk = lambda: KmerCompactor(
+            key_bits=2 * k, stream_sorted=stream_sorted_default())
+        self.comp1 = self._mk()  # admitted-occurrence stream (pass 1)
+        self.comp2 = None        # fn2 occurrence stream (pass 2)
+        self.tot = 0
+        self._final = None       # post-shrink counts (host)
+        self.batch_seq_counts = []
+        self._batch_seqs = 0
+
+    def count(self, paths: Sequence[str], create_new: bool) -> None:
+        self.batch_seq_counts = []
+        self._batch_seqs = 0
+        pending = False
+        for hi, lo, _nk, n_seqs, batch_end in _extracted_blocks(
+                paths, self.k, self.chunk_size, self.capacity_block,
+                self.prefetch):
+            if create_new:
+                hi, lo, self.bits = _tap_admit(
+                    self.bits, hi, lo, self.spec, self.use_bloom,
+                    self.exact_bloom)
+                self.comp1.add_raw(hi, lo)
+            else:
+                self.comp2.add_raw(hi, lo)
+            self._batch_seqs += int(n_seqs)
+            pending = True
+            if batch_end:
+                self._flush_batch(create_new)
+                pending = False
+        if pending:
+            self._flush_batch(create_new)
+
+    def _flush_batch(self, create_new: bool) -> None:
+        if create_new:
+            self.comp1.compact()
+            self.tot = self.comp1.last_n_unique
+        # pass 2 never inserts: every line repeats the pass-1 total
+        # (yak-count.c:170-174)
+        if self.log is not None:
+            self.log(self._batch_seqs, self.tot)
+        self.batch_seq_counts.append(self._batch_seqs)
+        self._batch_seqs = 0
+
+    def destroy_bloom(self):
+        self.use_bloom = False
+        self.exact_bloom = False
+        self.spec = None
+        self.bits = jnp.zeros((8,), jnp.uint8)
+
+    def clear(self):
+        # pass-2 counts accumulate in their own compactor; pass-1 keys
+        # (the membership set) stay in comp1 untouched
+        self.comp2 = self._mk()
+
+    def shrink(self, min_count: int, max_count: int):
+        """Resolve the pass-1 key set against the pass-2 counts (the
+        yak_ch_shrink rebuild, yak-count.c:243-277, as one sort-join)."""
+        self.comp1.compact()
+        khi, klo, _c1 = self.comp1.runs[0]
+        n1 = self.comp1.last_n_unique
+        qhi = np.asarray(khi)[:n1]
+        qlo = np.asarray(klo)[:n1]
+        if self.comp2 is not None:
+            c = self.comp2.counts_for(qhi, qlo).astype(np.int64)
+        else:
+            c = np.asarray(_c1)[:n1].astype(np.int64)
+        c = np.minimum(c, YAK_MAX_COUNT)  # saturating counters
+        keep = (c >= min_count) & (c <= max_count)
+        self._final = c[keep]
+        self.tot = int(keep.sum())
+
+    def hist(self) -> np.ndarray:
+        if self._final is not None:
+            c = self._final
+        else:
+            self.comp1.compact()
+            _khi, _klo, c1 = self.comp1.runs[0]
+            n1 = self.comp1.last_n_unique
+            c = np.minimum(np.asarray(c1)[:n1].astype(np.int64),
+                           YAK_MAX_COUNT)
+        return np.bincount(c, minlength=YAK_N_COUNTS)[:YAK_N_COUNTS]
+
+
 def make_yak_engine(**kw):
-    """YakEngine on one device, MeshYakEngine when the system has a
+    """SortYakEngine on one device (KMER_TPU_TABLE_YAK=1 restores the
+    open-addressing YakEngine), MeshYakEngine when the system has a
     multi-device mesh or is a multi-process pod (same gates as
     pipeline.counter.make_count_engine; MeshYakEngine handles the
     cross-host coordination itself)."""
+    import os
+
     from .counter import use_mesh
 
     if jax.process_count() > 1 or use_mesh():
         return MeshYakEngine(**kw)
-    return YakEngine(**kw)
+    if os.environ.get("KMER_TPU_TABLE_YAK", "") == "1":
+        return YakEngine(**kw)
+    return SortYakEngine(**kw)
 
 
 def yak_count_file(
