@@ -391,3 +391,42 @@ def test_malformed_quality_policies(tmp_path):
         with contextlib.redirect_stdout(buf):
             assert not fn(args)
         assert buf.getvalue().encode() == want, tool
+
+
+def test_sort_vs_table_yak_engines_identical(tmp_path):
+    """The sort-based SortYakEngine (single-chip default) and the
+    open-addressing YakEngine must agree exactly on the full two-file
+    flow — histogram, tot, and the per-batch (n_seqs, tot) log
+    sequence of both passes.  This pins the admission-count identity
+    the sort engine is built on (contribution == preset for every
+    occurrence under the sequential-exact bloom)."""
+    import gzip
+
+    import numpy as np
+
+    from kmer_tpu.pipeline.yak import (SortYakEngine, YakEngine,
+                                       yak_count_file)
+
+    rng = np.random.default_rng(23)
+    paths = []
+    for i in range(2):
+        p = str(tmp_path / f"f{i}.fq.gz")
+        with gzip.open(p, "wb") as f:
+            for r in range(600):
+                s = "".join(rng.choice(list("ACGT"), 120))
+                f.write(f"@r{r}\n{s}\n+\n{'I' * 120}\n".encode())
+        paths.append(p)
+
+    results = []
+    for cls in (SortYakEngine, YakEngine):
+        lines = []
+        eng = yak_count_file(
+            paths[0], paths[1],
+            cls(k=21, pre=10, bf_shift=16, bf_n_hash=4, chunk_size=65536,
+                log=lambda ns, tot: lines.append((ns, tot))),
+        )
+        results.append((np.asarray(eng.hist()), eng.tot, lines))
+    (h_sort, tot_sort, lines_sort), (h_tab, tot_tab, lines_tab) = results
+    assert lines_sort == lines_tab
+    assert tot_sort == tot_tab
+    assert np.array_equal(h_sort, h_tab)
