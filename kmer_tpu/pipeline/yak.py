@@ -738,6 +738,43 @@ class MeshYakEngine:
 
 
 
+
+
+@jax.jit
+def _shrink_join(k1hi, k1lo, k2hi, k2lo, c2, min_count, max_count):
+    """Counts of the pass-1 keys (A) within the pass-2 counted run (B)
+    as ONE sorted merge-join: 3-key sort orders each A entry
+    immediately before its B partner, a neighbor compare takes the
+    partner's count, and a 1024-bin scatter builds the histogram on
+    device.  Replaces counts_for here because a 47M-query binary-search
+    join runs ~30 gather rounds in one program — past the TPU runtime
+    watchdog at GB scale (same failure class as the table probe loop);
+    this is a single sort + two passes.  Returns (hist[1024], tot)."""
+    sent = jnp.uint32(0xFFFFFFFF)
+    n1 = k1hi.shape[0]
+    hi = jnp.concatenate([k1hi, k2hi])
+    lo = jnp.concatenate([k1lo, k2lo])
+    srcv = jnp.concatenate([
+        jnp.zeros((n1,), jnp.uint32),
+        jnp.ones((k2hi.shape[0],), jnp.uint32),
+    ])
+    cnt = jnp.concatenate([jnp.zeros((n1,), jnp.uint32), c2])
+    shi, slo, ssrc, scnt = jax.lax.sort((hi, lo, srcv, cnt), num_keys=3)
+    nxt_same = (shi[1:] == shi[:-1]) & (slo[1:] == slo[:-1])
+    take_next = nxt_same & (ssrc[:-1] == 0) & (ssrc[1:] == 1)
+    a_cnt = jnp.concatenate([
+        jnp.where(take_next, scnt[1:], 0),
+        jnp.zeros((1,), jnp.uint32),
+    ])
+    c = jnp.minimum(a_cnt, jnp.uint32(YAK_MAX_COUNT))
+    keep = ((ssrc == 0) & ~((shi == sent) & (slo == sent))
+            & (c >= min_count) & (c <= max_count))
+    hist = jnp.zeros((YAK_N_COUNTS,), jnp.int32).at[
+        jnp.where(keep, c, 0)
+    ].add(keep.astype(jnp.int32))
+    return hist, jnp.sum(keep.astype(jnp.int32))
+
+
 class SortYakEngine:
     """Sort-based two-pass yak engine (single chip) — the default for
     the two-file yak_count_file flow; KMER_TPU_TABLE_YAK=1 restores the
@@ -774,7 +811,7 @@ class SortYakEngine:
         self.comp1 = self._mk()  # admitted-occurrence stream (pass 1)
         self.comp2 = None        # fn2 occurrence stream (pass 2)
         self.tot = 0
-        self._final = None       # post-shrink counts (host)
+        self._hist = None        # post-shrink histogram (host)
         self.batch_seq_counts = []
         self._batch_seqs = 0
 
@@ -824,30 +861,35 @@ class SortYakEngine:
 
     def shrink(self, min_count: int, max_count: int):
         """Resolve the pass-1 key set against the pass-2 counts (the
-        yak_ch_shrink rebuild, yak-count.c:243-277, as one sort-join)."""
+        yak_ch_shrink rebuild, yak-count.c:243-277) with the merge-join
+        (_shrink_join); stores the final histogram + tot."""
         self.comp1.compact()
-        khi, klo, _c1 = self.comp1.runs[0]
-        n1 = self.comp1.last_n_unique
-        qhi = np.asarray(khi)[:n1]
-        qlo = np.asarray(klo)[:n1]
-        if self.comp2 is not None:
-            c = self.comp2.counts_for(qhi, qlo).astype(np.int64)
-        else:
-            c = np.asarray(_c1)[:n1].astype(np.int64)
-        c = np.minimum(c, YAK_MAX_COUNT)  # saturating counters
-        keep = (c >= min_count) & (c <= max_count)
-        self._final = c[keep]
-        self.tot = int(keep.sum())
-
-    def hist(self) -> np.ndarray:
-        if self._final is not None:
-            c = self._final
-        else:
-            self.comp1.compact()
-            _khi, _klo, c1 = self.comp1.runs[0]
+        khi, klo, c1 = self.comp1.runs[0]
+        if self.comp2 is None:
             n1 = self.comp1.last_n_unique
             c = np.minimum(np.asarray(c1)[:n1].astype(np.int64),
                            YAK_MAX_COUNT)
+            keep = (c >= min_count) & (c <= max_count)
+            self._hist = np.bincount(
+                c[keep], minlength=YAK_N_COUNTS)[:YAK_N_COUNTS]
+            self.tot = int(keep.sum())
+            return
+        self.comp2.compact()
+        k2hi, k2lo, c2 = self.comp2.runs[0]
+        h, tot = _shrink_join(khi, klo, k2hi, k2lo, c2,
+                              jnp.uint32(min_count), jnp.uint32(max_count))
+        self._hist = np.asarray(h).astype(np.int64)
+        self._hist[0] = 0  # bin 0 collects the dropped lanes' zeros
+        self.tot = int(tot)
+
+    def hist(self) -> np.ndarray:
+        if self._hist is not None:
+            return self._hist
+        self.comp1.compact()
+        _khi, _klo, c1 = self.comp1.runs[0]
+        n1 = self.comp1.last_n_unique
+        c = np.minimum(np.asarray(c1)[:n1].astype(np.int64),
+                       YAK_MAX_COUNT)
         return np.bincount(c, minlength=YAK_N_COUNTS)[:YAK_N_COUNTS]
 
 
