@@ -431,7 +431,7 @@ def bench_device_path():
     nu = jnp.uint32(n_used)
 
     def run_once():
-        comp = KmerCompactor(budget_bytes=6 << 30, key_bits=2 * K,
+        comp = KmerCompactor(budget_bytes=2 << 30, key_bits=2 * K,
                              stream_sorted=stream_sorted_default())
         for b in blocks:
             hi, lo, _nk = _extract_step_packed_structural(b, nu, K, rb)
@@ -467,7 +467,7 @@ def bench_device_path():
         _ = np.asarray(ascii_blocks[-1][:1])
 
         def run_rows():
-            comp = KmerCompactor(budget_bytes=6 << 30, key_bits=2 * K,
+            comp = KmerCompactor(budget_bytes=2 << 30, key_bits=2 * K,
                                  stream_sorted=stream_sorted_default())
             for b in ascii_blocks:
                 hi, lo, _nk = _extract_step_rows(b, K, rb)

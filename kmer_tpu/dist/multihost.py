@@ -140,7 +140,7 @@ class MultihostSortEngine:
     process 0 by the tools (utils.log.is_primary)."""
 
     def __init__(self, k: int, block_bases: int = 10_000_000,
-                 budget_bytes: int = 6 << 30, prefetch: bool = True,
+                 budget_bytes: int = 2 << 30, prefetch: bool = True,
                  qual_policy=None,
                  lanes_per_dest: Optional[int] = None):
         self.k = k

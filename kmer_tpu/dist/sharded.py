@@ -472,7 +472,7 @@ class ShardedSortEngine:
     kmer_tpu.pipeline.counter.SortCountEngine."""
 
     def __init__(self, mesh: Mesh, k: int, lanes_per_dest: Optional[int] = None,
-                 budget_bytes: int = 6 << 30,
+                 budget_bytes: int = 2 << 30,
                  stream_sorted: Optional[bool] = None):
         from ..table.compactor import stream_sorted_default
 

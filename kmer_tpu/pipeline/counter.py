@@ -488,7 +488,7 @@ class SortCountEngine:
         self,
         k: int,
         block_bases: int = 10_000_000,
-        budget_bytes: int = 6 << 30,
+        budget_bytes: int = 2 << 30,
         prefetch: bool = True,
         qual_policy=None,
     ):
@@ -683,7 +683,7 @@ class MeshSortCountEngine:
         self,
         k: int,
         block_bases: int = 10_000_000,
-        budget_bytes: int = 6 << 30,
+        budget_bytes: int = 2 << 30,
         prefetch: bool = True,
         qual_policy=None,
     ):
@@ -833,7 +833,7 @@ class MeshSortCountEngine:
 def make_count_engine(
     k: int,
     block_bases: int = 10_000_000,
-    budget_bytes: int = 6 << 30,
+    budget_bytes: int = 2 << 30,
     prefetch: bool = True,
     qual_policy=None,
 ):

@@ -295,7 +295,14 @@ def _hist_xla_core(hi, lo, counts, n_bins, max_count, min_keep, has_counts,
 class KmerCompactor:
     """Accumulate-and-sort count engine (see module docstring)."""
 
-    def __init__(self, budget_bytes: int = 6 << 30,
+    # Budget default 2 GiB: compaction transiently peaks near 3x the
+    # accumulated run bytes (concat + sort in/out temps, or the stream
+    # ladder's fold) ON TOP of previously compacted counted runs, and
+    # the v5e has 16 GB HBM — 1 Gbase stress runs OOMed the first
+    # mid-stream fold at 6 GiB and 4 GiB budgets; 2 GiB also keeps
+    # every ladder fold within the known-compiling 2^28-lane merges
+    # while the 256 Mbase headline still streams trip-free.
+    def __init__(self, budget_bytes: int = 2 << 30,
                  key_bits: Optional[int] = None,
                  stream_sorted: bool = False):
         self.runs: List[Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]] = []
@@ -412,7 +419,14 @@ class KmerCompactor:
         at multiple GB-scale plane pairs otherwise)."""
         from ..kernels import bitonic
 
-        up = jax.default_backend() == "tpu"
+        # Pallas merge kernels are compiled per size with one pass per
+        # high stride; at 2^29 lanes (a 4 GiB budget trip folding two
+        # 2^28 runs) the remote compile helper crashed outright.  Above
+        # 2^28 use the XLA fori-loop variant: a small program (stages
+        # loop, buffers reused) that runs a rare trip-time merge at
+        # ~0.8 s/2^28 instead of compiling a giant kernel chain.
+        n_out = a[0].shape[0] + b[0].shape[0]
+        up = jax.default_backend() == "tpu" and n_out <= (1 << 28)
         cat = tuple(jnp.concatenate([x, y]) for x, y in zip(a, b))
         if len(cat) == 1:
             fn1 = (bitonic.merge_sorted_halves1_donated if up
@@ -454,20 +468,65 @@ class KmerCompactor:
         self.runs.append((keys.hi, keys.lo, counts))
         self._bytes += keys.hi.size * 12
 
+    def _plane_hi_lo(self, planes):
+        lo = planes[-1]
+        hi = planes[0] if len(planes) == 2 else lo
+        if self.one_plane:
+            hi = jnp.where(lo == SENT, SENT, jnp.uint32(0))
+        return hi, lo
+
+    def _compact_stream_piecewise(self) -> None:
+        """Budget-trip compaction that never folds the ladder into one
+        giant plane pair: each ladder run is already sorted, so it
+        compacts on its own (pre_sorted), its raw planes free, and the
+        per-run counted results fold with the classic weighted path.
+        Bounds the transient peak to ~3x the LARGEST run plus the
+        remaining raw runs, instead of ~3x the whole stream — a 1 Gbase
+        single-chip run OOMed the 16 GB HBM through the single-shot
+        fold at every budget tried (6/4/2 GiB), while this pieces
+        through (the per-run syncs also let the tunnel backend's
+        asynchronous HBM reclaim catch up)."""
+        lad = self.stream
+        runs = []
+        if lad.pending:
+            cat = (lad.pending[0] if len(lad.pending) == 1
+                   else lad._concat(lad.pending))
+            n = lad._size(cat)
+            target = max(lad.min_pad, 1 << max(0, (n - 1).bit_length()))
+            runs.append(lad._sort(lad._pad(cat, target)))
+        runs.extend(lad.ladder.values())
+        lad.clear()
+        runs.sort(key=lambda p: p[-1].shape[0], reverse=True)
+        for planes in runs:
+            hi, lo = self._plane_hi_lo(planes)
+            out = _compact_impl(hi, lo, hi, False, self.one_plane,
+                                pre_sorted=True)
+            chi, clo, ccnt, n_unique = out
+            nu = int(n_unique)  # sync: prior run's raw planes reclaim
+            size = min(_size_class(nu), chi.shape[0])
+            self.runs.append((
+                jax.lax.dynamic_slice(chi, (0,), (size,)),
+                jax.lax.dynamic_slice(clo, (0,), (size,)),
+                jax.lax.dynamic_slice(ccnt, (0,), (size,)),
+            ))
+
     def compact(self) -> None:
         """Fold all runs into one (key, count) run via sort; compaction
         (moving segment-end entries to the front) is itself done with a
         sort rather than a scatter.  Stream-sorted state with no counted
-        runs compacts straight off the merged planes (no sort at all)."""
+        runs compacts straight off the merged planes (no sort at all)
+        when the stream is small; past one fold quantum it compacts
+        ladder-run-by-run to bound the transient HBM peak."""
         if self.stream_sorted and self._has_stream_state():
-            if not self.runs:
+            if (not self.runs
+                    and self.stream.data_lanes <= _STREAM_CHUNK * 2):
                 hi, lo = self._stream_hi_lo()
                 out = _compact_impl(hi, lo, hi, False, self.one_plane,
                                     pre_sorted=True)
                 self.stream.clear()
                 self._store_compacted(out)
                 return
-            self._absorb_stream()
+            self._compact_stream_piecewise()
         if not self.runs:
             return
         hi, lo, cnt = _concat_runs(self.runs)
@@ -494,6 +553,12 @@ class KmerCompactor:
     def hist(self, n_bins: int, max_count: Optional[int], min_keep: int = 1):
         """(histogram, n_distinct) over all accumulated keys."""
         pre_sorted = False
+        if (self.stream_sorted and self._has_stream_state() and self.runs
+                and self.stream.data_lanes > _STREAM_CHUNK * 2):
+            # big mixed state: the classic absorb would concat+sort the
+            # whole stream alongside the counted runs — compact
+            # piecewise first so the final sort sees counted runs only
+            self.compact()
         if self.stream_sorted and self._has_stream_state():
             if self.runs:
                 self._absorb_stream()  # mixed with counted runs: classic
