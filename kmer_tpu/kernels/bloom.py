@@ -132,7 +132,14 @@ def insert_sequential(
     sort groups each bit's probes with the first setter at the segment
     start, and a payload sort restores probe order.  Costs two
     3-plane sorts + one gather of n_hashes x lanes — only the exact
-    mode pays it."""
+    mode pays it.
+
+    Same-lane duplicate probes (h2 cycling back over the 512-bit
+    block, yak-count.c:100) also count as set, because yak_bf_insert
+    tests AFTER setting earlier probes of the SAME call
+    (`cnt += !!(*q & u); *q |= u;`, yak-count.c:103-104): within equal
+    (bit, lane) the stable sort keeps probe order, so every non-first
+    duplicate is marked set."""
     idxs = _probe_indices(keys, spec)
     n = bits.shape[0]
     n_lanes = keys.lo.shape[0]
@@ -150,7 +157,11 @@ def insert_sequential(
     )
     start_pos = jax.lax.cummax(jnp.where(starts, p, jnp.int32(0)))
     first_lane = jnp.take(s_lane, start_pos)
-    in_batch = (first_lane < s_lane).astype(jnp.uint32)
+    dup_prev = jnp.concatenate([
+        jnp.zeros((1,), jnp.bool_),
+        (s_bit[1:] == s_bit[:-1]) & (s_lane[1:] == s_lane[:-1]),
+    ])
+    in_batch = ((first_lane < s_lane) | dup_prev).astype(jnp.uint32)
     # restore probe order: positions are unique, 1-key sort on them
     _, verdict = jax.lax.sort((s_pos, in_batch), num_keys=1)
     by_probe = verdict.reshape(spec.n_hashes, n_lanes)

@@ -1,0 +1,333 @@
+"""Deferred exact yak admission — the per-batch bloom bookkeeping
+without per-block bloom work.
+
+The reference's pass-1 stderr lines (`[M] processed N sequences; M
+distinct k-mers in the hash table`, /root/reference/yak-count.c:427)
+need, per pipeline batch, the cumulative number of distinct keys the
+bloom-gated table has ADMITTED (yak_ch_insert_list gates a key's entry
+on `yak_bf_insert(...) == n_hash`, yak-count.c:162-163, with the bloom
+probed sequentially per k-mer, yak-count.c:91-108).
+
+Simulating that eagerly costs ~13x the count itself (round-4 verdict):
+per block, the sequential test-and-set reconstruction pays two sorts +
+gathers + scatters over n_hashes x lanes against a 2^b-byte bits
+array, and the running distinct total pays a full compaction per
+batch.  This module replaces all of it with a DEFERRED formulation
+built on two exact identities:
+
+1. **Only first occurrences matter to the bloom.**  Every occurrence
+   of key K probes the same bits, so "bit b is set before lane l" is
+   equivalent to "some key K' whose FIRST occurrence lane l1(K') < l
+   probes b".  The bits array disappears: admission verdicts reduce to
+   per-bit comparisons between first-occurrence lanes.
+2. **A key's second occurrence is always admitted** (its own first
+   occurrence set all its bits), so key K enters the table at
+     l1(K)  if all its probe bits were set by earlier keys'
+              first occurrences (the bloom false-positive case), else
+     l2(K)  if K occurs at least twice, else never.
+
+So the streaming side only records (key_hi, key_lo, global lane index)
+— zero device work per block beyond a lazy iota — and finalization
+computes per-batch admitted-distinct totals with a handful of sorts:
+
+  a. fold the stream to (key -> first two occurrence lanes) with a
+     3-key sort + keep-first-2-per-segment compaction (FirstSeen-
+     Compactor; budget trips bound HBM like table.compactor);
+  b. one (bit, l1) sort over n_hashes x n_keys probe entries resolves
+     every first-occurrence lane's false-positive verdict: an entry is
+     "pre-set" iff an entry with the same bit and a strictly smaller
+     l1 exists (lane indices are unique per key, and a key's own
+     duplicate probes — possible only at h2 == 256, multiplicity <= 2
+     — carry equal l1, so a 2-step unrolled neighbor rule needs no
+     scan, gather, or scatter);
+  c. bucket each key's admission lane against the recorded batch
+     boundaries and histogram (MXU one-hot reduction).
+
+The per-batch totals are byte-identical to the sequential reference
+(pinned by tests/test_golden_counters.py::test_yak_stderr_progress_
+parity); the [M] lines are emitted when counting finishes rather than
+live — the one observable difference is timing, not content.
+
+Lane indices are u32: a single run is limited to 2^32 - 2^26 extracted
+lanes (~4.2 Gbases); beyond that ingest raises with a pointer to
+KMER_TPU_FAST_YAK=1 (which skips the simulation entirely).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..kernels import bloom
+from ..kernels import segops
+from ..kernels import u64 as u
+from ..table.compactor import _pad_to, _size_class
+
+I32 = jnp.int32
+U32 = jnp.uint32
+SENT = jnp.uint32(0xFFFFFFFF)
+_MAX_LANES = (1 << 32) - (1 << 26)  # u32 index headroom
+_BOUNDS_CLASSES = (32, 128, 1024, 8192)  # padded batch-count classes
+
+
+@jax.jit
+def _first2_compact(hi, lo, idx):
+    """Sort by (key, lane) and keep each key's first TWO entries,
+    compacted to the front by a rank sort (compaction by sort, no
+    scatter — the table.compactor idiom).  Input runs may mix raw
+    planes and previously compacted first-2 planes: keeping the first
+    two of the merged order is exactly the first two overall, because
+    every surviving entry is a genuine occurrence lane.  Returns
+    (hi, lo, idx, n_keep) with the tail sentinel-filled."""
+    n = hi.shape[0]
+    pos = jnp.arange(n, dtype=I32)
+    s_hi, s_lo, s_idx = jax.lax.sort((hi, lo, idx), num_keys=3)
+    starts = jnp.concatenate([
+        jnp.ones((1,), jnp.bool_),
+        (s_hi[1:] != s_hi[:-1]) | (s_lo[1:] != s_lo[:-1]),
+    ])
+    second = jnp.concatenate([jnp.zeros((1,), jnp.bool_), starts[:-1]]) & ~starts
+    is_sent = (s_hi == SENT) & (s_lo == SENT)
+    keep = (starts | second) & ~is_sent
+    rank = jnp.where(keep, pos, I32(0x7FFFFFFF))
+    _, chi, clo, cidx = jax.lax.sort(
+        (rank,
+         jnp.where(keep, s_hi, SENT),
+         jnp.where(keep, s_lo, SENT),
+         jnp.where(keep, s_idx, SENT)),
+        num_keys=1,
+    )
+    return chi, clo, cidx, jnp.sum(keep.astype(I32))
+
+
+@jax.jit
+def _rows_reduce(hi, lo, idx):
+    """First-2 compacted planes (key-sorted) -> one row per distinct
+    key: (key_hi, key_lo, l1, l2) where l2 is the key's second
+    occurrence lane or the sentinel.  Another rank sort; rows stay
+    key-sorted.  Returns (rhi, rlo, l1, l2, n_rows)."""
+    n = hi.shape[0]
+    pos = jnp.arange(n, dtype=I32)
+    same_prev = jnp.concatenate([
+        jnp.zeros((1,), jnp.bool_),
+        (hi[1:] == hi[:-1]) & (lo[1:] == lo[:-1]),
+    ])
+    starts = ~same_prev
+    next_same = jnp.concatenate([same_prev[1:], jnp.zeros((1,), jnp.bool_)])
+    l2 = jnp.where(next_same, jnp.concatenate([idx[1:], idx[:1]]), SENT)
+    is_sent = (hi == SENT) & (lo == SENT)
+    keep = starts & ~is_sent
+    rank = jnp.where(keep, pos, I32(0x7FFFFFFF))
+    _, rhi, rlo, rl1, rl2 = jax.lax.sort(
+        (rank,
+         jnp.where(keep, hi, SENT),
+         jnp.where(keep, lo, SENT),
+         jnp.where(keep, idx, SENT),
+         jnp.where(keep, l2, SENT)),
+        num_keys=1,
+    )
+    return rhi, rlo, rl1, rl2, jnp.sum(keep.astype(I32))
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def _fp_verdicts(rhi, rlo, l1, spec):
+    """Per-row bloom false-positive verdict at the row's FIRST
+    occurrence: True iff every probe bit was set by some other key's
+    earlier first occurrence.  One (bit, l1) sort over
+    n_hashes x n_rows entries + neighbor rules; verdicts return to row
+    order via a 1-key sort on the row id (every row contributes
+    exactly n_hashes entries, so the sorted layout is a clean
+    (n_rows, n_hashes) reshape)."""
+    m = rhi.shape[0]
+    keys = u.U64(rhi, rlo)
+    idxs = bloom._probe_indices(keys, spec)
+    sent_row = (rhi == SENT) & (rlo == SENT)
+    fb = jnp.concatenate(
+        [jnp.where(sent_row, SENT, ix.astype(U32)) for ix in idxs]
+    )
+    fl1 = jnp.tile(l1, spec.n_hashes)
+    fr = jnp.tile(jnp.arange(m, dtype=U32), spec.n_hashes)
+    s_b, _s_l1, s_r = jax.lax.sort((fb, fl1, fr), num_keys=2)
+    starts = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), s_b[1:] != s_b[:-1]]
+    )
+    # An entry is "pre-set" iff it is NOT the first entry of its bit
+    # segment.  Entries with a smaller l1 are other keys' earlier first
+    # occurrences; entries with EQUAL l1 are the same key's duplicate
+    # probes of one bit (h2 cycling, yak-count.c:100) — and the
+    # reference counts those as set too, because yak_bf_insert tests
+    # AFTER setting earlier probes of the same call
+    # (`cnt += !!(*q & u); *q |= u;`, yak-count.c:103-104).  The AND
+    # below consumes the segment-start entry's False in their place, so
+    # the verdict multiset per row matches the reference exactly for
+    # any probe multiplicity.
+    verdict = (~starts).astype(U32)
+    _, sv = jax.lax.sort((s_r, verdict), num_keys=1)
+    fp = sv.reshape(m, spec.n_hashes).min(axis=1) == 1
+    return fp & ~sent_row
+
+
+@partial(jax.jit, static_argnames=("use_bloom", "n_bins"))
+def _batch_admits(l1, l2, fp, bounds, use_bloom, n_bins):
+    """Per-batch newly-admitted-key counts.  bounds holds each batch's
+    EXCLUSIVE end lane index, sentinel-padded; a key admitted at lane x
+    lands in batch sum(x >= bounds) (admitted lanes are < the sentinel,
+    so padding never miscounts).  Batch b maps to histogram bin b + 1
+    because histogram_by_matmul parks masked lanes in bin 0.  Returns
+    (hist[n_bins] with bins 1..n_batches holding the counts,
+    n_admitted)."""
+    if use_bloom:
+        admitted = fp | (l2 != SENT)
+        admit_idx = jnp.where(fp, l1, l2)
+    else:
+        admitted = l1 != SENT
+        admit_idx = l1
+
+    def body(j, acc):
+        return acc + (admit_idx >= bounds[j]).astype(I32)
+
+    batch = jax.lax.fori_loop(
+        0, bounds.shape[0], body, jnp.ones(l1.shape, I32)
+    )
+    hist = segops.histogram_by_matmul(
+        jnp.minimum(batch, I32(n_bins - 1)), admitted, n_bins
+    )
+    return hist, jnp.sum(admitted.astype(I32))
+
+
+class FirstSeenCompactor:
+    """Accumulate (key, global lane index) planes; maintain, under a
+    memory budget, a compacted run holding each distinct key's first
+    two occurrence lanes.  Raw runs store only the planes the engine
+    already extracted plus an integer base — the index plane is a lazy
+    iota materialized at compaction, so streaming adds ZERO device
+    work."""
+
+    def __init__(self, budget_bytes: int = 1 << 30):
+        # (hi, lo, idx_plane_or_base) — int base marks a raw run
+        self.runs: List[Tuple] = []
+        self.budget_bytes = budget_bytes
+        self._bytes = 0
+        self.n_keys = 0  # distinct keys as of the last compact
+
+    def add_raw(self, hi, lo, base: int) -> None:
+        self.runs.append((hi, lo, int(base)))
+        self._bytes += int(hi.shape[0]) * 8
+        if self._bytes > self.budget_bytes:
+            self.compact()
+
+    def _concat(self):
+        n = sum(int(r[0].shape[0]) for r in self.runs)
+        pad = _pad_to(n) - n
+        pad_p = jnp.full((pad,), SENT, U32)
+        his = jnp.concatenate([r[0] for r in self.runs] + [pad_p])
+        los = jnp.concatenate([r[1] for r in self.runs] + [pad_p])
+        idxs = jnp.concatenate(
+            [
+                (jnp.arange(int(r[0].shape[0]), dtype=U32) + U32(r[2]))
+                if isinstance(r[2], int) else r[2]
+                for r in self.runs
+            ]
+            + [pad_p]
+        )
+        return his, los, idxs
+
+    def compact(self) -> None:
+        if not self.runs:
+            return
+        hi, lo, idx = self._concat()
+        chi, clo, cidx, n_keep = _first2_compact(hi, lo, idx)
+        nk = int(n_keep)  # sync: lets prior raw planes reclaim
+        size = min(_size_class(nk), int(chi.shape[0]))
+        self.runs = [(
+            jax.lax.dynamic_slice(chi, (0,), (size,)),
+            jax.lax.dynamic_slice(clo, (0,), (size,)),
+            jax.lax.dynamic_slice(cidx, (0,), (size,)),
+        )]
+        self._bytes = size * 12
+        # first-2 lanes >= distinct keys; the exact distinct count
+        # comes from finalize()'s row reduction
+
+    def finalize_rows(self):
+        """(rhi, rlo, l1, l2, n_rows) — one row per distinct key."""
+        self.compact()
+        if not self.runs:
+            z = jnp.full((1,), SENT, U32)
+            return z, z, z, z, 0
+        hi, lo, idx = self.runs[0]
+        rhi, rlo, l1, l2, n_rows = _rows_reduce(hi, lo, idx)
+        self.n_keys = int(n_rows)
+        return rhi, rlo, l1, l2, self.n_keys
+
+
+def _pad_bounds(bounds: List[int]) -> np.ndarray:
+    n = max(1, len(bounds))
+    for cls in _BOUNDS_CLASSES:
+        if n <= cls:
+            n = cls
+            break
+    else:
+        raise ValueError(f"too many batches ({len(bounds)})")
+    out = np.full((n,), 0xFFFFFFFF, np.uint32)
+    out[: len(bounds)] = np.asarray(bounds, np.uint32)
+    return out
+
+
+class DeferredYakAdmission:
+    """Driver: feed extracted key planes per block (with reference
+    batch_end flags), then resolve every per-batch admitted-distinct
+    total at once.  `spec` None (or use_bloom False) means no bloom:
+    every valid k-mer is admitted at its first occurrence
+    (yak_ch_insert_list without a bloom inserts unconditionally,
+    yak-count.c:166-168)."""
+
+    def __init__(self, spec: Optional[bloom.BloomSpec], use_bloom: bool,
+                 budget_bytes: int = 1 << 30):
+        self.spec = spec
+        self.use_bloom = bool(use_bloom and spec is not None)
+        self.fs = FirstSeenCompactor(budget_bytes)
+        self._base = 0
+        self.bounds: List[int] = []  # exclusive end lane per batch
+        self._pending = False
+
+    def add_block(self, hi, lo, batch_end: bool) -> None:
+        n = int(hi.shape[0])
+        if self._base + n > _MAX_LANES:
+            raise RuntimeError(
+                "yak admission simulation exceeds the u32 lane-index "
+                "range (~4.2 Gbases per run); rerun with "
+                "KMER_TPU_FAST_YAK=1 to skip the stderr simulation"
+            )
+        self.fs.add_raw(hi, lo, self._base)
+        self._base += n
+        self._pending = True
+        if batch_end:
+            self.bounds.append(self._base)
+            self._pending = False
+
+    def finish(self) -> Tuple[np.ndarray, int]:
+        """Returns (per-batch newly-admitted counts, total admitted).
+        Call once, after the last block."""
+        if self._pending:
+            self.bounds.append(self._base)
+            self._pending = False
+        if not self.bounds:
+            return np.zeros((0,), np.int64), 0
+        rhi, rlo, l1, l2, _n_rows = self.fs.finalize_rows()
+        if self.use_bloom:
+            fp = _fp_verdicts(rhi, rlo, l1, self.spec)
+        else:
+            fp = jnp.zeros(l1.shape, jnp.bool_)
+        bounds = _pad_bounds(self.bounds)
+        hist, tot = _batch_admits(
+            l1, l2, fp, jnp.asarray(bounds), self.use_bloom,
+            int(bounds.shape[0]) + 2,
+        )
+        per_batch = np.asarray(hist).astype(np.int64)[
+            1 : len(self.bounds) + 1
+        ]
+        return per_batch, int(tot)
