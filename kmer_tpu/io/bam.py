@@ -106,12 +106,16 @@ class BamReader:
         self._bgzf.close()
 
     def index_candidates(self, fn: str):
+        """htslib's local-index search order (hts_idx_check_local,
+        hts.c:4745-4760): fn.bam.csi, fn.csi, then fn.bam.bai,
+        fn.bai."""
         import os
 
-        return (fn + ".bai", os.path.splitext(fn)[0] + ".bai")
+        stem = os.path.splitext(fn)[0]
+        return (fn + ".csi", stem + ".csi", fn + ".bai", stem + ".bai")
 
-    def load_index(self, path: str) -> "BaiIndex":
-        return BaiIndex(path)
+    def load_index(self, path: str):
+        return load_bam_index(path)
 
     def _read_record(self) -> Optional[BamRecord]:
         raw = self._bgzf.read(4)
@@ -179,6 +183,120 @@ def _reg2bins(beg: int, end: int) -> List[int]:
     return bins
 
 
+def _merge_chunks(chunks: List[Tuple[int, int]]) -> List[Tuple[int, int]]:
+    """Sort + merge overlapping/adjacent chunk ranges (the off[] merge
+    in hts_itr_query, hts.c:3700-3712)."""
+    chunks.sort()
+    merged: List[Tuple[int, int]] = []
+    for cb, ce in chunks:
+        if merged and cb <= merged[-1][1]:
+            if ce > merged[-1][1]:
+                merged[-1] = (merged[-1][0], ce)
+        else:
+            merged.append((cb, ce))
+    return merged
+
+
+def load_bam_index(path: str):
+    """CsiIndex or BaiIndex by content: .bai is raw ("BAI\\1" magic),
+    .csi is BGZF-wrapped (gzip magic) — the idx_read format sniff
+    (hts.c:2937-2967)."""
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    if magic == b"BAI\x01":
+        return BaiIndex(path)
+    if magic[:2] == b"\x1f\x8b":
+        return CsiIndex(path)
+    raise ValueError(f"{path}: not a BAI or CSI index")
+
+
+class CsiIndex:
+    """CSI\\1 binning index (idx_read, hts.c:2948-2967; core
+    2872-2935): BGZF-wrapped; binning parameterized by
+    (min_shift, depth) and each bin carries loff — the virtual offset
+    of the first overlapping record — in place of .bai's 16 kb linear
+    index."""
+
+    def __init__(self, path: str):
+        r = BgzfReader(path)
+        try:
+            parts = []
+            while True:
+                b = r.read(1 << 20)
+                if not b:
+                    break
+                parts.append(b)
+        finally:
+            r.close()
+        data = b"".join(parts)
+        if data[:4] != b"CSI\x01":
+            raise ValueError(f"{path}: not a CSI index")
+        self.min_shift, self.depth, l_aux = struct.unpack_from(
+            "<iii", data, 4)
+        off = 16 + l_aux
+        (n_ref,) = struct.unpack_from("<i", data, off)
+        off += 4
+        # per ref: bin id -> (loff, [(chunk_beg, chunk_end)])
+        self.bins: List[Dict[int, Tuple[int, List[Tuple[int, int]]]]] = []
+        for _ in range(n_ref):
+            (n_bin,) = struct.unpack_from("<i", data, off)
+            off += 4
+            bd: Dict[int, Tuple[int, List[Tuple[int, int]]]] = {}
+            for _ in range(n_bin):
+                bin_id, loff, n_chunk = struct.unpack_from("<IQi", data, off)
+                off += 16
+                chunks = []
+                for _ in range(n_chunk):
+                    cb, ce = struct.unpack_from("<QQ", data, off)
+                    off += 16
+                    chunks.append((cb, ce))
+                bd[bin_id] = (loff, chunks)
+            self.bins.append(bd)
+
+    def _min_offset(self, bd, beg: int) -> int:
+        """loff of the smallest extant bin covering beg, walking to the
+        previous sibling / up to the parent when absent
+        (hts_itr_query's min_off computation, hts.c:3434-3446)."""
+        b = ((1 << 3 * self.depth) - 1) // 7 + (beg >> self.min_shift)
+        while True:
+            if b in bd:
+                return bd[b][0]
+            if b == 0:
+                return 0
+            parent = (b - 1) >> 3
+            first = (parent << 3) + 1
+            b = b - 1 if b > first else parent
+
+    def chunks_for(self, tid: int, beg: int, end: int) -> List[Tuple[int, int]]:
+        if tid < 0 or tid >= len(self.bins):
+            return []
+        bd = self.bins[tid]
+        if not bd:
+            return []
+        max_s = self.min_shift + 3 * self.depth
+        if end > (1 << max_s):
+            end = 1 << max_s
+        if beg < 0:
+            beg = 0
+        if beg >= end:
+            return []
+        min_off = self._min_offset(bd, beg)
+        chunks: List[Tuple[int, int]] = []
+        # generalized reg2bins (reg2bins_narrow, hts.c:3094-3109)
+        s, t = max_s, 0
+        for level in range(self.depth + 1):
+            for b in range(t + (beg >> s), t + ((end - 1) >> s) + 1):
+                loff_chunks = bd.get(b)
+                if loff_chunks is None:
+                    continue
+                for cb, ce in loff_chunks[1]:
+                    if ce > min_off:
+                        chunks.append((max(cb, min_off), ce))
+            s -= 3
+            t += 1 << (3 * level)
+        return _merge_chunks(chunks)
+
+
 class BaiIndex:
     def __init__(self, path: str):
         with open(path, "rb") as f:
@@ -224,15 +342,7 @@ class BaiIndex:
             for cb, ce in bd.get(b, []):
                 if ce > min_off:
                     chunks.append((max(cb, min_off), ce))
-        chunks.sort()
-        merged: List[Tuple[int, int]] = []
-        for cb, ce in chunks:
-            if merged and cb <= merged[-1][1]:
-                if ce > merged[-1][1]:
-                    merged[-1] = (merged[-1][0], ce)
-            else:
-                merged.append((cb, ce))
-        return merged
+        return _merge_chunks(chunks)
 
 
 _CIGAR_CODE = {c: i for i, c in enumerate("MIDNSHP=X")}

@@ -17,6 +17,7 @@ _SEQ_NT16 = {c: i for i, c in enumerate("=ACMGRSVTWYHKDBN")}
 for _c in list(_SEQ_NT16):
     _SEQ_NT16[_c.lower()] = _SEQ_NT16[_c]
 _CIGAR_CODE = {c: i for i, c in enumerate("MIDNSHP=X")}
+FUNMAP = 0x4
 
 
 def bgzf_compress(payload: bytes, level: int = 6) -> bytes:
@@ -145,6 +146,114 @@ def write_bai(bam_path: str, bai_path: str) -> None:
             out += struct.pack("<Q", v)
     with open(bai_path, "wb") as f:
         f.write(bytes(out))
+
+
+def _bin_first(level: int) -> int:
+    return ((1 << 3 * level) - 1) // 7
+
+
+def _bin_level(b: int, depth: int) -> int:
+    level = 0
+    while level < depth and _bin_first(level + 1) <= b:
+        level += 1
+    return level
+
+
+def _reg2bin_gen(beg: int, end: int, min_shift: int, depth: int) -> int:
+    """Smallest bin containing [beg, end) under (min_shift, depth)
+    binning (hts_reg2bin, htslib/hts.h)."""
+    end -= 1
+    s = min_shift
+    t = _bin_first(depth)
+    for level in range(depth, 0, -1):
+        if beg >> s == end >> s:
+            return t + (beg >> s)
+        s += 3
+        # C's `--l, t -= 1<<3*l` decrements l BEFORE the update:
+        # first(l) -> first(l-1) subtracts 8^(l-1)
+        t -= 1 << (3 * (level - 1))
+    return 0
+
+
+def write_csi(bam_path: str, csi_path: str, min_shift: int = 14,
+              depth: int = 5) -> None:
+    """Build a CSI index by re-reading the BAM (test-scale; mirrors
+    htslib sam_index_build3 with min_shift > 0: generalized binning,
+    per-bin loff from an internal min_shift-granularity linear index
+    that is then discarded — update_loff(free_lidx=1), hts.c:2472 —
+    plus the META pseudo-bin and trailing n_no_coor).  BGZF-wrapped
+    (idx_write, hts.c:2798-2812)."""
+    from .bam import BamReader
+
+    rdr = BamReader(bam_path)
+    n_ref = len(rdr.ref_names)
+    n_bins_total = _bin_first(depth + 1)
+    bins = [dict() for _ in range(n_ref)]  # bin -> [(vbeg, vend)]
+    lidx = [[] for _ in range(n_ref)]  # min_shift intervals; -1 = unset
+    span = [None] * n_ref  # (off_beg, off_end) voffsets per tid
+    mapped = [[0, 0] for _ in range(n_ref)]  # [n_mapped, n_unmapped]
+    n_no_coor = 0
+    rdr._bgzf.seek_voffset(rdr._body_voffset)
+    while True:
+        vbeg = rdr._bgzf.tell_voffset()
+        rec = rdr._read_record()
+        if rec is None:
+            break
+        vend = rdr._bgzf.tell_voffset()
+        if rec.tid < 0 or rec.pos < 0:
+            n_no_coor += 1
+            continue
+        mapped[rec.tid][1 if rec.flag & FUNMAP else 0] += 1
+        end = rec.end_pos()
+        b = _reg2bin_gen(rec.pos, end, min_shift, depth)
+        chunks = bins[rec.tid].setdefault(b, [])
+        if chunks and chunks[-1][1] == vbeg:
+            chunks[-1] = (chunks[-1][0], vend)
+        else:
+            chunks.append((vbeg, vend))
+        ivs = lidx[rec.tid]
+        for iv in range(rec.pos >> min_shift, ((end - 1) >> min_shift) + 1):
+            while len(ivs) <= iv:
+                ivs.append(-1)
+            if ivs[iv] == -1 or vbeg < ivs[iv]:
+                ivs[iv] = vbeg
+        if span[rec.tid] is None:
+            span[rec.tid] = (vbeg, vend)
+        else:
+            span[rec.tid] = (span[rec.tid][0], vend)
+    rdr.close()
+    for ivs in lidx:  # backfill unset slots from the right (update_loff)
+        for i in range(len(ivs) - 2, -1, -1):
+            if ivs[i] == -1:
+                ivs[i] = ivs[i + 1]
+    payload = bytearray(b"CSI\x01")
+    payload += struct.pack("<iii", min_shift, depth, 0)  # l_aux = 0
+    payload += struct.pack("<i", n_ref)
+    for tid in range(n_ref):
+        bd = bins[tid]
+        meta = [] if span[tid] is None else [
+            (span[tid][0], span[tid][1]),
+            (mapped[tid][0], mapped[tid][1]),
+        ]
+        payload += struct.pack("<i", len(bd) + (1 if meta else 0))
+        for b in sorted(bd):
+            # loff = linear offset of the bin's leftmost bottom-level
+            # interval (hts_bin_bot; update_loff hts.c:2445-2460)
+            level = _bin_level(b, depth)
+            bot = (b - _bin_first(level)) << (3 * (depth - level))
+            ivs = lidx[tid]
+            loff = ivs[bot] if bot < len(ivs) and ivs[bot] != -1 else 0
+            chunks = bd[b]
+            payload += struct.pack("<IQi", b, loff, len(chunks))
+            for cb, ce in chunks:
+                payload += struct.pack("<QQ", cb, ce)
+        if meta:
+            payload += struct.pack("<IQi", n_bins_total + 1, 0, len(meta))
+            for u_, v_ in meta:
+                payload += struct.pack("<QQ", u_, v_)
+    payload += struct.pack("<Q", n_no_coor)
+    with open(csi_path, "wb") as f:
+        f.write(bgzf_compress(bytes(payload)))
 
 
 def sam_to_bam(sam_path: str, bam_path: str, sort: bool = False) -> None:

@@ -510,16 +510,24 @@ def fuzz_sam(rounds=10, seed=0, bam=False):
             aln = f"{d}/a.sam"
             indexed = False
             if bam:
-                from kmer_tpu.io.bamwrite import sam_to_bam, write_bai
+                from kmer_tpu.io.bamwrite import (sam_to_bam, write_bai,
+                                                  write_csi)
 
                 aln = f"{d}/a.bam"
-                # half the rounds: coordinate-sorted + .bai, so the
-                # indexed iteration path (io/bam.py BaiIndex.query and
-                # htslib's) is fuzzed too
+                # half the rounds: coordinate-sorted + index, so the
+                # indexed iteration path is fuzzed too; the index
+                # alternates .bai / .csi (both implementations try
+                # .csi first, hts.c:4745-4760) with the .csi geometry
+                # itself randomized around the default (14, 5)
                 indexed = bool(rng.integers(0, 2))
                 sam_to_bam(f"{d}/a.sam", aln, sort=indexed)
                 if indexed:
-                    write_bai(aln, aln + ".bai")
+                    if rng.integers(0, 2):
+                        write_bai(aln, aln + ".bai")
+                    else:
+                        write_csi(aln, aln + ".csi",
+                                  min_shift=int(rng.integers(12, 16)),
+                                  depth=int(rng.integers(4, 7)))
             subprocess.run(
                 [os.path.join(REFBIN, "bam-vaf-counter"), "-p", f"{d}/p.txt",
                  "-o", f"{d}/ref.vaf", aln],

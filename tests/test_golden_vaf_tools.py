@@ -233,6 +233,52 @@ def test_bai_writer_indexed_parity(patterns, tmp_path):
     assert _read(tmp_path / "seq.vaf") == _read(tmp_path / "refseq.vaf")
 
 
+def test_csi_writer_indexed_parity(patterns, tmp_path):
+    """A BAM indexed with a .csi ONLY (no .bai; io/bamwrite.write_csi)
+    must take the indexed path — htslib tries fn.bam.csi before any
+    .bai (hts_idx_check_local, hts.c:4745-4760), and indexed mode is
+    observable output (multi-counted overlapped regions, PARITY.md
+    divergence 7) — and match: our .bai indexed run and the reference
+    binary reading the same .csi.  Also exercised at a non-default
+    geometry (min_shift=12, depth=6): same record sets, so same VAF."""
+    sam = _ensure_sam()
+    from kmer_tpu.io.bamwrite import sam_to_bam, write_bai, write_csi
+    from kmer_tpu.tools.bam_vaf_counter import main
+
+    bam = str(tmp_path / "sorted.bam")
+    sam_to_bam(sam, bam, sort=True)
+    write_csi(bam, bam + ".csi")
+    assert not main(["-p", patterns, "-o", str(tmp_path / "csi.vaf"), bam])
+    ref = _need("bam-vaf-counter")
+    subprocess.run(
+        [ref, "-p", patterns, "-o", str(tmp_path / "ref.vaf"), bam],
+        capture_output=True,
+        check=True,
+    )
+    assert _read(tmp_path / "csi.vaf") == _read(tmp_path / "ref.vaf")
+    # cross-check vs the .bai indexed path on a separate copy (identical
+    # merged regions -> identical indexed-mode VAF)
+    import shutil
+
+    bam2 = str(tmp_path / "sorted2.bam")
+    shutil.copy(bam, bam2)
+    write_bai(bam2, bam2 + ".bai")
+    assert not main(["-p", patterns, "-o", str(tmp_path / "bai.vaf"), bam2])
+    assert _read(tmp_path / "csi.vaf") == _read(tmp_path / "bai.vaf")
+    # non-default binning geometry must produce the same record sets
+    bam3 = str(tmp_path / "sorted3.bam")
+    shutil.copy(bam, bam3)
+    write_csi(bam3, bam3 + ".csi", min_shift=12, depth=6)
+    assert not main(["-p", patterns, "-o", str(tmp_path / "csi2.vaf"), bam3])
+    assert _read(tmp_path / "csi2.vaf") == _read(tmp_path / "csi.vaf")
+    subprocess.run(
+        [ref, "-p", patterns, "-o", str(tmp_path / "ref2.vaf"), bam3],
+        capture_output=True,
+        check=True,
+    )
+    assert _read(tmp_path / "csi2.vaf") == _read(tmp_path / "ref2.vaf")
+
+
 def test_sam_text_vaf_parity(patterns, tmp_path):
     """Plain-text SAM input (the reference reads it via htslib sam_open;
     ours via io.bam.SamTextReader)."""
