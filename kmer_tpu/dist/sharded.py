@@ -595,6 +595,12 @@ class ShardedSortEngine:
 
     def _commit(self, pending) -> None:
         hi, lo = self._resolve(pending)
+        self.add_chunk_planes(hi, lo)
+
+    def add_chunk_planes(self, hi, lo) -> None:
+        """Accumulate an already-routed owned chunk (route_batch
+        output) — for callers that need both the routed planes and the
+        accumulated counts (MeshSortYakEngine's no-bloom pass 1)."""
         if self.stream_sorted:
             self._stream_add(hi, lo)
         else:

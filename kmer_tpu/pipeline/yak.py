@@ -30,17 +30,26 @@ YAK_MAX_COUNT = YAK_N_COUNTS - 1
 BLK_SHIFT = bloom.BLK_SHIFT
 
 
-def _yak_ingest(*args, **kw):
-    """Dispatch to the donated jit (default: the table + bloom planes'
-    HBM is reused in place) or, with KMER_TPU_YAK_NO_DONATE=1, a
-    non-donating twin — a diagnostic/workaround knob for the
-    shape-specific TPU worker crash isolated by scripts/yak_tap_probe.py
-    (capacity 2^24 ingest crashes its SECOND invocation; 2^26 is fine)."""
+def _yak_ingest(table, *args, **kw):
+    """Dispatch to the donated jit (the table + bloom planes' HBM is
+    reused in place) — EXCEPT for the shape class scripts/yak_tap_probe
+    isolated on the tunneled TPU backend: a re-invoked donating ingest
+    at table capacity <= 2^24 crashed the TPU worker (second invocation;
+    2^26 was fine), so tables at or below that capacity run the
+    non-donating twin automatically.  The copy costs <= ~0.2 GB
+    transient at the guard boundary — well under the engine's working
+    set — and disappears once the table grows past the crash class.
+    KMER_TPU_YAK_NO_DONATE=1 forces the non-donating twin everywhere
+    (diagnostic); =0 forces donation everywhere (re-probing the crash)."""
     import os
 
-    if os.environ.get("KMER_TPU_YAK_NO_DONATE", "") == "1":
-        return _yak_ingest_nodonate(*args, **kw)
-    return _yak_ingest_donate(*args, **kw)
+    env = os.environ.get("KMER_TPU_YAK_NO_DONATE", "").strip()
+    if env == "1":
+        return _yak_ingest_nodonate(table, *args, **kw)
+    if env != "0" and jax.default_backend() == "tpu" \
+            and table.capacity <= (1 << 24):
+        return _yak_ingest_nodonate(table, *args, **kw)
+    return _yak_ingest_donate(table, *args, **kw)
 
 
 def _yak_ingest_core(
@@ -488,6 +497,102 @@ class YakEngine:
         return eng
 
 
+def _mesh_row_batches(eng, paths: Sequence[str], policy):
+    """Yield (global_rows_batch, row_bytes, n_seqs) mesh step batches —
+    the reader/grouping shared by the mesh yak engines (table-based
+    MeshYakEngine and sort-based MeshSortYakEngine must step identical
+    batches for their outputs to be comparable).
+
+    Single process: group n_dev reader buffers per step, zero-padded to
+    a common width; row_bytes engages only when every buffer shares it.
+
+    Multi-process pod: files shard per host and every process steps the
+    same collectives in lockstep, exhausted hosts contributing zero
+    blocks (the dist.multihost coordination).  KMER_TPU_SINGLE_READER=1
+    instead has process 0 read every file and broadcast global batches
+    — batch composition and bloom admission order then match a
+    1-process run of the SAME mesh, removing the per-host file-sharding
+    residual of PARITY.md divergences 8/10 (the mesh-vs-reference row
+    geometry remains)."""
+    if eng.n_proc > 1:
+        from jax.experimental import multihost_utils
+
+        from ..dist.multihost import (_bcast_batches, _local_batches,
+                                      shard_files, single_reader)
+
+        if single_reader():
+            # capacity_block (not row_bases) so buffers split exactly
+            # where the 1-process mesh run's packer splits them — the
+            # stderr (n_seqs, tot) parity claim is per-BUFFER
+            for rows, _nb, ns, rb in _bcast_batches(
+                    paths, eng.k, eng.row_bases, eng.n_dev, policy,
+                    capacity=eng.capacity_block):
+                batch = jax.make_array_from_callback(
+                    (eng.n_dev, eng.capacity_block),
+                    eng._global_sharding, lambda idx: rows[idx],
+                )
+                yield batch, rb, int(ns)
+            return
+
+        it = _local_batches(shard_files(paths), eng.k, eng.row_bases,
+                            eng.n_local, policy)
+        if eng.prefetch:
+            it = _prefetch(it)
+        while True:
+            item = next(it, None)
+            has = item is not None
+            if has:
+                local, _nb, ns, rb = item
+            else:
+                local, ns, rb = (
+                    np.zeros((eng.n_local, eng.row_bases), np.uint8), 0,
+                    None,
+                )
+            # ONE collective agrees on continuation, row stride (the
+            # fast path engages only when EVERY host shares it), and
+            # the global sequence total (same rule and shape as
+            # MultihostSortEngine.count_paths)
+            state = multihost_utils.process_allgather(
+                np.asarray([1 if has else 0, rb if rb else -1, ns],
+                           np.int64)
+            )
+            if int(state[..., 0].sum()) == 0:
+                break
+            rbs = state[..., 1].ravel()
+            rb = int(rbs[0])
+            rb = rb if rb > 0 and (rbs == rb).all() else None
+            batch = jax.make_array_from_process_local_data(
+                eng._global_sharding, local
+            )
+            yield batch, rb, int(state[..., 2].sum())
+        return
+
+    def _group(rows, rbs):
+        width = max(r.shape[0] for r in rows)
+        batch = np.zeros((eng.n_dev, width), np.uint8)
+        for i, r in enumerate(rows):
+            batch[i, : r.shape[0]] = r
+        rb = rbs[0] if len(set(rbs)) == 1 else None
+        return jnp.asarray(batch), rb
+
+    it = _iter_packed(paths, eng.k, eng.row_bases, eng.capacity_block,
+                      policy)
+    if eng.prefetch:
+        it = _prefetch(it)
+    rows, rbs, n_seqs = [], [], 0
+    for buf, _nb, ns, rb, _be in it:
+        rows.append(np.asarray(buf))
+        rbs.append(rb)
+        n_seqs += int(ns)
+        if len(rows) == eng.n_dev:
+            batch, rb = _group(rows, rbs)
+            yield batch, rb, n_seqs
+            rows, rbs, n_seqs = [], [], 0
+    if rows:
+        batch, rb = _group(rows, rbs)
+        yield batch, rb, n_seqs
+
+
 class MeshYakEngine:
     """YakEngine on the device mesh: the bloom-gated two-pass flow with
     every structure partitioned by key ownership (the same hash-prefix
@@ -614,92 +719,8 @@ class MeshYakEngine:
 
     def count(self, paths: Sequence[str], create_new: bool) -> None:
         policy = ("resume", self.k, 3)
-        if self.n_proc > 1:
-            self._count_multiprocess(paths, policy, create_new)
-            return
-        it = _iter_packed(paths, self.k, self.row_bases,
-                          self.capacity_block, policy)
-        if self.prefetch:
-            it = _prefetch(it)
-        rows, rbs, n_seqs = [], [], 0
-        for buf, _nb, ns, rb, _be in it:
-            rows.append(np.asarray(buf))
-            rbs.append(rb)
-            n_seqs += int(ns)
-            if len(rows) == self.n_dev:
-                self._step(rows, rbs, n_seqs, create_new)
-                rows, rbs, n_seqs = [], [], 0
-        if rows:
-            self._step(rows, rbs, n_seqs, create_new)
-
-    def _count_multiprocess(self, paths, policy, create_new: bool) -> None:
-        """Pod form: files shard per host, every process steps the same
-        collectives in lockstep, exhausted hosts contribute zero blocks
-        (the dist.multihost coordination, applied to the yak flow).
-        KMER_TPU_SINGLE_READER=1 instead has process 0 read every file
-        and broadcast global batches — batch composition and bloom
-        admission order then match a 1-process run of the SAME mesh,
-        removing the per-host file-sharding residual of PARITY.md
-        divergences 8/10 (the mesh-vs-reference row geometry remains)."""
-        from jax.experimental import multihost_utils
-
-        from ..dist.multihost import (_bcast_batches, _local_batches,
-                                      shard_files, single_reader)
-
-        if single_reader():
-            # capacity_block (not row_bases) so buffers split exactly
-            # where the 1-process mesh run's packer splits them — the
-            # stderr (n_seqs, tot) parity claim is per-BUFFER
-            for rows, _nb, ns, rb in _bcast_batches(
-                    paths, self.k, self.row_bases, self.n_dev, policy,
-                    capacity=self.capacity_block):
-                batch = jax.make_array_from_callback(
-                    (self.n_dev, self.capacity_block),
-                    self._global_sharding, lambda idx: rows[idx],
-                )
-                self._step_rows(batch, rb, ns, create_new)
-            return
-
-        it = _local_batches(shard_files(paths), self.k, self.row_bases,
-                            self.n_local, policy)
-        if self.prefetch:
-            it = _prefetch(it)
-        while True:
-            item = next(it, None)
-            has = item is not None
-            if has:
-                local, _nb, ns, rb = item
-            else:
-                local, ns, rb = (
-                    np.zeros((self.n_local, self.row_bases), np.uint8), 0,
-                    None,
-                )
-            # ONE collective agrees on continuation, row stride (the
-            # fast path engages only when EVERY host shares it), and
-            # the global sequence total (same rule and shape as
-            # MultihostSortEngine.count_paths)
-            state = multihost_utils.process_allgather(
-                np.asarray([1 if has else 0, rb if rb else -1, ns],
-                           np.int64)
-            )
-            if int(state[..., 0].sum()) == 0:
-                break
-            rbs = state[..., 1].ravel()
-            rb = int(rbs[0])
-            rb = rb if rb > 0 and (rbs == rb).all() else None
-            batch = jax.make_array_from_process_local_data(
-                self._global_sharding, local
-            )
-            self._step_rows(batch, rb, int(state[..., 2].sum()),
-                            create_new)
-
-    def _step(self, rows, rbs, n_seqs: int, create_new: bool) -> None:
-        width = max(r.shape[0] for r in rows)
-        batch = np.zeros((self.n_dev, width), np.uint8)
-        for i, r in enumerate(rows):
-            batch[i, : r.shape[0]] = r
-        rb = rbs[0] if len(set(rbs)) == 1 else None
-        self._step_rows(jnp.asarray(batch), rb, n_seqs, create_new)
+        for batch, rb, ns in _mesh_row_batches(self, paths, policy):
+            self._step_rows(batch, rb, ns, create_new)
 
     def _step_rows(self, batch, rb, n_seqs: int, create_new: bool) -> None:
         hi, lo = self._route.route_batch(batch, row_bytes=rb)
@@ -745,12 +766,161 @@ class MeshYakEngine:
         )
 
 
+class MeshSortYakEngine:
+    """Sort-based two-pass yak engine on the device mesh — the mesh
+    default (KMER_TPU_TABLE_YAK=1 restores the table-based
+    MeshYakEngine).  Retires the open-addressing probe loop everywhere
+    the TPU runtime watchdog can kill it (the round-4 GB-scale worker
+    crash): every step is routing sorts, the deferred admission fold
+    (pipeline.yak_admit.ShardedDeferredYak — per-device, since keys
+    sharing a bloom bit share an owner), compactions, and one shrink
+    merge-join, each a bounded-size program.
+
+    Pass 1 routes each step's k-mers to their owners and records
+    (key, local lane index) — per-owner lane order equals the global
+    stream order restricted to the owner's keys (the stable routing
+    sort + source-ordered all_to_all, dist.sharded._bucketize_by_sort),
+    so the deferred bloom semantics are chip-local and byte-exact.  The
+    per-step `[M]` totals resolve when pass 1 finishes (deferred), with
+    identical content to the table engine's live lines.  Pass 2
+    accumulates fn2's counts in the ShardedSortEngine; shrink joins the
+    admitted pass-1 key planes against them (yak_ch_shrink,
+    yak-count.c:243-277).  With bf_shift == 0 there is no pass 2
+    (yak_count_file, yak-count.c:457): pass 1 then also accumulates
+    counts so hist() can answer directly."""
+
+    def __init__(
+        self,
+        k: int = 31,
+        pre: int = 10,
+        bf_shift: int = 0,
+        bf_n_hash: int = 4,
+        chunk_size: int = 10_000_000,
+        init_capacity: int = None,
+        prefetch: bool = True,
+        log=None,
+    ):
+        import os
+
+        from ..dist import sharded
+        from .yak_admit import ShardedDeferredYak
+
+        self.k = k
+        self.pre = pre
+        self.bf_shift = bf_shift
+        self.bf_n_hash = bf_n_hash
+        self.prefetch = prefetch
+        self.log = log
+        self.mesh = sharded.make_mesh()
+        self.n_dev = int(np.prod(list(self.mesh.shape.values())))
+        self.owner_bits = self.n_dev.bit_length() - 1
+        self.row_bases = max(int(chunk_size) // self.n_dev, 1 << 16)
+        self.capacity_block = self.row_bases + 4096
+        self._route = sharded.ShardedSortEngine(self.mesh, k)
+        bloom_wanted = (
+            bf_n_hash > 0
+            and bf_shift > pre
+            and (bf_shift - pre) >= BLK_SHIFT
+        )
+        self.use_bloom = (bloom_wanted and pre >= self.owner_bits
+                          and _bloom_geometry_ok(bf_shift, pre,
+                                                 self.owner_bits))
+        if bloom_wanted and not self.use_bloom:
+            # same gate + message as MeshYakEngine: the per-device bloom
+            # partition needs at least one prefix bit per owner
+            from ..utils.log import warn
+
+            warn("yak_count",
+                 f"-p{pre} has fewer prefix bits than the {self.n_dev}"
+                 f"-device mesh needs ({self.owner_bits}); bloom "
+                 "prefilter disabled (two-file admission differs from "
+                 "a single-chip run)")
+        if self.use_bloom:
+            self.bf_shift = _clamp_bf_shift(bf_shift, self.owner_bits)
+            self.spec = bloom.BloomSpec(pre, self.bf_shift, bf_n_hash,
+                                        self.owner_bits)
+        else:
+            self.spec = None
+        budget = int(os.environ.get("KMER_TPU_TAP_BUDGET", str(1 << 30)))
+        self.adm = ShardedDeferredYak(self.mesh, self.spec, self.use_bloom,
+                                      budget_bytes=budget)
+        self.tot = 0
+        self._k1 = None  # admitted pass-1 key planes (hi, lo)
+        self._hist = None  # post-shrink histogram
+        self._p1_seqs = []
+        self.n_proc = jax.process_count()
+        self.n_local = len(jax.local_devices())
+        if self.n_proc > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._global_sharding = NamedSharding(
+                self.mesh, P(("data", "shard"), None)
+            )
+
+    def count(self, paths: Sequence[str], create_new: bool) -> None:
+        policy = ("resume", self.k, 3)
+        if create_new:
+            # pass-1 counts are only observable when no pass 2 follows
+            keep_counts = not (self.bf_shift > 0)
+            self._p1_seqs = []
+            for batch, rb, ns in _mesh_row_batches(self, paths, policy):
+                hi, lo = self._route.route_batch(batch, row_bytes=rb)
+                self.adm.add_chunk(hi, lo, step_end=True)
+                if keep_counts:
+                    self._route.add_chunk_planes(hi, lo)
+                self._p1_seqs.append(int(ns))
+            self._k1, per_step, self.tot = self.adm.finish()
+            if self.log is not None:
+                running = 0
+                for ns, new in zip(self._p1_seqs, per_step):
+                    running += int(new)
+                    self.log(ns, running)
+        else:
+            # pass 2 never inserts: every line repeats the pass-1 total
+            # (yak-count.c:170-174), printed live
+            for batch, rb, ns in _mesh_row_batches(self, paths, policy):
+                self._route.add_batch(batch, row_bytes=rb)
+                if self.log is not None:
+                    self.log(ns, self.tot)
+            self._route._flush_inflight()
+
+    def destroy_bloom(self):
+        pass  # bits-free: admission already resolved at pass-1 finish
+
+    def clear(self):
+        # pass-2 counts accumulate in the (empty) route engine; the
+        # admitted key planes stay in self._k1 untouched
+        self._route.reset()
+
+    def shrink(self, min_count: int, max_count: int):
+        self._route.compact()
+        if self._route.weighted is not None:
+            whi, wlo, wcnt = self._route.weighted
+        else:  # empty pass 2: every pass-1 key counts 0
+            d, s = self.mesh.shape["data"], self.mesh.shape["shard"]
+            whi = wlo = jnp.full((d, s, 1), jnp.uint32(0xFFFFFFFF))
+            wcnt = jnp.zeros((d, s, 1), jnp.uint32)
+        h, tot = _sharded_shrink_join_fn(self.mesh)(
+            self._k1[0], self._k1[1], whi, wlo, wcnt,
+            jnp.uint32(min_count), jnp.uint32(max_count),
+        )
+        self._hist = np.asarray(h).astype(np.int64)
+        self._hist[0] = 0  # bin 0 collects the dropped lanes' zeros
+        self.tot = int(tot)
+
+    def hist(self) -> np.ndarray:
+        if self._hist is not None:
+            return self._hist
+        # bf_shift == 0 flow: exact counts accumulated during pass 1
+        h = self._route.hist(YAK_N_COUNTS, max_count=YAK_MAX_COUNT)
+        return np.asarray(h).astype(np.int64)
 
 
 
 
-@jax.jit
-def _shrink_join(k1hi, k1lo, k2hi, k2lo, c2, min_count, max_count):
+
+
+def _shrink_join_core(k1hi, k1lo, k2hi, k2lo, c2, min_count, max_count):
     """Counts of the pass-1 keys (A) within the pass-2 counted run (B)
     as ONE sorted merge-join: 3-key sort orders each A entry
     immediately before its B partner, a neighbor compare takes the
@@ -782,6 +952,43 @@ def _shrink_join(k1hi, k1lo, k2hi, k2lo, c2, min_count, max_count):
         jnp.where(keep, c, 0)
     ].add(keep.astype(jnp.int32))
     return hist, jnp.sum(keep.astype(jnp.int32))
+
+
+_shrink_join = jax.jit(_shrink_join_core)
+
+
+_SHRINK_JOIN_CACHE = {}
+
+
+def _sharded_shrink_join_fn(mesh):
+    """Per-device shrink merge-join + psum — the mesh form of
+    _shrink_join (keys are uniquely owned, so per-device joins sum
+    exactly)."""
+    if mesh not in _SHRINK_JOIN_CACHE:
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        spec = P("data", "shard", None)
+
+        def per_device(k1hi, k1lo, k2hi, k2lo, c2, min_c, max_c):
+            h, tot = _shrink_join_core(
+                k1hi[0, 0], k1lo[0, 0], k2hi[0, 0], k2lo[0, 0],
+                c2[0, 0], min_c, max_c,
+            )
+            return (jax.lax.psum(jax.lax.psum(h, "shard"), "data"),
+                    jax.lax.psum(jax.lax.psum(tot, "shard"), "data"))
+
+        fn = jax.jit(shard_map(
+            per_device, mesh=mesh,
+            in_specs=(spec,) * 5 + (P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        ))
+        _SHRINK_JOIN_CACHE[mesh] = fn
+    return _SHRINK_JOIN_CACHE[mesh]
 
 
 class SortYakEngine:
@@ -903,20 +1110,20 @@ class SortYakEngine:
 
 
 def make_yak_engine(**kw):
-    """SortYakEngine on one device (KMER_TPU_TABLE_YAK=1 restores the
-    open-addressing YakEngine), MeshYakEngine when the system has a
-    multi-device mesh or is a multi-process pod (same gates as
-    pipeline.counter.make_count_engine; MeshYakEngine handles the
-    cross-host coordination itself)."""
+    """Sort-based engines by default — SortYakEngine on one device,
+    MeshSortYakEngine when the system has a multi-device mesh or is a
+    multi-process pod (same gates as pipeline.counter.make_count_engine;
+    the mesh engine handles cross-host coordination itself).
+    KMER_TPU_TABLE_YAK=1 restores the open-addressing table engines
+    (YakEngine / MeshYakEngine) as the cross-check."""
     import os
 
     from .counter import use_mesh
 
+    table = os.environ.get("KMER_TPU_TABLE_YAK", "") == "1"
     if jax.process_count() > 1 or use_mesh():
-        return MeshYakEngine(**kw)
-    if os.environ.get("KMER_TPU_TABLE_YAK", "") == "1":
-        return YakEngine(**kw)
-    return SortYakEngine(**kw)
+        return MeshYakEngine(**kw) if table else MeshSortYakEngine(**kw)
+    return YakEngine(**kw) if table else SortYakEngine(**kw)
 
 
 def yak_count_file(

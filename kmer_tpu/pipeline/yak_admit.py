@@ -74,8 +74,7 @@ _MAX_LANES = (1 << 32) - (1 << 26)  # u32 index headroom
 _BOUNDS_CLASSES = (32, 128, 1024, 8192)  # padded batch-count classes
 
 
-@jax.jit
-def _first2_compact(hi, lo, idx):
+def _first2_core(hi, lo, idx):
     """Sort by (key, lane) and keep each key's first TWO entries,
     compacted to the front by a rank sort (compaction by sort, no
     scatter — the table.compactor idiom).  Input runs may mix raw
@@ -104,8 +103,10 @@ def _first2_compact(hi, lo, idx):
     return chi, clo, cidx, jnp.sum(keep.astype(I32))
 
 
-@jax.jit
-def _rows_reduce(hi, lo, idx):
+_first2_compact = jax.jit(_first2_core)
+
+
+def _rows_core(hi, lo, idx):
     """First-2 compacted planes (key-sorted) -> one row per distinct
     key: (key_hi, key_lo, l1, l2) where l2 is the key's second
     occurrence lane or the sentinel.  Another rank sort; rows stay
@@ -133,8 +134,10 @@ def _rows_reduce(hi, lo, idx):
     return rhi, rlo, rl1, rl2, jnp.sum(keep.astype(I32))
 
 
-@partial(jax.jit, static_argnames=("spec",))
-def _fp_verdicts(rhi, rlo, l1, spec):
+_rows_reduce = jax.jit(_rows_core)
+
+
+def _fp_core(rhi, rlo, l1, spec):
     """Per-row bloom false-positive verdict at the row's FIRST
     occurrence: True iff every probe bit was set by some other key's
     earlier first occurrence.  One (bit, l1) sort over
@@ -171,8 +174,10 @@ def _fp_verdicts(rhi, rlo, l1, spec):
     return fp & ~sent_row
 
 
-@partial(jax.jit, static_argnames=("use_bloom", "n_bins"))
-def _batch_admits(l1, l2, fp, bounds, use_bloom, n_bins):
+_fp_verdicts = partial(jax.jit, static_argnames=("spec",))(_fp_core)
+
+
+def _admits_core(l1, l2, fp, bounds, use_bloom, n_bins):
     """Per-batch newly-admitted-key counts.  bounds holds each batch's
     EXCLUSIVE end lane index, sentinel-padded; a key admitted at lane x
     lands in batch sum(x >= bounds) (admitted lanes are < the sentinel,
@@ -197,6 +202,10 @@ def _batch_admits(l1, l2, fp, bounds, use_bloom, n_bins):
         jnp.minimum(batch, I32(n_bins - 1)), admitted, n_bins
     )
     return hist, jnp.sum(admitted.astype(I32))
+
+
+_batch_admits = partial(jax.jit, static_argnames=("use_bloom", "n_bins"))(
+    _admits_core)
 
 
 class FirstSeenCompactor:
@@ -331,3 +340,167 @@ class DeferredYakAdmission:
             1 : len(self.bounds) + 1
         ]
         return per_batch, int(tot)
+
+
+# -- mesh forms -------------------------------------------------------
+#
+# The deferred formulation shards cleanly by key ownership: two keys
+# can interact through the bloom only by sharing a probe bit, bits
+# live in per-prefix subtables, and a subtable's prefix determines the
+# owning device (BloomSpec.owner_bits <= pre), so every (bit, l1)
+# comparison is device-local.  Per-device lane indices are the global
+# stream order restricted to the device's keys (the routing sort is
+# stable and the tiled all_to_all concatenates source segments in
+# order — dist.sharded._bucketize_by_sort), and routed chunks have
+# identical shapes on every device, so batch boundaries are shared
+# scalars.  Per-batch counts and totals psum exactly (unique key
+# ownership).
+
+from functools import lru_cache
+
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+from jax.sharding import PartitionSpec as P
+
+_CHUNK_SPEC = P("data", "shard", None)
+
+
+@lru_cache(maxsize=None)
+def sharded_attach_idx_fn(mesh):
+    """Per-device local lane-index plane for one routed chunk: the
+    device's running lane base (replicated scalar) + iota."""
+
+    def per_device(hi, base):
+        n = hi.shape[2]
+        return (jnp.arange(n, dtype=U32) + base)[None, None]
+
+    fn = shard_map(per_device, mesh=mesh, in_specs=(_CHUNK_SPEC, P()),
+                   out_specs=_CHUNK_SPEC, check_vma=False)
+    return jax.jit(fn)
+
+
+@lru_cache(maxsize=None)
+def sharded_first2_fn(mesh):
+    """Per-device first-two-occurrences fold; n_keep is the pmax over
+    devices (every process must slice the SAME size class)."""
+
+    def per_device(hi, lo, idx):
+        chi, clo, cidx, n = _first2_core(hi[0, 0], lo[0, 0], idx[0, 0])
+        nmax = jax.lax.pmax(jax.lax.pmax(n, "shard"), "data")
+        return chi[None, None], clo[None, None], cidx[None, None], nmax
+
+    fn = shard_map(per_device, mesh=mesh, in_specs=(_CHUNK_SPEC,) * 3,
+                   out_specs=(_CHUNK_SPEC,) * 3 + (P(),), check_vma=False)
+    return jax.jit(fn)
+
+
+@lru_cache(maxsize=None)
+def sharded_finalize_fn(mesh, spec, use_bloom: bool, n_bins: int):
+    """Per-device rows reduction + bloom FP verdicts + batch bucketing
+    in one program (runs exactly once per pass).  Returns the admitted
+    pass-1 key planes (non-admitted rows collapsed to the sentinel;
+    each device's plane is key-sorted) plus the globally psum'd
+    (per-batch newly-admitted hist, total admitted)."""
+
+    def per_device(hi, lo, idx, bounds):
+        rhi, rlo, l1, l2, _n = _rows_core(hi[0, 0], lo[0, 0], idx[0, 0])
+        if use_bloom:
+            fp = _fp_core(rhi, rlo, l1, spec)
+        else:
+            fp = jnp.zeros(l1.shape, jnp.bool_)
+        h, tot = _admits_core(l1, l2, fp, bounds, use_bloom, n_bins)
+        h = jax.lax.psum(jax.lax.psum(h, "shard"), "data")
+        tot = jax.lax.psum(jax.lax.psum(tot, "shard"), "data")
+        if use_bloom:
+            admitted = fp | (l2 != SENT)
+        else:
+            admitted = l1 != SENT
+        khi = jnp.where(admitted, rhi, SENT)
+        klo = jnp.where(admitted, rlo, SENT)
+        return khi[None, None], klo[None, None], h, tot
+
+    fn = shard_map(
+        per_device, mesh=mesh,
+        in_specs=(_CHUNK_SPEC, _CHUNK_SPEC, _CHUNK_SPEC, P()),
+        out_specs=(_CHUNK_SPEC, _CHUNK_SPEC, P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn, static_argnums=())
+
+
+class ShardedDeferredYak:
+    """Mesh driver: feed per-device routed chunk planes (D, S, L), then
+    resolve per-step admitted-distinct totals and the admitted pass-1
+    key planes at once.  Budget trips fold to first-2 form per device
+    (same invariants as FirstSeenCompactor, axis=2)."""
+
+    def __init__(self, mesh, spec, use_bloom: bool,
+                 budget_bytes: int = 1 << 30):
+        self.mesh = mesh
+        self.spec = spec
+        self.use_bloom = bool(use_bloom and spec is not None)
+        self.runs = []  # (hi, lo, idx) (D, S, L) planes
+        self.budget_bytes = budget_bytes
+        self._bytes = 0
+        self._base = 0  # per-device local lane count (uniform shapes)
+        self.bounds = []
+
+    def add_chunk(self, hi, lo, step_end: bool = True) -> None:
+        n = int(hi.shape[2])
+        if self._base + n > _MAX_LANES:
+            raise RuntimeError(
+                "mesh yak admission exceeds the u32 lane-index range"
+            )
+        idx = sharded_attach_idx_fn(self.mesh)(
+            hi, jnp.uint32(self._base))
+        self.runs.append((hi, lo, idx))
+        self._base += n
+        self._bytes += n * 12
+        if step_end:
+            self.bounds.append(self._base)
+        if self._bytes > self.budget_bytes:
+            self.compact()
+
+    def _concat(self):
+        n = sum(int(r[0].shape[2]) for r in self.runs)
+        pad = _pad_to(n) - n
+        d, s = (self.mesh.shape["data"], self.mesh.shape["shard"])
+        parts = []
+        for i in range(3):
+            ps = [r[i] for r in self.runs]
+            if pad:
+                ps.append(jnp.full((d, s, pad), SENT, U32))
+            parts.append(jnp.concatenate(ps, axis=2))
+        return parts
+
+    def compact(self) -> None:
+        if not self.runs:
+            return
+        hi, lo, idx = self._concat()
+        chi, clo, cidx, nmax = sharded_first2_fn(self.mesh)(hi, lo, idx)
+        nk = int(nmax)  # replicated scalar; also syncs HBM reclaim
+        size = min(_size_class(nk), int(chi.shape[2]))
+        self.runs = [(chi[:, :, :size], clo[:, :, :size],
+                      cidx[:, :, :size])]
+        self._bytes = size * 12
+
+    def finish(self):
+        """(admitted_key_planes (hi, lo), per-step new counts, total).
+        The key planes are per-device key-sorted with non-admitted and
+        pad rows collapsed to the sentinel — ready for the sharded
+        shrink merge-join."""
+        self.compact()
+        if not self.runs or not self.bounds:
+            d, s = (self.mesh.shape["data"], self.mesh.shape["shard"])
+            z = jnp.full((d, s, 1), SENT, U32)
+            return (z, z), np.zeros((0,), np.int64), 0
+        hi, lo, idx = self.runs[0]
+        bounds = _pad_bounds(self.bounds)
+        khi, klo, h, tot = sharded_finalize_fn(
+            self.mesh, self.spec if self.use_bloom else None,
+            self.use_bloom, int(bounds.shape[0]) + 2,
+        )(hi, lo, idx, jnp.asarray(bounds))
+        per_step = np.asarray(h).astype(np.int64)[1 : len(self.bounds) + 1]
+        return (khi, klo), per_step, int(tot)

@@ -167,6 +167,57 @@ def test_mesh_yak_two_pass_matches_single_device(tmp_path):
     assert mesh.tot == single.tot
 
 
+@pytest.mark.parametrize(
+    "bf_shift",
+    [
+        19,  # bloom ACTIVE (19-10 = 9 = BLK_SHIFT): gated two-pass
+        14,  # bf > 0 but geometry-disabled bloom: ungated two-pass
+        0,   # no pass 2: hist = pass-1 exact counts
+    ],
+)
+def test_mesh_sort_yak_matches_table_engine(tmp_path, bf_shift):
+    """The sort-based mesh yak engine (MeshSortYakEngine — routing
+    sorts + deferred admission + shrink merge-join, no table probe
+    loop) must reproduce the table-based MeshYakEngine exactly on the
+    full two-file flow: histogram, tot, AND the per-step `[M]` log
+    lines (the engines share _mesh_row_batches, so their step batches
+    are identical; the deferred per-step admitted totals must equal the
+    table's live n_new accumulation)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import gzip
+
+    from kmer_tpu.pipeline.yak import (
+        MeshSortYakEngine, MeshYakEngine, yak_count_file,
+    )
+
+    rng = np.random.default_rng(bf_shift)
+    paths = []
+    for name in ("f1", "f2"):
+        p = str(tmp_path / f"{name}.fa.gz")
+        with gzip.open(p, "wb") as f:
+            for i in range(400):
+                s = (_random_ascii(100).tobytes().replace(b"\0", b"A")
+                     if rng.random() < 0.9 else
+                     b"ACGT" * 25)  # repeats: multi-occurrence keys
+                f.write(b">r%d\n%s\n" % (i, s))
+        paths.append(p)
+
+    logs = {"table": [], "sort": []}
+    kw = dict(k=21, pre=10, bf_shift=bf_shift, bf_n_hash=4,
+              chunk_size=1 << 14)
+    table = yak_count_file(
+        paths[0], paths[1],
+        MeshYakEngine(log=lambda n, t: logs["table"].append((n, t)), **kw))
+    srt = yak_count_file(
+        paths[0], paths[1],
+        MeshSortYakEngine(log=lambda n, t: logs["sort"].append((n, t)),
+                          **kw))
+    assert logs["sort"] == logs["table"]
+    assert srt.tot == table.tot
+    assert np.array_equal(srt.hist(), table.hist())
+
+
 def test_multihost_single_process_path():
     """count_multihost degrades to the local sharded engine in a
     single-process run; histogram must match the single-device sort
