@@ -62,6 +62,7 @@ class IngestStats:
         self.upload_n = 0
         self.wait_s = 0.0
         self.dispatch_s = 0.0
+        self.throttle_s = 0.0  # subset of dispatch_s: backpressure waits
         self.loop_s = 0.0
         self._lock = threading.Lock()
 
@@ -74,10 +75,17 @@ class IngestStats:
     def report(self) -> str:
         up_mb = self.upload_bytes / 1e6
         per_stream = up_mb / self.upload_s if self.upload_s else 0.0
+        # throttle_s is INSIDE dispatch_s: time blocked on the stream
+        # ladder's backpressure readbacks (compactor.throttle_wait_s) —
+        # split out so tunnel-RTT waiting is never mistaken for real
+        # dispatch cost (round-4 verdict weak 4)
+        thr = f", of which throttle wait {self.throttle_s:.2f}s" \
+            if self.throttle_s else ""
         return (
             f"loop {self.loop_s:.2f}s (reader {self.reader_s:.2f}s, "
             f"upload {up_mb:.0f} MB @ {per_stream:.1f} MB/s/stream, "
-            f"main wait {self.wait_s:.2f}s, dispatch {self.dispatch_s:.2f}s)"
+            f"main wait {self.wait_s:.2f}s, "
+            f"dispatch {self.dispatch_s:.2f}s{thr})"
         )
 
 
@@ -542,6 +550,7 @@ class SortCountEngine:
         second pass over the input (tools/yak_count.py)."""
         st = self.stats = IngestStats()
         t_loop = time.perf_counter()
+        thr0 = getattr(self.compactor, "throttle_wait_s", 0.0)
         packed_mode = _use_packed_ingest(paths)
         if packed_mode:
             it = _iter_packed2(paths, self.k, self.block_bases, self.capacity,
@@ -598,6 +607,9 @@ class SortCountEngine:
                 if progress is not None:
                     progress(self)
         st.loop_s = time.perf_counter() - t_loop
+        st.throttle_s = (
+            getattr(self.compactor, "throttle_wait_s", 0.0) - thr0
+        )
 
     def hist(self, n_bins: int, max_count=None, min_keep: int = 1):
         h, self._n_distinct = self.compactor.hist(n_bins, max_count, min_keep)

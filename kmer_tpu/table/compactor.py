@@ -321,6 +321,11 @@ class KmerCompactor:
         self._sync_q: "deque" = deque()
         self._sync_pool = None  # lazy 1-thread pool for throttle syncs
         self._sync_window = None  # resolved at first push (env override)
+        # time the dispatch thread spent BLOCKED on throttle readbacks
+        # (device behind the slack window, or just the tunnel RTT under
+        # congestion) — engines report it separately from real dispatch
+        # so the two are never conflated in a bench breakdown
+        self.throttle_wait_s = 0.0
         self.last_n_unique = 0  # distinct keys as of the last compact()
         self.stream = self._make_ladder() if self.stream_sorted else None
 
@@ -395,8 +400,13 @@ class KmerCompactor:
             # wait on the oldest outstanding readback.  The RTT itself
             # runs in the pool thread, overlapped with this thread's
             # dispatch — the main loop only blocks when the device is
-            # genuinely behind the slack window
+            # genuinely behind the slack window (or the tunnel RTT
+            # exceeds the window's worth of dispatch under congestion)
+            import time as _time
+
+            t0 = _time.perf_counter()
             self._sync_q.popleft().result()
+            self.throttle_wait_s += _time.perf_counter() - t0
 
     def _stream_add(self, hi, lo):
         # _bytes counts RAW lanes only, as in classic mode: both modes
