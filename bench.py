@@ -339,7 +339,11 @@ def bench_yak(reads_path):
     note(f"yak: {mbases:.0f} Mbases in {elapsed:.2f}s "
          f"({value:.1f} Mb/s); warm {warm_s:.1f}s; "
          f"{n_distinct} distinct with count >= 2")
-    # CLI-default comparison: one pass WITH the stderr-sim tap
+    # CLI-default comparison: passes WITH the stderr-sim tap.  The
+    # first pass carries the tap programs' compiles; a second pass runs
+    # warm when the budget allows, and the warm number is the one the
+    # tap-cost claim is about (round-4 verdict task 2: delta <= 1.2x
+    # the engine pass).
     tap_note = "tap pass skipped (deadline)"
     if remaining() > 0.4 * (_DEADLINE - _T0 if _DEADLINE else 1e9):
         _settle()
@@ -347,9 +351,16 @@ def bench_yak(reads_path):
         try:
             run_once(with_tap=True)
             tap_s = time.time() - t0
-            tap_note = (f"CLI-default tap pass (warm incl. its compile) "
-                        f"{tap_s:.2f}s -> sim costs {tap_s - elapsed:+.2f}s "
-                        f"vs engine pass")
+            tap_note = (f"CLI-default tap pass (incl. its compiles) "
+                        f"{tap_s:.2f}s")
+            if remaining() > max(60.0, 1.5 * tap_s):
+                _settle()
+                t0 = time.time()
+                run_once(with_tap=True)
+                tap2 = time.time() - t0
+                tap_note += (f"; warm tap pass {tap2:.2f}s -> sim costs "
+                             f"{tap2 - elapsed:+.2f}s vs the {elapsed:.2f}s"
+                             f" engine pass ({tap2 / elapsed:.2f}x)")
         except Exception as e:
             tap_note = (f"CLI-default tap pass FAILED after "
                         f"{time.time() - t0:.0f}s: {type(e).__name__}: "

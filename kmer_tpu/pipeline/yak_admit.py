@@ -106,97 +106,81 @@ def _first2_core(hi, lo, idx):
 _first2_compact = jax.jit(_first2_core)
 
 
-def _rows_core(hi, lo, idx):
-    """First-2 compacted planes (key-sorted) -> one row per distinct
-    key: (key_hi, key_lo, l1, l2) where l2 is the key's second
-    occurrence lane or the sentinel.  Another rank sort; rows stay
-    key-sorted.  Returns (rhi, rlo, l1, l2, n_rows)."""
-    n = hi.shape[0]
-    pos = jnp.arange(n, dtype=I32)
+# The finalize programs below run DIRECTLY on the first-2 compacted
+# planes (key-sorted, <= 2 lanes per key, sentinels at the tail), with
+# segment starts carrying l1 and the next-lane shift carrying l2 — no
+# reduction to one-row-per-key exists.  (An earlier design rank-sorted
+# 5 planes into per-key rows first; that single program drove the
+# remote TPU compiler past its limits at bench sizes — >15 min, then a
+# compile-helper crash.  Every finalize program here contains at most
+# ONE large sort.)
+
+
+def _first2_meta(hi, lo, idx):
+    """Elementwise segment metadata on first-2 planes: (starts, l2).
+    starts marks each distinct key's first lane (sentinels excluded);
+    l2 is the key's second occurrence lane at its start, else SENT."""
     same_prev = jnp.concatenate([
         jnp.zeros((1,), jnp.bool_),
         (hi[1:] == hi[:-1]) & (lo[1:] == lo[:-1]),
     ])
-    starts = ~same_prev
+    is_sent = (hi == SENT) & (lo == SENT)
+    starts = ~same_prev & ~is_sent
     next_same = jnp.concatenate([same_prev[1:], jnp.zeros((1,), jnp.bool_)])
     l2 = jnp.where(next_same, jnp.concatenate([idx[1:], idx[:1]]), SENT)
-    is_sent = (hi == SENT) & (lo == SENT)
-    keep = starts & ~is_sent
-    rank = jnp.where(keep, pos, I32(0x7FFFFFFF))
-    _, rhi, rlo, rl1, rl2 = jax.lax.sort(
-        (rank,
-         jnp.where(keep, hi, SENT),
-         jnp.where(keep, lo, SENT),
-         jnp.where(keep, idx, SENT),
-         jnp.where(keep, l2, SENT)),
-        num_keys=1,
-    )
-    return rhi, rlo, rl1, rl2, jnp.sum(keep.astype(I32))
+    return starts, l2
 
 
-_rows_reduce = jax.jit(_rows_core)
-
-
-def _fp_core(rhi, rlo, l1, spec):
-    """Per-row bloom false-positive verdict at the row's FIRST
-    occurrence: True iff every probe bit was set by some other key's
-    earlier first occurrence.  One (bit, l1) sort over
-    n_hashes x n_rows entries + neighbor rules; verdicts return to row
-    order via a 1-key sort on the row id (every row contributes
-    exactly n_hashes entries, so the sorted layout is a clean
-    (n_rows, n_hashes) reshape)."""
-    m = rhi.shape[0]
-    keys = u.U64(rhi, rlo)
+def _fp_sort_core(hi, lo, idx, spec):
+    """Bloom FP resolution, program A (one big sort): probe entries for
+    each key's START lane, sorted by (bit, l1).  An entry's verdict is
+    "this bit was set before lane l1" = NOT the first entry of its bit
+    segment: entries with a smaller l1 are other keys' earlier first
+    occurrences; entries with EQUAL l1 are the same key's duplicate
+    probes of one bit (h2 cycling, yak-count.c:100) — and the reference
+    counts those as set too, because yak_bf_insert tests AFTER setting
+    earlier probes of the same call (`cnt += !!(*q & u); *q |= u;`,
+    yak-count.c:103-104); the AND in program B consumes the
+    segment-start entry's False in their place, so the verdict multiset
+    per key matches the reference for any probe multiplicity.
+    Returns (s_r, verdict) entry planes for program B."""
+    m = hi.shape[0]
+    starts, _l2 = _first2_meta(hi, lo, idx)
+    keys = u.U64(hi, lo)
     idxs = bloom._probe_indices(keys, spec)
-    sent_row = (rhi == SENT) & (rlo == SENT)
+    # non-start lanes (second occurrences, sentinels) must NOT emit
+    # probes: a second occurrence probes its key's own bits and would
+    # wrongly pre-set them for the start lane
     fb = jnp.concatenate(
-        [jnp.where(sent_row, SENT, ix.astype(U32)) for ix in idxs]
+        [jnp.where(starts, ix.astype(U32), SENT) for ix in idxs]
     )
-    fl1 = jnp.tile(l1, spec.n_hashes)
-    fr = jnp.tile(jnp.arange(m, dtype=U32), spec.n_hashes)
-    s_b, _s_l1, s_r = jax.lax.sort((fb, fl1, fr), num_keys=2)
-    starts = jnp.concatenate(
+    fl1 = jnp.tile(idx, spec.n_hashes)
+    # restore payload = FLAT position (probe plane j's lane i at
+    # j*m + i): program B's restore sort then yields verdicts in
+    # probe-plane order, so the AND is a (n_hashes, m) reshape — the
+    # obvious (m, n_hashes) layout tiles T(8,128) on TPU and pads the
+    # minor dim 4 -> 128, a 32x phantom allocation (24 GiB at bench
+    # scale, compile-time OOM; observed)
+    fpos = jnp.arange(m * spec.n_hashes, dtype=U32)
+    s_b, _s_l1, s_pos = jax.lax.sort((fb, fl1, fpos), num_keys=2)
+    bit_starts = jnp.concatenate(
         [jnp.ones((1,), jnp.bool_), s_b[1:] != s_b[:-1]]
     )
-    # An entry is "pre-set" iff it is NOT the first entry of its bit
-    # segment.  Entries with a smaller l1 are other keys' earlier first
-    # occurrences; entries with EQUAL l1 are the same key's duplicate
-    # probes of one bit (h2 cycling, yak-count.c:100) — and the
-    # reference counts those as set too, because yak_bf_insert tests
-    # AFTER setting earlier probes of the same call
-    # (`cnt += !!(*q & u); *q |= u;`, yak-count.c:103-104).  The AND
-    # below consumes the segment-start entry's False in their place, so
-    # the verdict multiset per row matches the reference exactly for
-    # any probe multiplicity.
-    verdict = (~starts).astype(U32)
-    _, sv = jax.lax.sort((s_r, verdict), num_keys=1)
-    fp = sv.reshape(m, spec.n_hashes).min(axis=1) == 1
-    return fp & ~sent_row
+    return s_pos, (~bit_starts).astype(U32)
 
 
-_fp_verdicts = partial(jax.jit, static_argnames=("spec",))(_fp_core)
-
-
-def _admits_core(l1, l2, fp, bounds, use_bloom, n_bins):
-    """Per-batch newly-admitted-key counts.  bounds holds each batch's
+def _admits_hist(admitted, admit_idx, bounds, n_bins):
+    """Per-batch newly-admitted counts.  bounds holds each batch's
     EXCLUSIVE end lane index, sentinel-padded; a key admitted at lane x
     lands in batch sum(x >= bounds) (admitted lanes are < the sentinel,
     so padding never miscounts).  Batch b maps to histogram bin b + 1
-    because histogram_by_matmul parks masked lanes in bin 0.  Returns
-    (hist[n_bins] with bins 1..n_batches holding the counts,
-    n_admitted)."""
-    if use_bloom:
-        admitted = fp | (l2 != SENT)
-        admit_idx = jnp.where(fp, l1, l2)
-    else:
-        admitted = l1 != SENT
-        admit_idx = l1
+    because histogram_by_matmul parks masked lanes in bin 0."""
 
     def body(j, acc):
         return acc + (admit_idx >= bounds[j]).astype(I32)
 
     batch = jax.lax.fori_loop(
-        0, bounds.shape[0], body, jnp.ones(l1.shape, I32)
+        0, bounds.shape[0], body, jnp.ones(admit_idx.shape, I32)
     )
     hist = segops.histogram_by_matmul(
         jnp.minimum(batch, I32(n_bins - 1)), admitted, n_bins
@@ -204,8 +188,44 @@ def _admits_core(l1, l2, fp, bounds, use_bloom, n_bins):
     return hist, jnp.sum(admitted.astype(I32))
 
 
-_batch_admits = partial(jax.jit, static_argnames=("use_bloom", "n_bins"))(
-    _admits_core)
+def _fp_admits_core(s_pos, verdict, hi, lo, idx, bounds, n_hashes, n_bins):
+    """Bloom FP resolution, program B (one big sort): verdicts return
+    to probe-plane order via a 1-key sort on the entry's flat position,
+    so the per-lane AND is a (n_hashes, m) reshape row-min (minor dim m
+    — TPU-tileable; see _fp_sort_core).  Then the per-batch admission
+    bookkeeping: a key enters the table at l1 when all its probe bits
+    were pre-set (fp), else at its second occurrence l2 (its own first
+    occurrence set the bits), else never.  Returns (khi, klo, hist,
+    tot): the admitted key planes (non-admitted lanes collapsed to the
+    sentinel; still key-sorted) + per-batch counts."""
+    m = hi.shape[0]
+    _, sv = jax.lax.sort((s_pos, verdict), num_keys=1)
+    fp = sv.reshape(n_hashes, m).min(axis=0) == 1
+    starts, l2 = _first2_meta(hi, lo, idx)
+    admitted = starts & (fp | (l2 != SENT))
+    admit_idx = jnp.where(fp, idx, l2)
+    hist, tot = _admits_hist(admitted, admit_idx, bounds, n_bins)
+    khi = jnp.where(admitted, hi, SENT)
+    klo = jnp.where(admitted, lo, SENT)
+    return khi, klo, hist, tot
+
+
+def _admits_nobloom_core(hi, lo, idx, bounds, n_bins):
+    """No-bloom admission (yak_ch_insert_list without a bloom inserts
+    unconditionally, yak-count.c:166-168): every key is admitted at its
+    first occurrence.  Elementwise + histogram only — no sort."""
+    starts, _l2 = _first2_meta(hi, lo, idx)
+    hist, tot = _admits_hist(starts, idx, bounds, n_bins)
+    khi = jnp.where(starts, hi, SENT)
+    klo = jnp.where(starts, lo, SENT)
+    return khi, klo, hist, tot
+
+
+_fp_sort = partial(jax.jit, static_argnames=("spec",))(_fp_sort_core)
+_fp_admits = partial(jax.jit, static_argnames=("n_hashes", "n_bins"))(
+    _fp_admits_core)
+_admits_nobloom = partial(jax.jit, static_argnames=("n_bins",))(
+    _admits_nobloom_core)
 
 
 class FirstSeenCompactor:
@@ -221,7 +241,6 @@ class FirstSeenCompactor:
         self.runs: List[Tuple] = []
         self.budget_bytes = budget_bytes
         self._bytes = 0
-        self.n_keys = 0  # distinct keys as of the last compact
 
     def add_raw(self, hi, lo, base: int) -> None:
         self.runs.append((hi, lo, int(base)))
@@ -261,16 +280,11 @@ class FirstSeenCompactor:
         # first-2 lanes >= distinct keys; the exact distinct count
         # comes from finalize()'s row reduction
 
-    def finalize_rows(self):
-        """(rhi, rlo, l1, l2, n_rows) — one row per distinct key."""
+    def first2_planes(self):
+        """The compacted first-2 (hi, lo, idx) planes, or None if
+        nothing was ever added."""
         self.compact()
-        if not self.runs:
-            z = jnp.full((1,), SENT, U32)
-            return z, z, z, z, 0
-        hi, lo, idx = self.runs[0]
-        rhi, rlo, l1, l2, n_rows = _rows_reduce(hi, lo, idx)
-        self.n_keys = int(n_rows)
-        return rhi, rlo, l1, l2, self.n_keys
+        return self.runs[0] if self.runs else None
 
 
 def _pad_bounds(bounds: List[int]) -> np.ndarray:
@@ -324,18 +338,21 @@ class DeferredYakAdmission:
         if self._pending:
             self.bounds.append(self._base)
             self._pending = False
-        if not self.bounds:
-            return np.zeros((0,), np.int64), 0
-        rhi, rlo, l1, l2, _n_rows = self.fs.finalize_rows()
+        planes = self.fs.first2_planes()
+        if not self.bounds or planes is None:
+            return np.zeros((len(self.bounds),), np.int64), 0
+        hi, lo, idx = planes
+        bounds = jnp.asarray(_pad_bounds(self.bounds))
+        n_bins = int(bounds.shape[0]) + 2
         if self.use_bloom:
-            fp = _fp_verdicts(rhi, rlo, l1, self.spec)
+            s_r, verdict = _fp_sort(hi, lo, idx, self.spec)
+            _khi, _klo, hist, tot = _fp_admits(
+                s_r, verdict, hi, lo, idx, bounds,
+                self.spec.n_hashes, n_bins,
+            )
         else:
-            fp = jnp.zeros(l1.shape, jnp.bool_)
-        bounds = _pad_bounds(self.bounds)
-        hist, tot = _batch_admits(
-            l1, l2, fp, jnp.asarray(bounds), self.use_bloom,
-            int(bounds.shape[0]) + 2,
-        )
+            _khi, _klo, hist, tot = _admits_nobloom(hi, lo, idx, bounds,
+                                                    n_bins)
         per_batch = np.asarray(hist).astype(np.int64)[
             1 : len(self.bounds) + 1
         ]
@@ -397,37 +414,63 @@ def sharded_first2_fn(mesh):
 
 
 @lru_cache(maxsize=None)
-def sharded_finalize_fn(mesh, spec, use_bloom: bool, n_bins: int):
-    """Per-device rows reduction + bloom FP verdicts + batch bucketing
-    in one program (runs exactly once per pass).  Returns the admitted
-    pass-1 key planes (non-admitted rows collapsed to the sentinel;
-    each device's plane is key-sorted) plus the globally psum'd
-    (per-batch newly-admitted hist, total admitted)."""
+def sharded_fp_sort_fn(mesh, spec):
+    """Per-device bloom FP program A (_fp_sort_core): keys sharing a
+    bloom bit always share an owner, so the (bit, l1) sort is
+    device-local."""
 
-    def per_device(hi, lo, idx, bounds):
-        rhi, rlo, l1, l2, _n = _rows_core(hi[0, 0], lo[0, 0], idx[0, 0])
-        if use_bloom:
-            fp = _fp_core(rhi, rlo, l1, spec)
-        else:
-            fp = jnp.zeros(l1.shape, jnp.bool_)
-        h, tot = _admits_core(l1, l2, fp, bounds, use_bloom, n_bins)
+    def per_device(hi, lo, idx):
+        s_r, verdict = _fp_sort_core(hi[0, 0], lo[0, 0], idx[0, 0], spec)
+        return s_r[None, None], verdict[None, None]
+
+    fn = shard_map(per_device, mesh=mesh, in_specs=(_CHUNK_SPEC,) * 3,
+                   out_specs=(_CHUNK_SPEC, _CHUNK_SPEC), check_vma=False)
+    return jax.jit(fn)
+
+
+@lru_cache(maxsize=None)
+def sharded_fp_admits_fn(mesh, n_hashes: int, n_bins: int):
+    """Per-device bloom FP program B + batch bookkeeping; hist/tot are
+    psum'd (unique key ownership makes per-device sums exact).  Returns
+    the admitted pass-1 key planes + (hist, tot)."""
+
+    def per_device(s_r, verdict, hi, lo, idx, bounds):
+        khi, klo, h, tot = _fp_admits_core(
+            s_r[0, 0], verdict[0, 0], hi[0, 0], lo[0, 0], idx[0, 0],
+            bounds, n_hashes, n_bins,
+        )
         h = jax.lax.psum(jax.lax.psum(h, "shard"), "data")
         tot = jax.lax.psum(jax.lax.psum(tot, "shard"), "data")
-        if use_bloom:
-            admitted = fp | (l2 != SENT)
-        else:
-            admitted = l1 != SENT
-        khi = jnp.where(admitted, rhi, SENT)
-        klo = jnp.where(admitted, rlo, SENT)
         return khi[None, None], klo[None, None], h, tot
 
     fn = shard_map(
         per_device, mesh=mesh,
-        in_specs=(_CHUNK_SPEC, _CHUNK_SPEC, _CHUNK_SPEC, P()),
+        in_specs=(_CHUNK_SPEC,) * 5 + (P(),),
         out_specs=(_CHUNK_SPEC, _CHUNK_SPEC, P(), P()),
         check_vma=False,
     )
-    return jax.jit(fn, static_argnums=())
+    return jax.jit(fn)
+
+
+@lru_cache(maxsize=None)
+def sharded_admits_nobloom_fn(mesh, n_bins: int):
+    """Per-device no-bloom admission (first occurrences) + psum'd
+    batch bookkeeping."""
+
+    def per_device(hi, lo, idx, bounds):
+        khi, klo, h, tot = _admits_nobloom_core(
+            hi[0, 0], lo[0, 0], idx[0, 0], bounds, n_bins)
+        h = jax.lax.psum(jax.lax.psum(h, "shard"), "data")
+        tot = jax.lax.psum(jax.lax.psum(tot, "shard"), "data")
+        return khi[None, None], klo[None, None], h, tot
+
+    fn = shard_map(
+        per_device, mesh=mesh,
+        in_specs=(_CHUNK_SPEC,) * 3 + (P(),),
+        out_specs=(_CHUNK_SPEC, _CHUNK_SPEC, P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
 
 
 class ShardedDeferredYak:
@@ -495,12 +538,18 @@ class ShardedDeferredYak:
         if not self.runs or not self.bounds:
             d, s = (self.mesh.shape["data"], self.mesh.shape["shard"])
             z = jnp.full((d, s, 1), SENT, U32)
-            return (z, z), np.zeros((0,), np.int64), 0
+            return (z, z), np.zeros((len(self.bounds),), np.int64), 0
         hi, lo, idx = self.runs[0]
-        bounds = _pad_bounds(self.bounds)
-        khi, klo, h, tot = sharded_finalize_fn(
-            self.mesh, self.spec if self.use_bloom else None,
-            self.use_bloom, int(bounds.shape[0]) + 2,
-        )(hi, lo, idx, jnp.asarray(bounds))
+        bounds = jnp.asarray(_pad_bounds(self.bounds))
+        n_bins = int(bounds.shape[0]) + 2
+        if self.use_bloom:
+            s_r, verdict = sharded_fp_sort_fn(self.mesh, self.spec)(
+                hi, lo, idx)
+            khi, klo, h, tot = sharded_fp_admits_fn(
+                self.mesh, self.spec.n_hashes, n_bins,
+            )(s_r, verdict, hi, lo, idx, bounds)
+        else:
+            khi, klo, h, tot = sharded_admits_nobloom_fn(
+                self.mesh, n_bins)(hi, lo, idx, bounds)
         per_step = np.asarray(h).astype(np.int64)[1 : len(self.bounds) + 1]
         return (khi, klo), per_step, int(tot)

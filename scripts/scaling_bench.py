@@ -114,6 +114,10 @@ def main():
                     help="use N virtual CPU devices (logic check)")
     ap.add_argument("--out", default=None,
                     help="write SCALING-style JSON artifact here")
+    ap.add_argument("--devices-list", default=None,
+                    help="comma-separated device counts to measure "
+                         "(default: 1,2,4,..,N); bench-scale runs on the "
+                         "1-core CI box use 1,8 to bound wall time")
     args = ap.parse_args()
     devs = jax.devices()
     block = args.bases_per_device
@@ -121,22 +125,27 @@ def main():
     rows = []
     from kmer_tpu.dist.sharded import default_lanes_per_dest
 
-    n = 1
-    while n <= len(devs):
+    if args.devices_list:
+        counts = [int(x) for x in args.devices_list.split(",")]
+    else:
+        counts, n = [], 1
+        while n <= len(devs):
+            counts.append(n)
+            n *= 2
+    for n in counts:
         lanes = default_lanes_per_dest(block, n)
         mbs, stats = run(devs[:n], args.k, block, args.batches, lanes)
         results[n] = mbs
-        eff = mbs / (n * results[1]) if n > 1 else 1.0
+        eff = mbs / (n * results[1]) if n > 1 and 1 in results else None
         row = {
             "devices": n,
             "aggregate_mbases_s": round(mbs, 1),
             "per_chip_mbases_s": round(mbs / n, 1),
-            "scaling_efficiency": round(eff, 3),
+            "scaling_efficiency": round(eff, 3) if eff is not None else None,
             **stats,
         }
         rows.append(row)
-        print(json.dumps(row))
-        n *= 2
+        print(json.dumps(row), flush=True)
     if args.out:
         artifact = {
             "backend": jax.default_backend(),

@@ -73,11 +73,16 @@ def main(argv):
         t1 = time.time()
         sim.ingest_planes(hi, lo, nk, reads_per_block, True)
         t2 = time.time()
-        np.asarray(sim.bits[:8])  # sync
+        # deferred tap: streaming appends do no device work beyond any
+        # budget-trip fold; sync the newest stored plane so a crash is
+        # still attributed to a specific block
+        np.asarray(sim.adm.fs.runs[-1][0][:8])
         print(f"block {i}: extract {t1-t0:.1f}s ingest(dispatch) "
-              f"{t2-t1:.1f}s sync {time.time()-t2:.1f}s tot={sim.tot}",
-              flush=True)
+              f"{t2-t1:.1f}s sync {time.time()-t2:.1f}s", flush=True)
+    t0 = time.time()
     sim.finish_batches()
+    print(f"finish (deferred admission resolve) {time.time()-t0:.1f}s "
+          f"tot={sim.tot}", flush=True)
     print("tap probe OK", flush=True)
     return 0
 
