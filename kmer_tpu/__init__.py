@@ -33,6 +33,27 @@ import os as _os
 # cpu_aot_loader error dump on stderr, every time, breaking the CLI's
 # stderr byte-parity.  Keying the directory by the intended platform
 # keeps the two populations apart.
+def _cpu_fingerprint() -> str:
+    """Short stable id of this host's CPU feature set.  CPU AOT cache
+    entries are machine-code: an entry compiled on a box with different
+    ISA features still LOADS elsewhere, but XLA warns with a multi-KB
+    cpu_aot_loader dump per program on stderr (breaking CLI stderr
+    byte-parity) and may SIGILL.  The cache directory survives across
+    boxes (it lives in the persistent home), so key it by the CPU."""
+    try:
+        import hashlib
+
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha256(
+                        " ".join(sorted(line.split()))
+                        .encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    return "unknown"
+
+
 def _cache_dir() -> str:
     base = _os.environ.get(
         "KMER_TPU_JAX_CACHE", _os.path.expanduser("~/.cache/kmer_tpu_jax"))
@@ -43,7 +64,10 @@ def _cache_dir() -> str:
             plat = _sys.modules["jax"].config.jax_platforms or ""
         except Exception:
             plat = ""
-    return base + "_cpu" if "cpu" in plat else base
+    # TPU programs are compiled remotely (host-ISA-independent and the
+    # expensive population — keep them shared); CPU programs are local
+    # machine code — key by host CPU so cross-box entries never load.
+    return base + "_cpu_" + _cpu_fingerprint() if "cpu" in plat else base
 
 
 import sys as _sys  # noqa: E402  (needed by _cache_dir above)
