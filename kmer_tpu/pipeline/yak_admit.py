@@ -74,17 +74,16 @@ _MAX_LANES = (1 << 32) - (1 << 26)  # u32 index headroom
 _BOUNDS_CLASSES = (32, 128, 1024, 8192)  # padded batch-count classes
 
 
-def _first2_core(hi, lo, idx):
-    """Sort by (key, lane) and keep each key's first TWO entries,
+def _first2_keep_core(s_hi, s_lo, s_idx):
+    """Keep each key's first TWO entries of (key, lane)-sorted planes,
     compacted to the front by a rank sort (compaction by sort, no
-    scatter — the table.compactor idiom).  Input runs may mix raw
-    planes and previously compacted first-2 planes: keeping the first
-    two of the merged order is exactly the first two overall, because
-    every surviving entry is a genuine occurrence lane.  Returns
+    scatter — the table.compactor idiom).  Input may mix raw lanes and
+    previously compacted first-2 lanes: keeping the first two of the
+    merged order is exactly the first two overall, because every
+    surviving entry is a genuine occurrence lane.  Returns
     (hi, lo, idx, n_keep) with the tail sentinel-filled."""
-    n = hi.shape[0]
+    n = s_hi.shape[0]
     pos = jnp.arange(n, dtype=I32)
-    s_hi, s_lo, s_idx = jax.lax.sort((hi, lo, idx), num_keys=3)
     starts = jnp.concatenate([
         jnp.ones((1,), jnp.bool_),
         (s_hi[1:] != s_hi[:-1]) | (s_lo[1:] != s_lo[:-1]),
@@ -103,7 +102,24 @@ def _first2_core(hi, lo, idx):
     return chi, clo, cidx, jnp.sum(keep.astype(I32))
 
 
+def _first2_core(hi, lo, idx):
+    """Full-sort form of the first-2 reduction (classic mode): sort by
+    (key, lane), then keep-first-2."""
+    return _first2_keep_core(*jax.lax.sort((hi, lo, idx), num_keys=3))
+
+
 _first2_compact = jax.jit(_first2_core)
+_first2_keep = jax.jit(_first2_keep_core)
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _iota_base(n, base):
+    return jnp.arange(n, dtype=U32) + base
+
+
+@jax.jit
+def _sort_run3(hi, lo, idx):
+    return jax.lax.sort((hi, lo, idx), num_keys=3)
 
 
 # The finalize programs below run DIRECTLY on the first-2 compacted
@@ -231,20 +247,88 @@ _admits_nobloom = partial(jax.jit, static_argnames=("n_bins",))(
 class FirstSeenCompactor:
     """Accumulate (key, global lane index) planes; maintain, under a
     memory budget, a compacted run holding each distinct key's first
-    two occurrence lanes.  Raw runs store only the planes the engine
-    already extracted plus an integer base — the index plane is a lazy
-    iota materialized at compaction, so streaming adds ZERO device
-    work."""
+    two occurrence lanes.
 
-    def __init__(self, budget_bytes: int = 1 << 30):
+    Two accumulation modes (mirroring table.compactor.KmerCompactor):
+
+    * classic (CPU default): raw runs store only the planes the engine
+      already extracted plus an integer base — the index plane is a
+      lazy iota materialized at compaction, so streaming adds ZERO
+      device work; each budget trip pays one full 3-key sort over
+      everything accumulated.
+    * stream-sorted (TPU default, `table.compactor.stream_sorted_
+      default`): each ~2^24-lane chunk is 3-key-sorted as it arrives —
+      hidden under the host->device ingest that leaves the device idle
+      — and carry-merged into a binary-counter ladder of sorted runs
+      with the 3-plane bitonic merge (kernels/bitonic.py), so budget
+      trips and finalization pay only merges plus ONE rank sort
+      (keep-first-2), never a bulk re-sort.  The lane index rides as a
+      third lex key: it is globally unique, so (key_hi, key_lo, idx)
+      is a total order and merge results are exactly the (key, lane)
+      order the admission programs need.  Costs 12 B/lane of raw-run
+      HBM (the idx plane is materialized) vs classic's 8.
+    """
+
+    def __init__(self, budget_bytes: int = 1 << 30,
+                 stream_sorted: Optional[bool] = None):
+        from ..table.compactor import stream_sorted_default
+
         # (hi, lo, idx_plane_or_base) — int base marks a raw run
         self.runs: List[Tuple] = []
         self.budget_bytes = budget_bytes
         self._bytes = 0
+        self.stream_sorted = (stream_sorted_default()
+                              if stream_sorted is None else bool(stream_sorted))
+        self.stream = self._make_ladder() if self.stream_sorted else None
+        self._compacted: Optional[Tuple] = None  # stream mode first-2 run
+
+    def _make_ladder(self):
+        from ..table.compactor import _STREAM_CHUNK, _STREAM_MIN
+        from ..table.stream_ladder import StreamLadder
+
+        return StreamLadder(
+            chunk=_STREAM_CHUNK,
+            min_pad=_STREAM_MIN,
+            sort_fn=lambda p: tuple(_sort_run3(*p)),
+            merge_fn=self._merge_runs,
+            pad_fn=self._pad_run,
+            concat_fn=lambda runs: tuple(
+                jnp.concatenate([r[i] for r in runs]) for i in range(3)
+            ),
+            slice_fn=lambda p, a, b: tuple(x[a:b] for x in p),
+            size_fn=lambda p: int(p[0].shape[0]),
+        )
+
+    @staticmethod
+    def _merge_runs(a, b):
+        """Merge two equal-length (key, lane)-sorted triples with the
+        3-plane bitonic merge; same Pallas-vs-XLA size policy and
+        donation as KmerCompactor._merge_runs."""
+        from ..kernels import bitonic
+
+        n_out = a[0].shape[0] + b[0].shape[0]
+        up = jax.default_backend() == "tpu" and n_out <= (1 << 28)
+        cat = tuple(jnp.concatenate([x, y]) for x, y in zip(a, b))
+        fn = (bitonic.merge_sorted_halves3_donated if up
+              else bitonic.merge_sorted_halves3)
+        return tuple(fn(*cat, use_pallas=up))
+
+    @staticmethod
+    def _pad_run(planes, target: int):
+        n = planes[0].shape[0]
+        if target == n:
+            return planes
+        pad = jnp.full((target - n,), SENT, U32)
+        return tuple(jnp.concatenate([p, pad]) for p in planes)
 
     def add_raw(self, hi, lo, base: int) -> None:
-        self.runs.append((hi, lo, int(base)))
-        self._bytes += int(hi.shape[0]) * 8
+        n = int(hi.shape[0])
+        if self.stream_sorted:
+            self.stream.add((hi, lo, _iota_base(n, np.uint32(base))))
+            self._bytes += n * 12
+        else:
+            self.runs.append((hi, lo, int(base)))
+            self._bytes += n * 8
         if self._bytes > self.budget_bytes:
             self.compact()
 
@@ -265,25 +349,53 @@ class FirstSeenCompactor:
         return his, los, idxs
 
     def compact(self) -> None:
+        if self.stream_sorted:
+            self._compact_stream()
+            return
         if not self.runs:
             return
         hi, lo, idx = self._concat()
         chi, clo, cidx, n_keep = _first2_compact(hi, lo, idx)
+        self._shrink(chi, clo, cidx, n_keep)
+
+    def _compact_stream(self) -> None:
+        if not self.stream:
+            return  # no new lanes since the last compact
+        planes = self.stream.planes()
+        self.stream.clear()
+        if self._compacted is not None:
+            # merge the standing first-2 run with the new sorted lanes:
+            # pad both to a power of two (sentinels sort last) so the
+            # bitonic halves are equal
+            p = 1 << max(int(planes[0].shape[0]) - 1,
+                         int(self._compacted[0].shape[0]) - 1).bit_length()
+            planes = self._merge_runs(self._pad_run(self._compacted, p),
+                                      self._pad_run(planes, p))
+        chi, clo, cidx, n_keep = _first2_keep(*planes)
+        self._shrink(chi, clo, cidx, n_keep)
+
+    def _shrink(self, chi, clo, cidx, n_keep) -> None:
         nk = int(n_keep)  # sync: lets prior raw planes reclaim
         size = min(_size_class(nk), int(chi.shape[0]))
-        self.runs = [(
+        run = (
             jax.lax.dynamic_slice(chi, (0,), (size,)),
             jax.lax.dynamic_slice(clo, (0,), (size,)),
             jax.lax.dynamic_slice(cidx, (0,), (size,)),
-        )]
+        )
+        if self.stream_sorted:
+            self._compacted = run
+        else:
+            self.runs = [run]
         self._bytes = size * 12
         # first-2 lanes >= distinct keys; the exact distinct count
-        # comes from finalize()'s row reduction
+        # comes from finalize()'s admission programs
 
     def first2_planes(self):
         """The compacted first-2 (hi, lo, idx) planes, or None if
         nothing was ever added."""
         self.compact()
+        if self.stream_sorted:
+            return self._compacted
         return self.runs[0] if self.runs else None
 
 
@@ -309,10 +421,11 @@ class DeferredYakAdmission:
     yak-count.c:166-168)."""
 
     def __init__(self, spec: Optional[bloom.BloomSpec], use_bloom: bool,
-                 budget_bytes: int = 1 << 30):
+                 budget_bytes: int = 1 << 30,
+                 stream_sorted: Optional[bool] = None):
         self.spec = spec
         self.use_bloom = bool(use_bloom and spec is not None)
-        self.fs = FirstSeenCompactor(budget_bytes)
+        self.fs = FirstSeenCompactor(budget_bytes, stream_sorted)
         self._base = 0
         self.bounds: List[int] = []  # exclusive end lane per batch
         self._pending = False

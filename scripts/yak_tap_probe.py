@@ -73,10 +73,21 @@ def main(argv):
         t1 = time.time()
         sim.ingest_planes(hi, lo, nk, reads_per_block, True)
         t2 = time.time()
-        # deferred tap: streaming appends do no device work beyond any
-        # budget-trip fold; sync the newest stored plane so a crash is
-        # still attributed to a specific block
-        np.asarray(sim.adm.fs.runs[-1][0][:8])
+        # deferred tap: streaming appends cost at most a hidden chunk
+        # sort (stream mode) or nothing (classic); sync the newest
+        # stored plane so a crash is still attributed to a specific
+        # block
+        fs = sim.adm.fs
+        if fs.stream_sorted:
+            if fs.stream.pending:
+                src = fs.stream.pending[-1][0]
+            elif fs.stream.ladder:
+                src = next(iter(fs.stream.ladder.values()))[0]
+            else:
+                src = fs._compacted[0]
+        else:
+            src = fs.runs[-1][0]
+        np.asarray(src[:8])
         print(f"block {i}: extract {t1-t0:.1f}s ingest(dispatch) "
               f"{t2-t1:.1f}s sync {time.time()-t2:.1f}s", flush=True)
     t0 = time.time()

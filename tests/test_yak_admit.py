@@ -69,8 +69,10 @@ def _oracle(hi, lo, bounds, spec, use_bloom):
     return per_batch, len(seen)
 
 
-def _drive(hi, lo, bounds, spec, use_bloom, block=997, budget=1 << 30):
-    adm = DeferredYakAdmission(spec, use_bloom, budget_bytes=budget)
+def _drive(hi, lo, bounds, spec, use_bloom, block=997, budget=1 << 30,
+           stream=None):
+    adm = DeferredYakAdmission(spec, use_bloom, budget_bytes=budget,
+                               stream_sorted=stream)
     bset = set(bounds)
     start = 0
     cut_points = sorted(bset | set(range(block, len(hi), block)))
@@ -133,3 +135,33 @@ def test_lane_index_overflow_guard():
             jnp.full((1 << 21,), SENT, jnp.uint32),
             batch_end=True,
         )
+
+
+# -- stream-sorted accumulation (TPU-default mode, forced here on CPU) --
+#
+# The stream ladder sorts each chunk as it arrives and folds with the
+# 3-plane bitonic merge; mode must be invisible in every output.
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+@pytest.mark.parametrize("use_bloom", [True, False])
+def test_stream_mode_matches_classic(seed, use_bloom):
+    rng = np.random.default_rng(seed)
+    hi, lo = _rand_planes(rng, 6000, 900)
+    bounds = [2100, 4300, 6000]
+    spec = bloom.BloomSpec(4, 14, 4) if use_bloom else None
+    a = _drive(hi, lo, bounds, spec, use_bloom, stream=False)
+    b = _drive(hi, lo, bounds, spec, use_bloom, stream=True)
+    assert list(a[0]) == list(b[0]) and a[1] == b[1]
+
+
+def test_stream_mode_budget_trips_are_invisible():
+    """Stream-mode budget trips (ladder fold -> merge with the standing
+    first-2 run -> keep rank sort) must not change any total."""
+    rng = np.random.default_rng(11)
+    hi, lo = _rand_planes(rng, 5000, 800)
+    bounds = [1700, 3400, 5000]
+    spec = bloom.BloomSpec(4, 14, 4)
+    a = _drive(hi, lo, bounds, spec, True, stream=False)
+    b = _drive(hi, lo, bounds, spec, True, block=333, budget=1, stream=True)
+    assert list(a[0]) == list(b[0]) and a[1] == b[1]
