@@ -430,3 +430,28 @@ def test_sort_vs_table_yak_engines_identical(tmp_path):
     assert lines_sort == lines_tab
     assert tot_sort == tot_tab
     assert np.array_equal(h_sort, h_tab)
+
+
+def test_ktc_cli_full_stderr_byte_identical_warm(refbin):
+    """The real ./ktc process surface: stdout AND FULL stderr — no
+    [M-line filtering — byte-identical to the reference binary, run
+    TWICE in fresh processes.  The second run loads warm
+    compile-cache entries: XLA stamps tuning pseudo-features into
+    cached CPU AOT executables and the loader dumps a multi-KB
+    mismatch error to fd 2 on every warm load, which broke warm-run
+    stderr parity for four rounds while cold-run diffs (and in-process
+    capsys tests) stayed clean.  ktc routes fd 2 through a grep child;
+    this pins that the route holds."""
+    args = ["-k21", "-b19", READS]
+    ref = subprocess.run(
+        [os.path.join(REFBIN, "yak-count")] + args, capture_output=True,
+        check=True,
+    )
+    env = dict(os.environ, KMER_TPU_PLATFORM="cpu")
+    for run in ("cold-or-warm", "warm"):
+        got = subprocess.run(
+            [os.path.join(REPO, "ktc"), "yak-count"] + args,
+            capture_output=True, env=env, check=True,
+        )
+        assert got.stdout == ref.stdout, run
+        assert got.stderr == ref.stderr, run
