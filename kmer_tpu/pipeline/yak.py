@@ -291,7 +291,12 @@ class YakSimTap:
         (self.use_bloom, _bf, self.spec, _bits,
          self.exact_bloom) = _make_bloom(pre, bf_shift, bf_n_hash,
                                          make_bits_array=False)
-        budget = int(os.environ.get("KMER_TPU_TAP_BUDGET", str(1 << 30)))
+        # 2 GiB default: in stream mode each budget trip costs a keep
+        # rank sort on the device-bound path (nothing hides when the
+        # tunnel is fast), so fewer trips are a direct tap-pass win;
+        # 2 GiB keeps the 256 Mbase default to one trip while the
+        # engine's own planes (2 GiB budget) still fit HBM beside it
+        budget = int(os.environ.get("KMER_TPU_TAP_BUDGET", str(2 << 30)))
         self.adm = DeferredYakAdmission(self.spec, self.use_bloom,
                                         budget_bytes=budget)
         self.tot = 0

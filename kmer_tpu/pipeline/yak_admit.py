@@ -147,6 +147,12 @@ def _first2_meta(hi, lo, idx):
     return starts, l2
 
 
+def _pack_ok(m: int, n_hashes: int) -> bool:
+    """True when probe-entry flat positions fit 31 bits, so (pos <<
+    1) | verdict packs into one u32 plane (positions are unique)."""
+    return m * n_hashes < (1 << 31)
+
+
 def _fp_sort_core(hi, lo, idx, spec):
     """Bloom FP resolution, program A (one big sort): probe entries for
     each key's START lane, sorted by (bit, l1).  An entry's verdict is
@@ -182,7 +188,14 @@ def _fp_sort_core(hi, lo, idx, spec):
     bit_starts = jnp.concatenate(
         [jnp.ones((1,), jnp.bool_), s_b[1:] != s_b[:-1]]
     )
-    return s_pos, (~bit_starts).astype(U32)
+    verdict = (~bit_starts).astype(U32)
+    if _pack_ok(m, spec.n_hashes):
+        # positions fit 31 bits: carry (pos, verdict) as ONE plane
+        # (pos << 1 | verdict) so program B's restore sort moves half
+        # the data (positions are unique, so the packed order is the
+        # position order)
+        return ((s_pos << 1) | verdict,)
+    return s_pos, verdict
 
 
 def _admits_hist(admitted, admit_idx, bounds, n_bins):
@@ -204,9 +217,10 @@ def _admits_hist(admitted, admit_idx, bounds, n_bins):
     return hist, jnp.sum(admitted.astype(I32))
 
 
-def _fp_admits_core(s_pos, verdict, hi, lo, idx, bounds, n_hashes, n_bins):
+def _fp_admits_core(entries, hi, lo, idx, bounds, n_hashes, n_bins):
     """Bloom FP resolution, program B (one big sort): verdicts return
-    to probe-plane order via a 1-key sort on the entry's flat position,
+    to probe-plane order via a 1-key sort on the entry's flat position
+    (packed single-plane when positions fit 31 bits; see _fp_sort_core),
     so the per-lane AND is a (n_hashes, m) reshape row-min (minor dim m
     — TPU-tileable; see _fp_sort_core).  Then the per-batch admission
     bookkeeping: a key enters the table at l1 when all its probe bits
@@ -215,7 +229,11 @@ def _fp_admits_core(s_pos, verdict, hi, lo, idx, bounds, n_hashes, n_bins):
     tot): the admitted key planes (non-admitted lanes collapsed to the
     sentinel; still key-sorted) + per-batch counts."""
     m = hi.shape[0]
-    _, sv = jax.lax.sort((s_pos, verdict), num_keys=1)
+    if len(entries) == 1:
+        sv = jax.lax.sort(entries[0]) & U32(1)
+    else:
+        s_pos, verdict = entries
+        _, sv = jax.lax.sort((s_pos, verdict), num_keys=1)
     fp = sv.reshape(n_hashes, m).min(axis=0) == 1
     starts, l2 = _first2_meta(hi, lo, idx)
     admitted = starts & (fp | (l2 != SENT))
@@ -458,9 +476,9 @@ class DeferredYakAdmission:
         bounds = jnp.asarray(_pad_bounds(self.bounds))
         n_bins = int(bounds.shape[0]) + 2
         if self.use_bloom:
-            s_r, verdict = _fp_sort(hi, lo, idx, self.spec)
+            entries = _fp_sort(hi, lo, idx, self.spec)
             _khi, _klo, hist, tot = _fp_admits(
-                s_r, verdict, hi, lo, idx, bounds,
+                entries, hi, lo, idx, bounds,
                 self.spec.n_hashes, n_bins,
             )
         else:
@@ -533,12 +551,22 @@ def sharded_fp_sort_fn(mesh, spec):
     device-local."""
 
     def per_device(hi, lo, idx):
-        s_r, verdict = _fp_sort_core(hi[0, 0], lo[0, 0], idx[0, 0], spec)
-        return s_r[None, None], verdict[None, None]
+        entries = _fp_sort_core(hi[0, 0], lo[0, 0], idx[0, 0], spec)
+        return tuple(e[None, None] for e in entries)
 
-    fn = shard_map(per_device, mesh=mesh, in_specs=(_CHUNK_SPEC,) * 3,
-                   out_specs=(_CHUNK_SPEC, _CHUNK_SPEC), check_vma=False)
-    return jax.jit(fn)
+    @lru_cache(maxsize=None)
+    def jitted(arity):
+        fn = shard_map(per_device, mesh=mesh, in_specs=(_CHUNK_SPEC,) * 3,
+                       out_specs=(_CHUNK_SPEC,) * arity, check_vma=False)
+        return jax.jit(fn)
+
+    def wrapper(hi, lo, idx):
+        # entry arity is static per shape (packed single-plane when
+        # positions fit 31 bits)
+        arity = 1 if _pack_ok(int(hi.shape[2]), spec.n_hashes) else 2
+        return jitted(arity)(hi, lo, idx)
+
+    return wrapper
 
 
 @lru_cache(maxsize=None)
@@ -547,22 +575,30 @@ def sharded_fp_admits_fn(mesh, n_hashes: int, n_bins: int):
     psum'd (unique key ownership makes per-device sums exact).  Returns
     the admitted pass-1 key planes + (hist, tot)."""
 
-    def per_device(s_r, verdict, hi, lo, idx, bounds):
+    def per_device(*args):
+        *entries, hi, lo, idx, bounds = args
         khi, klo, h, tot = _fp_admits_core(
-            s_r[0, 0], verdict[0, 0], hi[0, 0], lo[0, 0], idx[0, 0],
-            bounds, n_hashes, n_bins,
+            tuple(e[0, 0] for e in entries), hi[0, 0], lo[0, 0],
+            idx[0, 0], bounds, n_hashes, n_bins,
         )
         h = jax.lax.psum(jax.lax.psum(h, "shard"), "data")
         tot = jax.lax.psum(jax.lax.psum(tot, "shard"), "data")
         return khi[None, None], klo[None, None], h, tot
 
-    fn = shard_map(
-        per_device, mesh=mesh,
-        in_specs=(_CHUNK_SPEC,) * 5 + (P(),),
-        out_specs=(_CHUNK_SPEC, _CHUNK_SPEC, P(), P()),
-        check_vma=False,
-    )
-    return jax.jit(fn)
+    @lru_cache(maxsize=None)
+    def jitted(arity):
+        fn = shard_map(
+            per_device, mesh=mesh,
+            in_specs=(_CHUNK_SPEC,) * (arity + 3) + (P(),),
+            out_specs=(_CHUNK_SPEC, _CHUNK_SPEC, P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(fn)
+
+    def wrapper(entries, hi, lo, idx, bounds):
+        return jitted(len(entries))(*entries, hi, lo, idx, bounds)
+
+    return wrapper
 
 
 @lru_cache(maxsize=None)
@@ -656,11 +692,11 @@ class ShardedDeferredYak:
         bounds = jnp.asarray(_pad_bounds(self.bounds))
         n_bins = int(bounds.shape[0]) + 2
         if self.use_bloom:
-            s_r, verdict = sharded_fp_sort_fn(self.mesh, self.spec)(
+            entries = sharded_fp_sort_fn(self.mesh, self.spec)(
                 hi, lo, idx)
             khi, klo, h, tot = sharded_fp_admits_fn(
                 self.mesh, self.spec.n_hashes, n_bins,
-            )(s_r, verdict, hi, lo, idx, bounds)
+            )(entries, hi, lo, idx, bounds)
         else:
             khi, klo, h, tot = sharded_admits_nobloom_fn(
                 self.mesh, n_bins)(hi, lo, idx, bounds)

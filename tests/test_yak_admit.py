@@ -165,3 +165,22 @@ def test_stream_mode_budget_trips_are_invisible():
     a = _drive(hi, lo, bounds, spec, True, stream=False)
     b = _drive(hi, lo, bounds, spec, True, block=333, budget=1, stream=True)
     assert list(a[0]) == list(b[0]) and a[1] == b[1]
+
+
+def test_fp_unpacked_fallback_matches_oracle(monkeypatch):
+    """At >= 2^31 probe entries the (pos << 1 | verdict) packing cannot
+    fit u32 and the two-plane restore path runs instead; force it at
+    test scale (fresh n so no cached packed trace is reused) and pin it
+    against the sequential oracle."""
+    import kmer_tpu.pipeline.yak_admit as ya
+
+    monkeypatch.setattr(ya, "_pack_ok", lambda m, nh: False)
+    rng = np.random.default_rng(5)
+    n = 7001
+    hi, lo = _rand_planes(rng, n, 950)
+    bounds = [2345, 5678, n]
+    spec = bloom.BloomSpec(4, 14, 4)
+    want = _oracle(hi, lo, bounds, spec, True)
+    got_pb, got_tot = _drive(hi, lo, bounds, spec, True)
+    assert list(got_pb) == want[0]
+    assert got_tot == want[1]
