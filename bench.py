@@ -560,6 +560,13 @@ def _set_deadline_from_env():
 # tunnel's bandwidth swings several-fold minute to minute, so a metric
 # that drew a congested slot often clears baseline on a later attempt).
 _SLICES = {"e2e": 0.50, "yak": 0.40, "vaf": 0.45, "device": 0.55}
+# Absolute caps on the first-round slices: a TOTAL tunnel blackout at
+# bench start otherwise burns half the budget on one silent child (a
+# rehearsal lost all four metrics to a 22-minute blackout exactly this
+# way).  Caps are sized ~2x a congested-but-alive child's real need on
+# a warm compile cache, so a good or recovering day is never starved
+# while a dark start preserves budget for the leftover-retry loop.
+_SLICE_CAPS = {"e2e": 500.0, "yak": 450.0, "vaf": 350.0, "device": 350.0}
 
 # JSON metric name -> metric key, for the leftover-budget re-run loop
 _METRIC_KEYS = {
@@ -678,7 +685,7 @@ def main(argv):
             note(f"deadline: skipping remaining metrics {METRICS[i:]}")
             failed.extend(METRICS[i:])
             break
-        slice_s = max(45.0, left * _SLICES[name])
+        slice_s = max(45.0, min(left * _SLICES[name], _SLICE_CAPS[name]))
         note(f"metric {name!r}: {slice_s:.0f}s slice "
              f"({left:.0f}s budget left)")
         t0 = time.time()
